@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the query layer.
+  *
+  * Money/measure sums go through `decimal(18,2)` (or wider) before
+  * aggregation: decimal addition is exact and order-independent, so
+  * results are stable under AQE / shuffle-partition changes AND
+  * bit-identical to the DuckDB oracle (double sums are neither).
+  */
+object ql {
+  /** Load one driver-generated table from an sf directory. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact 2-dp decimal view of a double measure column. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-independent exact sum of a money column, surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** revenue term: extendedprice * (1 - discount), exact decimal. */
+  def revenue(price: Column, discount: Column): Column =
+    dec(price) * (lit(1.0).cast("decimal(18,2)") - dec(discount))
+}

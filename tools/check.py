@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB oracle compare (dev tool only —
+the Scala library has no Python dependency). Usage:
+  python3 tools/check.py <sfDir> <verifyOutDir>
+Compares each <name>/ parquet dump against the oracle SQL in
+oracle_sql.json, after sorting columns by name and rows by all columns.
+"""
+import sys, json, glob, os
+import duckdb
+
+def canon(con, rel):
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for tbl in ["region","nation","customer","supplier","part","orders",
+                "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{tbl}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = canon(con, con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            want = canon(con, con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: cols {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        import pandas as pd
+        eq = got.equals(want)
+        if not eq:
+            # locate first mismatch for debugging
+            diffs = []
+            for c in got.columns:
+                neq = ~(got[c].eq(want[c]) | (got[c].isna() & want[c].isna()))
+                if neq.any():
+                    i = neq.idxmax()
+                    diffs.append(f"{c}[{i}]: {got[c][i]!r} != {want[c][i]!r}")
+            print(f"FAIL {name}: {'; '.join(diffs[:3])}"); n_fail += 1; continue
+        print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
