@@ -15,6 +15,14 @@ object ql {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events table with its TIMESTAMP(NANOS) `ts` surfaced as a proper
+    * timestamp. Requires spark.sql.legacy.parquet.nanosAsLong=true (set
+    * in Verify/Bench/test sessions); ns → µs floor-divide matches the
+    * truncation DuckDB applies when reading the same file. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
   /** Exact 2-dp decimal view of a double measure column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 

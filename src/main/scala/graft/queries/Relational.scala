@@ -1,14 +1,21 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
+import graft.operators.AsOfJoin
 
 /** Relational core — scan/filter/agg/join/window/top-k shapes (SURVEY §2.2).
   *
   * Spark-first: declarative DataFrame plans; Catalyst handles pushdown,
-  * pruning and join selection. Dimension tables are small at any SF
-  * (region/nation/supplier are fixed-size) → explicit broadcast hints.
+  * pruning and join selection. region/nation are fixed-size at any SF →
+  * explicit broadcast hints; customer/supplier/orders scale with SF so
+  * those joins shuffle (AQE may still broadcast them at small SF).
+  *
+  * Hash-compare discipline: money sums via decimal (exact + order-
+  * independent), integer-ish derived cols cast to long on both sides,
+  * every query deterministically ordered with a unique tie-break.
   */
 object Relational {
 
@@ -25,20 +32,262 @@ object Relational {
           (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_shipping_priority" -> { (s, d) =>
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+
+    "q5_local_supplier" -> { (s, d) =>
+      val region = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+      val nation = broadcast(t(s, d, "nation"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      t(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    "q6_revenue" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+                col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+               .cast("double").as("revenue"),
+             count(lit(1)).as("n"))
+    },
+
+    "q10_returned_items" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
+    "q_topk_orders" -> { (s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    },
+
+    "q_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk", "o_orderkey")
+    },
+
+    "q_running_total" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("running_spend",
+          sum(dec(col("o_totalprice"))).over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "running_spend")
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    },
+
+    "q_distinct_count" -> { (s, d) =>
+      t(s, d, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    },
+
+    "q_semijoin" -> { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    "q_antijoin" -> { (s, d) =>
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    "q_rollup" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    },
+
+    "q_conditional_pivot" -> { (s, d) =>
+      val zero = lit(0.0).cast("decimal(18,2)")
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).cast("long").as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).cast("long").as("n_p"),
+          sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+            .otherwise(zero)).cast("double").as("f_total"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q_asof_join" -> { (s, d) =>
+      val events = graft.ql.events(s, d).select("event_id", "user_id", "ts")
+      val daily = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"),
+             dsum(col("o_totalprice")).as("day_total"))
+      AsOfJoin.asofBackward(events, "user_id", "ts",
+          daily, "o_custkey", "o_orderdate")
+        .select("event_id", "user_id", "last_orderkey", "day_total")
+        .orderBy("event_id")
     }
   )
 
+  private val rev =
+    """CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
+
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM($rev) AS DOUBLE) AS sum_disc_price,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(SUM($rev) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name, CAST(SUM($rev) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, CAST(SUM($rev) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        | FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        | COUNT(*) AS n_orders,
+        | MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_conditional_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH daily AS (
+        | SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS last_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        | FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, d.last_orderkey, d.day_total
+        |FROM events e ASOF JOIN daily d
+        |  ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
   )
 }
