@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Columnar geometry kernel — the reference's NumPy linear algebra
+  * (data_utils.py:59-137) re-expressed as Catalyst column expressions so
+  * it stays inside whole-stage codegen and runs row-parallel across the
+  * cluster (vs. the reference's per-file driver loop).
+  *
+  * All ops are pure `Column` combinators: no UDFs, no RDDs.
+  */
+object Geometry {
+
+  /** 3x4 homogeneous transform with a constant matrix (row-major, 12
+    * elems): (x,y,z,1) → (x',y',z'). Reference: `transform_point_cloud_
+    * to_camera` (data_utils.py:59). Expression shape is fixed
+    * (m0*x + m1*y + m2*z + m3, left-assoc) so oracle SQL can mirror it
+    * bit-exactly. */
+  def transform3x4(m: Seq[Double], x: Column, y: Column, z: Column): Seq[Column] = {
+    require(m.length == 12, "3x4 matrix needs 12 elements")
+    Seq(0, 1, 2).map { r =>
+      lit(m(4 * r)) * x + lit(m(4 * r + 1)) * y + lit(m(4 * r + 2)) * z + lit(m(4 * r + 3))
+    }
+  }
+
+  /** Same transform with per-row matrices carried in an array<double>
+    * column (calibration joined per frame). 1-based element_at. */
+  def transform3x4Col(m: Column, x: Column, y: Column, z: Column): Seq[Column] =
+    Seq(0, 1, 2).map { r =>
+      element_at(m, 4 * r + 1) * x + element_at(m, 4 * r + 2) * y +
+        element_at(m, 4 * r + 3) * z + element_at(m, 4 * r + 4)
+    }
+
+  /** 3x3 transform (rectification matrix R0_rect, 9 elems row-major). */
+  def transform3x3Col(m: Column, x: Column, y: Column, z: Column): Seq[Column] =
+    Seq(0, 1, 2).map { r =>
+      element_at(m, 3 * r + 1) * x + element_at(m, 3 * r + 2) * y +
+        element_at(m, 3 * r + 3) * z
+    }
+
+  /** The reference's fixed X-axis rotation / axis remap
+    * (data_utils.py:95): camera coords → (x=length, y=width, z=up):
+    * (x,y,z) → (x, z, -y). */
+  def rotateX90(x: Column, y: Column, z: Column): Seq[Column] =
+    Seq(x, z, -y)
+
+  /** Unit-box corner offsets in KITTI label convention: sx scales
+    * length, sy scales height (0 or -1: box sits on its origin),
+    * sz scales width. Order matches data_utils.py:117-119. */
+  private val cornerOffsets: Seq[(Int, Double, Double, Double)] = Seq(
+    (0, -0.5, 0.0, -0.5), (1, 0.5, 0.0, -0.5), (2, 0.5, 0.0, 0.5), (3, -0.5, 0.0, 0.5),
+    (4, -0.5, -1.0, -0.5), (5, 0.5, -1.0, -0.5), (6, 0.5, -1.0, 0.5), (7, -0.5, -1.0, 0.5))
+
+  /** 8 corners of a KITTI 3D box (dims h,w,l; location x,y,z; yaw
+    * rotation_y), already axis-remapped by rotateX90 — mirrors
+    * `get_3d_bbox` (data_utils.py:111). Returns array<struct<i,cx,cy,cz>>;
+    * explode with `inline()`. */
+  def bbox3dCorners(h: Column, w: Column, l: Column,
+                    x: Column, y: Column, z: Column, ry: Column): Column = {
+    val corners = cornerOffsets.map { case (i, sx, sy, sz) =>
+      // Y-axis rotation of the scaled offsets, then translate:
+      val fx = cos(ry) * (lit(sx) * l) + sin(ry) * (lit(sz) * w) + x
+      val fy = lit(sy) * h + y
+      val fz = -sin(ry) * (lit(sx) * l) + cos(ry) * (lit(sz) * w) + z
+      // axis remap (fx, fz, -fy):
+      struct(lit(i).as("i"), fx.as("cx"), fz.as("cy"), (-fy).as("cz"))
+    }
+    array(corners: _*)
+  }
+
+  /** The 12 edges of a 3D box as (start,end) corner-index pairs —
+    * the data prep behind visualize.py:85-89. */
+  val bboxEdges: Seq[(Int, Int)] = Seq(
+    (0, 1), (1, 2), (2, 3), (3, 0),
+    (4, 5), (5, 6), (6, 7), (7, 4),
+    (0, 4), (1, 5), (2, 6), (3, 7))
+
+  /** Strict-inequality box containment mask (data_pipeline.py:77). */
+  def inBox(x: Column, y: Column, z: Column,
+            min: (Double, Double, Double), max: (Double, Double, Double)): Column =
+    x > min._1 && y > min._2 && z > min._3 &&
+      x < max._1 && y < max._2 && z < max._3
+}

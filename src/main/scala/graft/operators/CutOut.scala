@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Geometry
+
+/** The reference's `gen_cut_out_dataset` (data_pipeline.py:67-84):
+  * keep points inside an area box, re-export per frame, report
+  * per-frame point-count stats. Spark-first: the box mask is a pushable
+  * predicate; the export partitions by frame_id so each frame lands in
+  * its own directory without a driver loop.
+  */
+object CutOut {
+
+  /** Box filter over x/y/z columns (strict bounds, data_pipeline.py:77). */
+  def cutOut(points: DataFrame,
+             min: (Double, Double, Double), max: (Double, Double, Double)): DataFrame =
+    points.filter(Geometry.inBox(col("x"), col("y"), col("z"), min, max))
+
+  /** Per-frame counts + global min/avg/max point numbers
+    * (data_pipeline.py:82-84). One row. */
+  def pointStats(points: DataFrame, frameCol: String = "frame_id"): DataFrame =
+    points.groupBy(frameCol).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_pts"), max(col("n")).as("max_pts"),
+        round(sum(col("n")).cast("double") / count(lit(1)), 6).as("avg_pts"),
+        count(lit(1)).as("n_frames"))
+
+  /** Frame-partitioned export (replaces the reference's per-file
+    * `tofile` loop; data_pipeline.py:81). */
+  def writeFrames(points: DataFrame, path: String, frameCol: String = "frame_id"): Unit =
+    points.write.mode("overwrite").partitionBy(frameCol).parquet(path)
+}

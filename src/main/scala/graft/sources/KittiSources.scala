@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** KITTI file-format sources, Spark-first.
+  *
+  * The reference walks directories on the driver and loads each frame
+  * with NumPy (data_utils.py:4-56); here each format is a distributed
+  * read: `binaryFile` for pointclouds, line/wholetext text sources for
+  * labels and calibration, with `frame_id` recovered from file names.
+  * Everything downstream is per-row columnar, so a 100 TB corpus
+  * parallelizes per file without driver involvement.
+  */
+object KittiSources {
+
+  private def frameId(pathCol: org.apache.spark.sql.Column) =
+    regexp_extract(pathCol, "([0-9]+)\\.[a-z]+$", 1).cast("long").as("frame_id")
+
+  /** Point clouds from KITTI velodyne `.bin` files (float32 x,y,z,
+    * intensity quads, little-endian — data_utils.py:11).
+    * One input row per file → flatMap to points. */
+  def pointClouds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+      .select(frameId(col("path")), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (fid, bytes) =>
+        val fb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+        val n = fb.capacity() / 4
+        Iterator.tabulate(n) { i =>
+          (fid, fb.get(4 * i).toDouble, fb.get(4 * i + 1).toDouble,
+            fb.get(4 * i + 2).toDouble, fb.get(4 * i + 3).toDouble)
+        }
+      }
+      .toDF("frame_id", "x", "y", "z", "intensity")
+  }
+
+  /** Labels from KITTI `label_2` text files (data_utils.py:17): 15
+    * whitespace-separated fields per object row. Pure-column parse. */
+  def labels(spark: SparkSession, dir: String): DataFrame = {
+    val f = split(col("value"), " ")
+    spark.read.option("pathGlobFilter", "*.txt").text(dir)
+      .select(frameId(input_file_name()), f.as("f"))
+      .filter(size(col("f")) >= 15)
+      .select(col("frame_id"),
+        col("f").getItem(0).as("cls"),
+        col("f").getItem(1).cast("double").as("truncated"),
+        col("f").getItem(2).cast("int").as("occluded"),
+        col("f").getItem(3).cast("double").as("alpha"),
+        col("f").getItem(4).cast("double").as("bbox_left"),
+        col("f").getItem(5).cast("double").as("bbox_top"),
+        col("f").getItem(6).cast("double").as("bbox_right"),
+        col("f").getItem(7).cast("double").as("bbox_bottom"),
+        col("f").getItem(8).cast("double").as("dim_h"),
+        col("f").getItem(9).cast("double").as("dim_w"),
+        col("f").getItem(10).cast("double").as("dim_l"),
+        col("f").getItem(11).cast("double").as("loc_x"),
+        col("f").getItem(12).cast("double").as("loc_y"),
+        col("f").getItem(13).cast("double").as("loc_z"),
+        col("f").getItem(14).cast("double").as("rotation_y"))
+  }
+
+  /** Calibration files (data_utils.py:36): `KEY: v v v ...` lines →
+    * one row per frame with matrices as array<double> columns
+    * (P2 3x4=12, R0_rect 3x3=9, Tr_velo_to_cam 3x4=12). */
+  def calibrations(spark: SparkSession, dir: String): DataFrame = {
+    def mat(key: String, n: Int) = {
+      val line = regexp_extract(col("value"), key + ":([^\\n\\r]+)", 1)
+      val arr = transform(split(trim(line), "\\s+"), x => x.cast("double"))
+      when(size(arr) === n, arr).otherwise(lit(null)).as(key.toLowerCase)
+    }
+    spark.read.option("wholetext", "true").option("pathGlobFilter", "*.txt").text(dir)
+      .select(frameId(input_file_name()),
+        mat("P2", 12), mat("R0_rect", 9), mat("Tr_velo_to_cam", 12))
+  }
+
+  /** Frame alignment (`get_files`, data_utils.py:4): the reference
+    * zips three sorted directory listings; here it's an equi-join on
+    * the recovered frame_id. */
+  def alignFrames(points: DataFrame, labels: DataFrame, calib: DataFrame): DataFrame =
+    points.join(labels, "frame_id").join(calib, "frame_id")
+}

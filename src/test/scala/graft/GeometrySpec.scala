@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Geometry
+
+/** Geometry kernel vs a direct scala re-computation of the reference
+  * math (data_utils.py:111-137 `get_3d_bbox`). */
+class GeometrySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Test oracle: straight port of the reference's corner math. */
+  private def refCorners(h: Double, w: Double, l: Double,
+                         x: Double, y: Double, z: Double, ry: Double): Seq[(Double, Double, Double)] = {
+    val xc = Seq(-l / 2, l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2)
+    val yc = Seq(0.0, 0, 0, 0, -h, -h, -h, -h)
+    val zc = Seq(-w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2, w / 2)
+    (0 until 8).map { i =>
+      val rx = math.cos(ry) * xc(i) + math.sin(ry) * zc(i) + x
+      val rz = -math.sin(ry) * xc(i) + math.cos(ry) * zc(i) + z
+      val fy = yc(i) + y
+      (rx, rz, -fy) // axis remap (x, z, -y)
+    }
+  }
+
+  test("bbox3dCorners matches the reference corner math") {
+    val cases = Seq(
+      (1.5, 1.6, 3.2, 2.0, 1.0, 10.0, 0.5),
+      (1.8, 0.6, 0.8, 5.0, 1.2, 8.0, -0.3),
+      (2.0, 2.0, 2.0, 0.0, 0.0, 0.0, 0.0))
+    val df = cases.toDF("h", "w", "l", "x", "y", "z", "ry")
+    val got = df.select(inline(Geometry.bbox3dCorners(
+        col("h"), col("w"), col("l"), col("x"), col("y"), col("z"), col("ry"))))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val want = cases.flatMap { case (h, w, l, x, y, z, ry) =>
+      refCorners(h, w, l, x, y, z, ry).zipWithIndex.map { case (c, i) => (i, c._1, c._2, c._3) }
+    }
+    got.zip(want).foreach { case ((gi, gx, gy, gz), (wi, wx, wy, wz)) =>
+      assert(gi == wi)
+      assert(math.abs(gx - wx) < 1e-12, s"cx corner $gi")
+      assert(math.abs(gy - wy) < 1e-12, s"cy corner $gi")
+      assert(math.abs(gz - wz) < 1e-12, s"cz corner $gi")
+    }
+  }
+
+  test("transform3x4 + rotateX90 compose the calibration chain") {
+    val df = Seq((1.0, 2.0, 3.0)).toDF("x", "y", "z")
+    val m = Seq(1.0, 0, 0, 10, 0, 1, 0, 20, 0, 0, 1, 30)
+    val Seq(nx, ny, nz) = Geometry.transform3x4(m, col("x"), col("y"), col("z"))
+    val Seq(px, py, pz) = Geometry.rotateX90(nx, ny, nz)
+    val r = df.select(px.as("px"), py.as("py"), pz.as("pz")).head()
+    assert(r.getDouble(0) == 11.0) // x+10
+    assert(r.getDouble(1) == 33.0) // z+30 remapped to y
+    assert(r.getDouble(2) == -22.0) // -(y+20)
+  }
+
+  test("inBox strict bounds") {
+    val df = Seq((1.0, 1.0, 1.0), (0.0, 1.0, 1.0), (2.0, 2.0, 2.0)).toDF("x", "y", "z")
+    val n = df.filter(Geometry.inBox(col("x"), col("y"), col("z"),
+      (0.5, 0.5, 0.5), (1.5, 1.5, 1.5))).count()
+    assert(n == 1)
+  }
+
+  test("bboxEdges enumerate the 12 box edges") {
+    assert(Geometry.bboxEdges.size == 12)
+    assert(Geometry.bboxEdges.flatMap(e => Seq(e._1, e._2)).forall(i => i >= 0 && i < 8))
+  }
+}
