@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for the LLM-data-pipeline suite (SURVEY §2.5).
+  * Pure Column combinators (codegen'd, no UDFs). Formula shapes are
+  * kept SQL-mirrorable so the DuckDB oracle can reproduce them
+  * bit-for-bit (replace/length arithmetic instead of engine-specific
+  * tokenizers).
+  */
+object TextOps {
+
+  /** Occurrences of a literal substring: length-difference trick. */
+  def countOccurrences(c: Column, sub: String): Column =
+    ((length(c) - length(replace(c, lit(sub), lit("")))) / sub.length).cast("long")
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column =
+    size(split(trim(c), " +")).cast("long")
+
+  /** BPE-ish size estimate: the usual chars/4 heuristic. */
+  def bpeEstimate(c: Column): Column =
+    ceil(length(c) / 4.0).cast("long")
+
+  /** Word-regex token count (letter runs). */
+  def regexTokenCount(c: Column): Column =
+    regexp_count(c, lit("[a-z]+")).cast("long")
+
+  /** Marker-stopword counts used by langId — (lang, marker) pairs. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ")
+
+  /** n-gram/stopword language-ID heuristic: argmax of marker counts
+    * with deterministic priority order; 'und' when all zero. */
+  def langId(c: Column): Column = {
+    val counts = langMarkers.map { case (l, m) => l -> countOccurrences(c, m) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("und"): Column) { case ((l, cnt), els) =>
+      when(cnt === best && cnt > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1]: length saturation + punctuation sparsity +
+    * stopword density (SURVEY §2.5 T2). All-double arithmetic in a
+    * fixed shape; round(6) at the edge for oracle stability. */
+  def qualityScore(c: Column): Column = {
+    val chars = length(c).cast("double")
+    val tokens = wsTokenCount(c).cast("double")
+    val punct = (countOccurrences(c, ".") + countOccurrences(c, ",")).cast("double")
+    val stop = (countOccurrences(c, " the ") + countOccurrences(c, " a ") +
+      countOccurrences(c, " of ")).cast("double")
+    round(
+      lit(0.4) * least(lit(1.0), chars / 400.0) +
+        lit(0.3) * (lit(1.0) - punct / chars) +
+        lit(0.3) * least(lit(1.0), stop * 10.0 / tokens), 6)
+  }
+
+  /** Rolling polynomial hash fingerprint (mod 1e9+7, base 31) — the
+    * document-fingerprinting primitive; order-sensitive by design. */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      sequence(lit(1), length(c)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(c.substr(i, lit(1)))) % 1000000007L)
+
+  /** Distinct character k-shingles of a string (dedup primitive). */
+  def shingles(c: Column, k: Int): Column =
+    when(length(c) < k, array(c)).otherwise(
+      array_distinct(transform(
+        sequence(lit(1), length(c) - (k - 1)),
+        i => c.substr(i, lit(k)))))
+}

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector kernel (SURVEY §2.4). Vectors are array<float>
+  * columns widened to double at the edge; math is higher-order-function
+  * based (`zip_with`/`aggregate`) so it stays columnar and codegen-
+  * friendly — no UDF serialization per row.
+  */
+object VectorOps {
+
+  /** Sequential left-to-right dot product in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with optional precomputed norms (precompute per
+    * row before a pair join: O(n) norms instead of O(n²)). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Widen an array<float> to array<double> once, at the scan edge. */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Random-hyperplane LSH signature: nBits sign bits of dot products
+    * with pseudo-random ±1 hyperplanes derived from xxhash64(bit, dim)
+    * — deterministic, no stored model. Packs to a long bucket id. */
+  def lshBucket(v: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { i =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * when(xxhash64(lit(i), j) % 2 === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, VectorOps}
+
+/** Deduplication suite (SURVEY §2.3): exact, MinHash+LSH banding,
+  * SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: signatures/fingerprints are map-side-only column
+  * expressions; candidate generation shuffles on (band, bucket) — keys
+  * are uniform hashes, so no skew; pair verification only touches LSH
+  * candidates, never the full O(n²) cross product. Exact Jaccard
+  * (`ngramJaccardPairs`) is the small-side/oracle path: its shingle
+  * self-join IS quadratic in the worst case and is meant for bounded
+  * corpora or post-LSH verification at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy, keep the smallest id per content hash. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: numHashes independent min-hashes over distinct
+    * character k-shingles (hash family: xxhash64 seeded by index). */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = TextOps.shingles(text, k)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** LSH banding: split the signature into `bands` rows-per-band
+    * chunks, hash each chunk → array<struct<band, bucket>>. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(j.as("band"),
+        xxhash64(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+
+  /** Candidate near-dup pairs via MinHash+LSH: docs sharing ≥1 band
+    * bucket, with the number of colliding bands per pair. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    val sig = df.select(col(idCol).as("doc"),
+      minhashSignature(col(textCol), k, numHashes).as("sig"))
+    val banded = sig.select(col("doc"), explode(lshBands(col("sig"), bands, r)).as("b"))
+      .select(col("doc"), col("b.band"), col("b.bucket"))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit signed vote of
+    * token hashes, map-side only. */
+  def simhash64(text: Column): Column = {
+    val th = transform(split(trim(text), " +"), t => xxhash64(t))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(th, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket on 16-bit chunks (a pair within
+    * hamming ≤ 16 of 64 shares ≥1 exact chunk by pigeonhole for ≤3
+    * differing chunks), verify hamming ≤ maxDist on candidates. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+    val chunked = sh.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)).as("c"))
+      .select(col("doc"), col("sh"), col("c.chunk"), col("c.val"))
+    val a = chunked.alias("a"); val b = chunked.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.val") === col("b.val") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("a_id"), col("b.doc").as("b_id"),
+        hamming64(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via shingle explode +
+    * equi-self-join (SQL-oracle-able; quadratic worst case — see
+    * scaladoc above). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(TextOps.shingles(col(textCol), k)).as("s"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    val common = a.join(b, col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.withColumnRenamed("doc", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** Embedding-cosine near-dup pairs over a bounded corpus (brute
+    * pair join with precomputed norms); the LSH-bucketed variant in
+    * SimilaritySearch is the 100 TB path. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      VectorOps.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorOps.norm(col("v")))
+    val a = v.alias("a"); val b = v.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .withColumn("cos", VectorOps.cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.4).
+  *
+  * - `bruteForceTopK`: exact baseline — broadcast the (small) query
+  *   set, scan candidates once, per-query top-k via window. O(|Q|·|C|)
+  *   dot products but a single pass over the corpus: the right shape
+  *   when |Q| is small even at 100 TB.
+  * - `lshTopK`: random-hyperplane bucket join — candidates shrink to
+  *   same-bucket rows; shuffle keyed by uniform bucket ids.
+  * - `ivfTopK`: IVF-style — build centroids (here: per-label mean as a
+  *   stand-in for k-means cells), assign each query to its nearest
+  *   centroid, probe only that cell.
+  */
+object SimilaritySearch {
+
+  private def prep(df: DataFrame, idCol: String, vecCol: String, as: String) =
+    df.select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
+      .withColumn(s"${as}_nrm", VectorOps.norm(col(s"${as}_v")))
+
+  /** Exact cosine top-k per query. Scores rounded to 6dp before
+    * ranking, ties broken by candidate id (deterministic output). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(prep(queries, idCol, vecCol, "q"))
+    val c = prep(candidates, idCol, vecCol, "c")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    q.join(c)
+      .withColumn("cos", round(
+        VectorOps.cosinePre(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
+  /** LSH-bucketed ANN: only candidates in the query's hyperplane
+    * bucket are scored. Recall depends on nBits vs data geometry. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val q = prep(queries, idCol, vecCol, "q")
+      .withColumn("bucket", VectorOps.lshBucket(col("q_v"), nBits))
+    val c = prep(candidates, idCol, vecCol, "c")
+      .withColumn("bucket", VectorOps.lshBucket(col("c_v"), nBits))
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    q.join(c, "bucket")
+      .withColumn("cos", round(
+        VectorOps.cosinePre(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
+  /** IVF-style ANN with per-cell centroids. `cellCol` plays the role
+    * of a coarse quantizer cell assignment (k-means in a real index;
+    * any partition id works structurally). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val c = candidates.select(col(idCol).as("c_id"),
+        VectorOps.toDouble(col(vecCol)).as("c_v"), col(cellCol).as("cell"))
+      .withColumn("c_nrm", VectorOps.norm(col("c_v")))
+    // centroid per cell: element-wise mean via posexplode + re-collect
+    val cent = c.select(col("cell"), posexplode(col("c_v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg("x").as("m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cent_v"))
+      .withColumn("cent_nrm", VectorOps.norm(col("cent_v")))
+    // assign each query to its nearest centroid (broadcast centroids)
+    val q = prep(queries, idCol, vecCol, "q")
+    val wq = Window.partitionBy("q_id").orderBy(desc("qc_cos"), asc("cell"))
+    val assigned = q.join(broadcast(cent))
+      .withColumn("qc_cos",
+        VectorOps.cosinePre(col("q_v"), col("cent_v"), col("q_nrm"), col("cent_nrm")))
+      .withColumn("qr", row_number().over(wq))
+      .filter(col("qr") === 1)
+      .select("q_id", "q_v", "q_nrm", "cell")
+    // probe only the assigned cell
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    assigned.join(c, "cell")
+      .withColumn("cos", round(
+        VectorOps.cosinePre(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cell"), col("c_id"), col("cos"), col("rk"))
+  }
+}

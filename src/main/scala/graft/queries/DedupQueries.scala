@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ql._
+import graft.operators.Dedup
+
+/** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). d2/d3 are
+  * hash-family-dependent (xxhash64) so they get rows-only checks; d1
+  * and d4 have exact DuckDB oracles. */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> { (s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("content_hash")
+    },
+
+    "d2_minhash_lsh" -> { (s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 5, numHashes = 128, bands = 16)
+        .orderBy("a_id", "b_id")
+    },
+
+    "d3_simhash" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    "d4_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          k = 3, threshold = 0.7)
+        .orderBy("a_id", "b_id")
+    },
+
+    "d5_embedding_neardup" -> { (s, d) =>
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("a_id", "b_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        | COUNT(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS s
+        |  FROM documents CROSS JOIN generate_series(1, 2000) AS g(i)
+        |  WHERE i <= length(text) - 2),
+        | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        | com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jac
+        |FROM com JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "d5_embedding_neardup" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  ROUND(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cos
+        |FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ql._
+import graft.functions.TextOps
+
+/** Text-analysis suite over `documents` (SURVEY §2.5). Formulas are
+  * length/replace arithmetic so the DuckDB oracle reproduces them
+  * exactly; see TextOps scaladoc. */
+object TextQueries {
+
+  // shared SQL fragments mirroring TextOps.countOccurrences
+  private def occ(sub: String, l: Int) =
+    s"CAST((length(text) - length(replace(text, '$sub', '')))/$l AS BIGINT)"
+  private val nEn = occ(" the ", 5); private val nDe = occ(" der ", 5)
+  private val nFr = occ(" le ", 4); private val nEs = occ(" el ", 4)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_langid" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
+          (TextOps.langId(col("text")) === col("lang")).as("match_label"))
+        .orderBy("doc_id")
+    },
+
+    "t2_quality_score" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("chars"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "t3_token_count" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+          TextOps.bpeEstimate(col("text")).as("bpe_est"),
+          TextOps.regexTokenCount(col("text")).as("word_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "t4_fingerprint" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_langid" ->
+      s"""WITH c AS (SELECT doc_id, lang, $nEn AS n_en, $nDe AS n_de,
+        |    $nFr AS n_fr, $nEs AS n_es FROM documents),
+        | p AS (SELECT doc_id, lang,
+        |   CASE WHEN n_en = GREATEST(n_en, n_de, n_fr, n_es) AND n_en > 0 THEN 'en'
+        |        WHEN n_de = GREATEST(n_en, n_de, n_fr, n_es) AND n_de > 0 THEN 'de'
+        |        WHEN n_fr = GREATEST(n_en, n_de, n_fr, n_es) AND n_fr > 0 THEN 'fr'
+        |        WHEN n_es = GREATEST(n_en, n_de, n_fr, n_es) AND n_es > 0 THEN 'es'
+        |        ELSE 'und' END AS lang_pred
+        |  FROM c)
+        |SELECT doc_id, lang_pred, lang_pred = lang AS match_label
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+        | ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE)/400.0)
+        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/CAST(length(text) AS DOUBLE))
+        |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
+        |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+        | CAST(CEIL(length(text)/4.0) AS BIGINT) AS bpe_est,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ql._
+import graft.operators.SimilaritySearch
+
+/** Similarity-search suite over `embeddings` (SURVEY §2.4): exact
+  * brute-force baseline (oracle-checked) + LSH and IVF scale paths
+  * (hash/centroid-dependent → rows-only). Query set: vec_id < 5. */
+object VectorQueries {
+
+  private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
+  private def qs(s: SparkSession, d: String) = emb(s, d).filter(col("vec_id") < 5)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> { (s, d) =>
+      SimilaritySearch.bruteForceTopK(qs(s, d), emb(s, d), "vec_id", "embedding", 10)
+        .orderBy("q_id", "rk")
+    },
+
+    "s2_lsh_ann" -> { (s, d) =>
+      SimilaritySearch.lshTopK(qs(s, d), emb(s, d), "vec_id", "embedding", 3, nBits = 8)
+        .orderBy("q_id", "rk")
+    },
+
+    "s3_ivf_ann" -> { (s, d) =>
+      SimilaritySearch.ivfTopK(qs(s, d), emb(s, d), "vec_id", "embedding", "label", 3)
+        .orderBy("q_id", "rk")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s1_cosine_topk" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+        | q AS (SELECT * FROM nn WHERE vec_id < 5),
+        | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    ROUND(list_dot_product(q.v, c.v)/(q.nrm*c.nrm), 6) AS cos
+        |   FROM q CROSS JOIN nn c),
+        | ranked AS (SELECT q_id, c_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+        |   FROM scored)
+        |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin
+  )
+}
