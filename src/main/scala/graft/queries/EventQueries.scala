@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ql._
+import graft.streaming.EventStreams
+import graft.multimodal.Binary
+
+/** Events + multimodal batch queries (SURVEY §2.6/§2.7). Streaming
+  * variants of e1/e2 are spec-tested (StreamingSpec) — the driver
+  * correctness gate is batch-only. */
+object EventQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_tumbling_window" -> { (s, d) =>
+      EventStreams.tumblingHourly(events(s, d))
+        .orderBy("hour", "event_type")
+    },
+
+    "e2_sessionization" -> { (s, d) =>
+      EventStreams.sessionStats(events(s, d))
+        .orderBy("user_id")
+    },
+
+    "e3_user_funnel" -> { (s, d) =>
+      def n(t: String) = sum(when(col("event_type") === t, 1).otherwise(0))
+        .cast("long").as(s"n_$t")
+      events(s, d).groupBy("user_id")
+        .agg(n("view"), n("click"), n("purchase"), n("signup"), n("error"),
+          when(sum(when(col("event_type") === "click", 1).otherwise(0)) === 0, lit(null))
+            .otherwise(round(
+              sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("double") /
+                sum(when(col("event_type") === "click", 1).otherwise(0)), 6))
+            .as("purchase_per_click"))
+        .orderBy("user_id")
+    },
+
+    "m1_binary_meta" -> { (s, d) =>
+      Binary.asOpaque(t(s, d, "documents"), "doc_id", "text", "text/plain")
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          sha2(col("media"), 256).as("sha"))
+        .orderBy("media_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "e2_sessionization" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        | f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN pts IS NULL OR epoch_ms(ts) - epoch_ms(pts) > 1800000
+        |      THEN 1 ELSE 0 END AS nf FROM l),
+        | s AS (SELECT user_id, SUM(nf) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        | sess AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+        | MAX(n) AS max_session_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e3_user_funnel" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 0 THEN NULL
+        |   ELSE ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 6) END AS purchase_per_click
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m1_binary_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

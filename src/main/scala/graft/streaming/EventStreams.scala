@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ql.dec
+
+/** Event-stream operators (SURVEY §2.6), written once against
+  * DataFrame so the same transform runs in batch (`read`) and
+  * Structured Streaming (`readStream`). Streaming-only pieces
+  * (watermarks, state) live in the *Streaming variants.
+  */
+object EventStreams {
+
+  /** Tumbling hourly aggregate — batch form (date_trunc keys the group
+    * identically to an aligned 1h window). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  /** Streaming form: watermark + 1h window, append-mode-compatible. */
+  def tumblingHourlyStreaming(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Batch sessionization: gaps-and-islands with a windowed cumulative
+    * sum — one shuffle on user_id, linear within partition. */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(run))
+    flagged.groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-user session rollup (query shape for e2). */
+  def sessionStats(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    sessionize(events, gapMs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).cast("long").as("n_events"),
+        max(col("n")).as("max_session_events"))
+
+  // ---- streaming sessionization with explicit state ----
+
+  case class Ev(user_id: Long, tsMicros: Long)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, startMicros: Long, endMicros: Long, n: Int)
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a
+    * session when a later event exceeds the inactivity gap, and — with
+    * `useTimeout` (production default) — when the processing-time
+    * timeout fires with no further events. State is O(1) per active
+    * user. (`useTimeout=false` keeps test harnesses deterministic:
+    * timeout-driven no-data batches make processAllAvailable spin.) */
+  def sessionizeStreaming(events: Dataset[Ev], gapMs: Long = 1800000L,
+                          useTimeout: Boolean = true): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start, s.last, s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.tsMicros)
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.last <= gapMs * 1000 =>
+                  cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(uid, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1))
+              }
+            }
+            cur.foreach(s => state.update(s))
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured Streaming variants (SURVEY §2.6 E4): watermarked
+  * tumbling window and stateful sessionization, driven through
+  * MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600L * 1000 + min * 60000L)
+
+  test("tumblingHourlyStreaming aggregates windows over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingHourlyStreaming(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("tumble")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(20), "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 1 so the first window closes
+      mem.addData((ts(600), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumble")
+        .select("event_type", "n", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 3.0)))
+      assert(rows.contains(("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeStreaming emits sessions on gap expiry across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.sessionizeStreaming(mem.toDS(), gapMs = 1000,
+        useTimeout = false)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: one burst for user 1 (stays open in state)
+      mem.addData(EventStreams.Ev(1L, 1000000L), EventStreams.Ev(1L, 1500000L))
+      out.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      // batch 2: an event past the gap closes the first session
+      mem.addData(EventStreams.Ev(1L, 999000000L))
+      out.processAllAvailable()
+      val sessions = spark.table("sessions").as[EventStreams.SessionOut].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head.n == 2 && sessions.head.startMicros == 1000000L)
+    } finally out.stop()
+  }
+
+  test("batch and streaming tumbling agg agree on the same data") {
+    val batch = Seq(
+      (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(61), "view", 5.0))
+      .toDF("ts", "event_type", "value")
+    val fromBatch = EventStreams.tumblingHourly(batch)
+      .select("event_type", "n", "sum_value").as[(String, Long, Double)].collect().toSet
+    assert(fromBatch == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+}
