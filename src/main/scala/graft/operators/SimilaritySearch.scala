@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
+import graft.ql.spread
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY §2.4).
@@ -21,7 +22,7 @@ import graft.functions.VectorOps
 object SimilaritySearch {
 
   private def prep(df: DataFrame, idCol: String, vecCol: String, as: String) =
-    df.select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
+    spread(df).select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
       .withColumn(s"${as}_nrm", VectorOps.norm(col(s"${as}_v")))
 
   /** Exact cosine top-k per query. Scores rounded to 6dp before
@@ -61,7 +62,7 @@ object SimilaritySearch {
     * any partition id works structurally). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
-    val c = candidates.select(col(idCol).as("c_id"),
+    val c = spread(candidates).select(col(idCol).as("c_id"),
         VectorOps.toDouble(col(vecCol)).as("c_v"), col(cellCol).as("cell"))
       .withColumn("c_nrm", VectorOps.norm(col("c_v")))
     // centroid per cell: element-wise mean via posexplode + re-collect

@@ -32,4 +32,12 @@ object ql {
   /** revenue term: extendedprice * (1 - discount), exact decimal. */
   def revenue(price: Column, discount: Column): Column =
     dec(price) * (lit(1.0).cast("decimal(18,2)") - dec(discount))
+
+  /** Spread a small-file scan across the cluster before a CPU-dense
+    * per-row kernel. A few-MB parquet arrives as ONE partition, so
+    * minhash/simhash/vector kernels would otherwise run on one core —
+    * the round-trip shuffle of the (small) input is noise next to the
+    * kernel cost. No-op sizing: uses the session's shuffle partitions. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 }

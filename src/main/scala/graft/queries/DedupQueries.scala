@@ -30,7 +30,7 @@ object DedupQueries {
 
     "d4_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          k = 3, threshold = 0.7)
+          k = 5, threshold = 0.6, maxDf = 50L, minCommon = 5L)
         .orderBy("a_id", "b_id")
     },
 
@@ -47,15 +47,17 @@ object DedupQueries {
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
     "d4_ngram_jaccard" ->
-      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS s
+      """WITH shall AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
         |  FROM documents CROSS JOIN generate_series(1, 2000) AS g(i)
-        |  WHERE i <= length(text) - 2),
+        |  WHERE i <= length(text) - 4),
+        | keep AS (SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= 50),
+        | sh AS (SELECT doc_id, shall.s FROM shall JOIN keep USING (s)),
         | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         | com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT a_id, b_id, ROUND(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jac
         |FROM com JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.7
+        |WHERE c >= 5 AND CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
 
     "d5_embedding_neardup" ->
