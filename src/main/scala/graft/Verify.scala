@@ -15,6 +15,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long ns and convert in ql.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -10,17 +10,24 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Sequential left-to-right dot product in double. */
+  /** Sequential left-to-right dot product in double (higher-order-
+    * function form — portable, but interpreted per element). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Native codegen'd dot product (graft.plans.VecDot) — identical
+    * result (same summation order), ~no allocation. Requires
+    * GraftExtensions on the session (Verify/Bench/tests set it). */
+  def fastDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
+  def fastNorm(a: Column): Column = sqrt(fastDot(a, a))
 
   /** Cosine similarity with optional precomputed norms (precompute per
     * row before a pair join: O(n) norms instead of O(n²)). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
   def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+    fastDot(a, b) / (na * nb)
 
   /** Widen an array<float> to array<double> once, at the scan edge. */
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))

@@ -145,7 +145,7 @@ object Dedup {
                         threshold: Double): DataFrame = {
     val v = spread(df).select(col(idCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", VectorOps.norm(col("v")))
+      .withColumn("nrm", VectorOps.fastNorm(col("v")))
     val a = v.alias("a"); val b = v.alias("b")
     a.join(b, col("a.id") < col("b.id"))
       .withColumn("cos", VectorOps.cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))

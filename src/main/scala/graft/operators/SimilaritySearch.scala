@@ -23,7 +23,7 @@ object SimilaritySearch {
 
   private def prep(df: DataFrame, idCol: String, vecCol: String, as: String) =
     spread(df).select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
-      .withColumn(s"${as}_nrm", VectorOps.norm(col(s"${as}_v")))
+      .withColumn(s"${as}_nrm", VectorOps.fastNorm(col(s"${as}_v")))
 
   /** Exact cosine top-k per query. Scores rounded to 6dp before
     * ranking, ties broken by candidate id (deterministic output). */
@@ -64,13 +64,13 @@ object SimilaritySearch {
               idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
     val c = spread(candidates).select(col(idCol).as("c_id"),
         VectorOps.toDouble(col(vecCol)).as("c_v"), col(cellCol).as("cell"))
-      .withColumn("c_nrm", VectorOps.norm(col("c_v")))
+      .withColumn("c_nrm", VectorOps.fastNorm(col("c_v")))
     // centroid per cell: element-wise mean via posexplode + re-collect
     val cent = c.select(col("cell"), posexplode(col("c_v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg("x").as("m"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cent_v"))
-      .withColumn("cent_nrm", VectorOps.norm(col("cent_v")))
+      .withColumn("cent_nrm", VectorOps.fastNorm(col("cent_v")))
     // assign each query to its nearest centroid (broadcast centroids)
     val q = prep(queries, idCol, vecCol, "q")
     val wq = Window.partitionBy("q_id").orderBy(desc("qc_cos"), asc("cell"))

@@ -18,5 +18,6 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 }
