@@ -69,6 +69,16 @@ object Relational {
         .orderBy(desc("revenue"), asc("n_name"))
     },
 
+    "q4_order_priority" -> { (s, d) =>
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     "q6_revenue" -> { (s, d) =>
       t(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -215,6 +225,12 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q6_revenue" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
