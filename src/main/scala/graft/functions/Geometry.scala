@@ -76,6 +76,21 @@ object Geometry {
     (4, 5), (5, 6), (6, 7), (7, 4),
     (0, 4), (1, 5), (2, 6), (3, 7))
 
+  /** The 12 box edges as line segments: array<struct<edge_id, x1..z2>>
+    * — the data prep behind the reference's wireframe rendering
+    * (visualize.py:85-98). */
+  def bboxEdgeSegments(h: Column, w: Column, l: Column,
+                       x: Column, y: Column, z: Column, ry: Column): Column = {
+    val cs = bbox3dCorners(h, w, l, x, y, z, ry)
+    val segs = bboxEdges.zipWithIndex.map { case ((s, e), id) =>
+      val a = element_at(cs, s + 1); val b = element_at(cs, e + 1)
+      struct(lit(id).as("edge_id"),
+        a.getField("cx").as("x1"), a.getField("cy").as("y1"), a.getField("cz").as("z1"),
+        b.getField("cx").as("x2"), b.getField("cy").as("y2"), b.getField("cz").as("z2"))
+    }
+    array(segs: _*)
+  }
+
   /** Strict-inequality box containment mask (data_pipeline.py:77). */
   def inBox(x: Column, y: Column, z: Column,
             min: (Double, Double, Double), max: (Double, Double, Double)): Column =

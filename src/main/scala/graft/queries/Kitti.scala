@@ -56,6 +56,72 @@ object Kitti {
       CutOut.pointStats(pts)
     },
 
+    // minimal/maximal "label area" derivation (data_pipeline.py:56-61):
+    // greatest/least composition of point, corner and location extents
+    "k4_area_derivation" -> { (s, d) =>
+      val pts = t(s, d, "lineitem").agg(
+        min(col("l_quantity")).as("min_px"), max(col("l_quantity")).as("max_px"),
+        min(col("l_discount") * 100).as("min_py"), max(col("l_discount") * 100).as("max_py"),
+        min(col("l_tax") * 100).as("min_pz"), max(col("l_tax") * 100).as("max_pz"))
+      val p = t(s, d, "part").select(
+        col("p_size").cast("double").as("h"), (col("p_size") * 0.6).as("w"),
+        (col("p_size") * 1.3).as("l"), (col("p_retailprice") / 100.0).as("x"),
+        (col("p_partkey") % 7).cast("double").as("y"),
+        (col("p_partkey") % 13).cast("double").as("z"),
+        ((col("p_partkey") % 63) / 10.0).as("ry"))
+      val crn = p.select(inline(Geometry.bbox3dCorners(col("h"), col("w"), col("l"),
+          col("x"), col("y"), col("z"), col("ry"))))
+        .agg(min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+             min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"),
+             min(col("cz")).as("min_cz"), max(col("cz")).as("max_cz"))
+      val pl = p.agg(
+        min(col("x")).as("min_lx"), max(col("x")).as("max_lx"),
+        min(col("y")).as("min_ly"), max(col("y")).as("max_ly"),
+        min(col("z")).as("min_lz"), max(col("z")).as("max_lz"),
+        max(col("l")).as("max_dx"), max(col("w")).as("max_dy"),
+        max(col("h")).as("max_dz"))
+      pts.crossJoin(crn).crossJoin(pl).select(
+        round(greatest(col("min_px"), greatest(col("min_cx"), col("min_lx") - col("max_dx"))), 6).as("lo_x"),
+        round(least(col("max_px"), least(col("max_cx"), col("max_lx") + col("max_dx"))), 6).as("hi_x"),
+        round(greatest(col("min_py"), greatest(col("min_cy"), col("min_ly") - col("max_dy"))), 6).as("lo_y"),
+        round(least(col("max_py"), least(col("max_cy"), col("max_ly") + col("max_dy"))), 6).as("hi_y"),
+        round(greatest(col("min_pz"), greatest(col("min_cz"), col("min_lz") - col("max_dz"))), 6).as("lo_z"),
+        round(least(col("max_pz"), least(col("max_cz"), col("max_lz") + col("max_dz"))), 6).as("hi_z"))
+    },
+
+    // wireframe edge segments (visualize.py:85-98)
+    "k6_bbox_edges" -> { (s, d) =>
+      val p = t(s, d, "part").filter(col("p_partkey") <= 3).select(
+        col("p_partkey"),
+        col("p_size").cast("double").as("h"), (col("p_size") * 0.6).as("w"),
+        (col("p_size") * 1.3).as("l"), (col("p_retailprice") / 100.0).as("x"),
+        (col("p_partkey") % 7).cast("double").as("y"),
+        (col("p_partkey") % 13).cast("double").as("z"),
+        ((col("p_partkey") % 63) / 10.0).as("ry"))
+      // corners as rows once, then a tiny self-join on corner index —
+      // embedding 72 references to the corner array in one projection
+      // re-inlines the trig expression per reference (measured 34 s of
+      // codegen for 4 rows); the join shape is linear and mirrors the
+      // oracle SQL exactly.
+      import s.implicits._
+      val corners = p.select(col("p_partkey"), inline(Geometry.bbox3dCorners(
+        col("h"), col("w"), col("l"), col("x"), col("y"), col("z"), col("ry"))))
+      val edges = Geometry.bboxEdges.zipWithIndex
+        .map { case ((a, b), id) => (id.toLong, a, b) }.toDF("edge_id", "s", "e")
+      val k1 = corners.select(col("p_partkey"), col("i").as("ci1"),
+        col("cx").as("x1"), col("cy").as("y1"), col("cz").as("z1"))
+      val k2 = corners.select(col("p_partkey").as("pk2"), col("i").as("ci2"),
+        col("cx").as("x2"), col("cy").as("y2"), col("cz").as("z2"))
+      broadcast(edges)
+        .join(k1, col("ci1") === col("s"))
+        .join(k2, col("ci2") === col("e") && col("pk2") === col("p_partkey"))
+        .select(col("p_partkey"), col("edge_id"),
+          round(col("x1"), 6).as("x1"), round(col("y1"), 6).as("y1"),
+          round(col("z1"), 6).as("z1"), round(col("x2"), 6).as("x2"),
+          round(col("y2"), 6).as("y2"), round(col("z2"), 6).as("z2"))
+        .orderBy("p_partkey", "edge_id")
+    },
+
     // apply_calibration chain: fixed 3x4 transform + axis remap
     "k5_calib_transform" -> { (s, d) =>
       val m = Seq(1.0, 0.02, 0.0, 0.3, 0.0, 0.9, 0.1, -0.2, 0.05, 0.0, 1.1, 0.6)
@@ -69,7 +135,57 @@ object Kitti {
     }
   )
 
+  private val partGeom =
+    """SELECT p_partkey, CAST(p_size AS DOUBLE) AS h, p_size*0.6 AS w, p_size*1.3 AS l,
+      |    p_retailprice/100.0 AS x, CAST(p_partkey%7 AS DOUBLE) AS y,
+      |    CAST(p_partkey%13 AS DOUBLE) AS z, (p_partkey%63)/10.0 AS ry FROM part""".stripMargin
+
+  private val cornerOffsets =
+    """c(ci, sx, sy, sz) AS (VALUES (0,-0.5,0.0,-0.5),(1,0.5,0.0,-0.5),(2,0.5,0.0,0.5),(3,-0.5,0.0,0.5),
+      |    (4,-0.5,-1.0,-0.5),(5,0.5,-1.0,-0.5),(6,0.5,-1.0,0.5),(7,-0.5,-1.0,0.5))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "k4_area_derivation" ->
+      s"""WITH p AS ($partGeom),
+        | $cornerOffsets,
+        | k AS (SELECT cos(ry)*(sx*l) + sin(ry)*(sz*w) + x AS gx,
+        |              -sin(ry)*(sx*l) + cos(ry)*(sz*w) + z AS gy,
+        |              -(sy*h + y) AS gz
+        |       FROM p CROSS JOIN c),
+        | crn AS (SELECT MIN(gx) min_cx, MAX(gx) max_cx, MIN(gy) min_cy,
+        |      MAX(gy) max_cy, MIN(gz) min_cz, MAX(gz) max_cz FROM k),
+        | pts AS (SELECT MIN(l_quantity) min_px, MAX(l_quantity) max_px,
+        |      MIN(l_discount*100) min_py, MAX(l_discount*100) max_py,
+        |      MIN(l_tax*100) min_pz, MAX(l_tax*100) max_pz FROM lineitem),
+        | pl AS (SELECT MIN(x) min_lx, MAX(x) max_lx, MIN(y) min_ly, MAX(y) max_ly,
+        |      MIN(z) min_lz, MAX(z) max_lz, MAX(l) max_dx, MAX(w) max_dy,
+        |      MAX(h) max_dz FROM p)
+        |SELECT
+        | ROUND(GREATEST(min_px, GREATEST(min_cx, min_lx - max_dx)), 6) AS lo_x,
+        | ROUND(LEAST(max_px, LEAST(max_cx, max_lx + max_dx)), 6) AS hi_x,
+        | ROUND(GREATEST(min_py, GREATEST(min_cy, min_ly - max_dy)), 6) AS lo_y,
+        | ROUND(LEAST(max_py, LEAST(max_cy, max_ly + max_dy)), 6) AS hi_y,
+        | ROUND(GREATEST(min_pz, GREATEST(min_cz, min_lz - max_dz)), 6) AS lo_z,
+        | ROUND(LEAST(max_pz, LEAST(max_cz, max_lz + max_dz)), 6) AS hi_z
+        |FROM pts CROSS JOIN crn CROSS JOIN pl""".stripMargin,
+
+    "k6_bbox_edges" ->
+      s"""WITH p AS ($partGeom WHERE p_partkey <= 3),
+        | $cornerOffsets,
+        | k AS (SELECT p_partkey, ci,
+        |              cos(ry)*(sx*l) + sin(ry)*(sz*w) + x AS gx,
+        |              -sin(ry)*(sx*l) + cos(ry)*(sz*w) + z AS gy,
+        |              -(sy*h + y) AS gz
+        |       FROM p CROSS JOIN c),
+        | e(edge_id, s, t) AS (VALUES (0,0,1),(1,1,2),(2,2,3),(3,3,0),
+        |    (4,4,5),(5,5,6),(6,6,7),(7,7,4),(8,0,4),(9,1,5),(10,2,6),(11,3,7))
+        |SELECT k1.p_partkey, CAST(e.edge_id AS BIGINT) AS edge_id,
+        | ROUND(k1.gx,6) AS x1, ROUND(k1.gy,6) AS y1, ROUND(k1.gz,6) AS z1,
+        | ROUND(k2.gx,6) AS x2, ROUND(k2.gy,6) AS y2, ROUND(k2.gz,6) AS z2
+        |FROM e JOIN k k1 ON k1.ci = e.s JOIN k k2 ON k2.ci = e.t
+        |  AND k1.p_partkey = k2.p_partkey
+        |ORDER BY k1.p_partkey, edge_id""".stripMargin,
+
     "k1_point_extents" ->
       """WITH pf AS (SELECT user_id, quantile_cont(value, 0.05) AS z5
         |  FROM events GROUP BY user_id)

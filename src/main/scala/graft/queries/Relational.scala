@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SkewJoin}
 
 /** Relational core — scan/filter/agg/join/window/top-k shapes (SURVEY §2.2).
   *
@@ -175,6 +175,15 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    "q_salted_join" -> { (s, d) =>
+      SkewJoin.saltedJoin(t(s, d, "lineitem"), "l_suppkey",
+          Seq("l_orderkey", "l_linenumber"), t(s, d, "supplier"), "s_suppkey")
+        .groupBy("s_name")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+        .orderBy("s_name")
+    },
+
     "q_asof_join" -> { (s, d) =>
       val events = graft.ql.events(s, d).select("event_id", "user_id", "ts")
       val daily = t(s, d, "orders")
@@ -295,6 +304,11 @@ object Relational {
         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_salted_join" ->
+      s"""SELECT s_name, CAST(SUM($rev) AS DOUBLE) AS revenue, COUNT(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "q_asof_join" ->
       """WITH daily AS (
