@@ -91,6 +91,16 @@ object Geometry {
     array(segs: _*)
   }
 
+  /** Rectangle corners for an axis-aligned plane spanned by two
+    * opposite corners, optionally flattened to a fixed z — the area
+    * overlay prep in visualize.py:23-46. Returns the 4 corners in
+    * render order (c1, c3, c2, c4). */
+  def planeCorners(c1: (Double, Double, Double), c2: (Double, Double, Double),
+                   zFixed: Option[Double] = None): Seq[(Double, Double, Double)] = {
+    val z1 = zFixed.getOrElse(c1._3); val z2 = zFixed.getOrElse(c2._3)
+    Seq((c1._1, c1._2, z1), (c2._1, c1._2, z1), (c2._1, c2._2, z2), (c1._1, c2._2, z2))
+  }
+
   /** Strict-inequality box containment mask (data_pipeline.py:77). */
   def inBox(x: Column, y: Column, z: Column,
             min: (Double, Double, Double), max: (Double, Double, Double)): Column =

@@ -89,6 +89,26 @@ object Relational {
              count(lit(1)).as("n"))
     },
 
+    "q7_volume_shipping" -> { (s, d) =>
+      val n1 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+      t(s, d, "supplier")
+        .join(t(s, d, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("n1_key"))
+        .join(n2, col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .withColumn("l_year", year(col("l_shipdate")).cast("long"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     "q10_returned_items" -> { (s, d) =>
       t(s, d, "customer")
         .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
@@ -247,6 +267,19 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | CAST(SUM($rev) AS DOUBLE) AS volume
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, c_acctbal, CAST(SUM($rev) AS DOUBLE) AS revenue

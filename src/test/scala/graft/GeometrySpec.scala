@@ -64,4 +64,21 @@ class GeometrySpec extends SparkSpec {
     assert(Geometry.bboxEdges.size == 12)
     assert(Geometry.bboxEdges.flatMap(e => Seq(e._1, e._2)).forall(i => i >= 0 && i < 8))
   }
+
+  test("bboxEdgeSegments connect the right corners") {
+    val df = Seq((2.0, 2.0, 2.0, 0.0, 0.0, 0.0, 0.0)).toDF("h", "w", "l", "x", "y", "z", "ry")
+    val segs = df.select(inline(Geometry.bboxEdgeSegments(
+        col("h"), col("w"), col("l"), col("x"), col("y"), col("z"), col("ry"))))
+      .collect()
+    assert(segs.length == 12)
+    // edge 0 connects corners 0→1: for ry=0 that's along length (x axis)
+    val e0 = segs.find(_.getInt(0) == 0).get
+    assert(math.abs((e0.getDouble(4) - e0.getDouble(1)) - 2.0) < 1e-12) // Δx = l
+    assert(e0.getDouble(5) == e0.getDouble(2)) // Δy = 0
+  }
+
+  test("planeCorners spans the rectangle (z flattened)") {
+    val c = Geometry.planeCorners((0, 0, 5), (2, 3, 7), zFixed = Some(0.0))
+    assert(c == Seq((0.0, 0.0, 0.0), (2.0, 0.0, 0.0), (2.0, 3.0, 0.0), (0.0, 3.0, 0.0)))
+  }
 }
