@@ -28,16 +28,20 @@ object Dedup {
     * h_i(s) = (h1(s) + i·h2(s)) mod p — two xxhash64 evaluations per
     * shingle instead of numHashes (whole-stage codegen CSEs the shared
     * h1/h2 arrays across the signature lanes). */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    call_function("graft_minhash", TextOps.shingles(text, k), lit(numHashes))
+
+  /** Portable higher-order-function fallback for sessions without
+    * GraftExtensions — same signature semantics (different hash
+    * family). Single fold with an elementwise-min accumulator: the
+    * per-lane formulation (numHashes × array_min(transform(...)))
+    * re-inlines the shingle expression into every lane — Catalyst
+    * does not CSE across array lambdas; measured 128× slower. */
+  def minhashSignatureHof(text: Column, k: Int, numHashes: Int): Column = {
     val p = 1000000007L // keep h1 + i*h2 far from long overflow (ANSI mode)
     val hs = transform(TextOps.shingles(text, k),
       s => struct(pmod(xxhash64(s), lit(p)).as("h1"),
         pmod(xxhash64(s, lit(1)), lit(p)).as("h2")))
-    // Single fold over the shingles with an elementwise-min accumulator:
-    // one lane-per-position transform per shingle. (The per-lane
-    // formulation — numHashes × array_min(transform(shingles, ...)) —
-    // re-inlines the shingle expression into every lane; Catalyst does
-    // not CSE across array lambdas, which measured 128× slower.)
     aggregate(hs,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => transform(acc,

@@ -77,5 +77,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        val n = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_minhash numHashes must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash numHashes must be a literal")
+        }
+        MinHashSig(children.head, n)
+      }))
   }
 }
