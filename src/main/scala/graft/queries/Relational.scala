@@ -121,6 +121,18 @@ object Relational {
         .limit(20)
     },
 
+    "q19_bracket_filter" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(5, 30)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(10, 40) &&
+            col("l_quantity").between(10, 35)))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+    },
+
     "q_topk_orders" -> { (s, d) =>
       t(s, d, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -288,6 +300,14 @@ object Relational {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, c_acctbal
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q19_bracket_filter" ->
+      s"""SELECT CAST(SUM($rev) AS DOUBLE) AS revenue, COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+        |        AND l_quantity BETWEEN 5 AND 30)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 10 AND 40
+        |        AND l_quantity BETWEEN 10 AND 35)""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
