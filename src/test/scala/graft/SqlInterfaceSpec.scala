@@ -1,0 +1,24 @@
+package graft
+
+/** The engine through plain spark.sql: registered views + extension
+  * functions compose in SQL text. */
+class SqlInterfaceSpec extends SparkSpec {
+
+  test("registerAll exposes every table and extension fn to SQL") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    assert(r.length == 3)
+    // ns-timestamp events usable directly in SQL
+    val hours = spark.sql(
+      "SELECT COUNT(DISTINCT date_trunc('hour', ts)) FROM events").head().getLong(0)
+    assert(hours > 100)
+    // extension function callable from SQL text over a real table
+    val cos = spark.sql(
+      """SELECT graft_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                 CAST(a.embedding AS ARRAY<DOUBLE>)) AS d
+        |FROM embeddings a WHERE a.vec_id = 0""".stripMargin).head().getDouble(0)
+    assert(cos > 0.0)
+  }
+}
