@@ -44,6 +44,30 @@ object TextQueries {
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // quality-gated corpus filtering: the keep/drop + per-language
+    // yield stats a training-data pipeline reports after filtering
+    "t5_quality_filter" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("q", TextOps.qualityScore(col("text")))
+        .filter(col("q") >= 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept"),
+          (sum(col("q").cast("decimal(10,6)")).cast("double") / count(lit(1)))
+            .as("avg_q"))
+        .orderBy("lang")
+    },
+
+    // deterministic stratified sample: hash-free modulo stratum so the
+    // sample is reproducible and oracle-checkable
+    "t6_stratified_sample" -> { (s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+        .orderBy("lang")
     }
   )
 
@@ -68,6 +92,22 @@ object TextQueries {
         |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
         |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_quality_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+        | ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE)/400.0)
+        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/CAST(length(text) AS DOUBLE))
+        |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
+        |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)), 6) AS q
+        | FROM documents)
+        |SELECT lang, COUNT(*) AS kept,
+        | CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_q
+        |FROM q WHERE q >= 0.5 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t6_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+        |FROM documents WHERE doc_id % 7 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t3_token_count" ->
       """SELECT doc_id,
