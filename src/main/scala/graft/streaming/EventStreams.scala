@@ -46,6 +46,14 @@ object EventStreams {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).cast("long").as("n_events"),
         max(col("n")).as("max_session_events"))
 
+  /** Streaming dedup: drop events whose id reappears within the
+    * watermark window — the streaming arm of the dedup suite (state
+    * size bounded by the watermark, unlike a global dropDuplicates). */
+  def dedupStreaming(events: DataFrame, idCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+
   // ---- streaming sessionization with explicit state ----
 
   case class Ev(user_id: Long, tsMicros: Long)

@@ -55,6 +55,24 @@ class StreamingSpec extends SparkSpec {
     } finally out.stop()
   }
 
+  test("dedupStreaming drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_id", "value")
+    val q = EventStreams.dedupStreaming(df, "event_id", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L, 1.0), (ts(1), 1L, 2.0), (ts(2), 2L, 3.0))
+      q.processAllAvailable()
+      mem.addData((ts(3), 1L, 4.0)) // still within watermark → dropped
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").select("event_id")
+        .as[Long].collect().sorted.toSeq
+      assert(rows == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val batch = Seq(
       (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(61), "view", 5.0))
