@@ -45,7 +45,9 @@ object TextOps {
     * stopword density (SURVEY §2.5 T2). All-double arithmetic in a
     * fixed shape; round(6) at the edge for oracle stability. */
   def qualityScore(c: Column): Column = {
-    val chars = length(c).cast("double")
+    // greatest(_, 1): empty text would otherwise yield 0/0 = NaN that
+    // silently fails every threshold comparison
+    val chars = greatest(length(c).cast("double"), lit(1.0))
     val tokens = wsTokenCount(c).cast("double")
     val punct = (countOccurrences(c, ".") + countOccurrences(c, ",")).cast("double")
     val stop = (countOccurrences(c, " the ") + countOccurrences(c, " a ") +
@@ -64,9 +66,12 @@ object TextOps {
       lit(0L),
       (acc, i) => (acc * 31 + ascii(c.substr(i, lit(1)))) % 1000000007L)
 
-  /** Distinct character k-shingles of a string (dedup primitive). */
+  /** Distinct character k-shingles of a string (dedup primitive).
+    * Texts shorter than k have no k-shingle → empty array (mirrors the
+    * SQL-oracle formulation; callers that can't handle empty sets —
+    * e.g. MinHash — filter short texts out first). */
   def shingles(c: Column, k: Int): Column =
-    when(length(c) < k, array(c)).otherwise(
+    when(length(c) < k, array().cast("array<string>")).otherwise(
       array_distinct(transform(
         sequence(lit(1), length(c) - (k - 1)),
         i => c.substr(i, lit(k)))))

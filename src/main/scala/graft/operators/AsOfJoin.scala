@@ -26,10 +26,12 @@ object AsOfJoin {
     val rStruct = struct(right.columns.map(right(_)).toIndexedSeq: _*)
     val lType = left.select(lStruct.as("s")).schema.head.dataType
     val rType = right.select(rStruct.as("s")).schema.head.dataType
-    val lT = left.select(left(leftKey).cast("long").as("__k"),
+    // keys keep their own type: a numeric cast here would null out
+    // string keys and silently collapse them into one window partition
+    val lT = left.select(left(leftKey).as("__k"),
       left(leftTime).as("__t"), lit(1).as("__src"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val rT = right.select(right(rightKey).cast("long").as("__k"),
+    val rT = right.select(right(rightKey).as("__k"),
       right(rightTime).as("__t"), lit(0).as("__src"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__src"))

@@ -59,14 +59,20 @@ object Dedup {
     * bucket, with the number of colliding bands per pair. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
-    val sig = spread(df).select(col(idCol).as("doc"),
-      minhashSignature(col(textCol), k, numHashes).as("sig"))
-    // cache: the self-join would otherwise recompute the signature
-    // pipeline once per branch; banded is tiny (bands rows per doc)
+    // docs shorter than k have no k-shingle — exclude rather than give
+    // them identical empty-set signatures (which would all-collide)
+    val sig = spread(df.filter(length(col(textCol)) >= k))
+      .select(col(idCol).as("doc"),
+        minhashSignature(col(textCol), k, numHashes).as("sig"))
+    // localCheckpoint (eager): the self-join would otherwise recompute
+    // the signature pipeline once per branch; unlike cache() the blocks
+    // are released by the ContextCleaner when the plan is unreachable.
     val banded = sig.select(col("doc"), explode(lshBands(col("sig"), bands, r)).as("b"))
       .select(col("doc"), col("b.band"), col("b.bucket"))
-      .cache()
+      .localCheckpoint(true)
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
@@ -89,16 +95,20 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket on 16-bit chunks (a pair within
-    * hamming ≤ 16 of 64 shares ≥1 exact chunk by pigeonhole for ≤3
-    * differing chunks), verify hamming ≤ maxDist on candidates. */
+  /** SimHash near-dup pairs: bucket on 8-bit chunks — a pair with ≤7
+    * differing bits of 64 must share ≥1 of the 8 exact chunks by
+    * pigeonhole, so candidate generation is lossless for the default
+    * maxDist=7; verify hamming ≤ maxDist on candidates. maxDist > 7
+    * would make the bucketing approximate (enforced). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 8): DataFrame = {
+                   maxDist: Int = 7): DataFrame = {
+    require(maxDist <= 7,
+      s"8-chunk bucketing only guarantees recall for maxDist <= 7, got $maxDist")
     val sh = spread(df).select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
     val chunked = sh.select(col("doc"), col("sh"),
-      explode(array((0 until 4).map(i =>
+      explode(array((0 until 8).map(i =>
         struct(lit(i).as("chunk"),
-          shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("val"))): _*)).as("c"))
+          shiftright(col("sh"), i * 8).bitwiseAND(lit(0xFFL)).as("val"))): _*)).as("c"))
       .select(col("doc"), col("sh"), col("c.chunk"), col("c.val"))
     val a = chunked.alias("a"); val b = chunked.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&

@@ -21,15 +21,20 @@ import graft.ql.spread
   */
 object SimilaritySearch {
 
-  private def prep(df: DataFrame, idCol: String, vecCol: String, as: String) =
-    spread(df).select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
+  /** doSpread only for the corpus side: spreading a query set that is
+    * about to be broadcast would add a pointless shuffle stage. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String, as: String,
+                   doSpread: Boolean = true) = {
+    val base = if (doSpread) spread(df) else df
+    base.select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
       .withColumn(s"${as}_nrm", VectorOps.fastNorm(col(s"${as}_v")))
+  }
 
   /** Exact cosine top-k per query. Scores rounded to 6dp before
     * ranking, ties broken by candidate id (deterministic output). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(prep(queries, idCol, vecCol, "q"))
+    val q = broadcast(prep(queries, idCol, vecCol, "q", doSpread = false))
     val c = prep(candidates, idCol, vecCol, "c")
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
     q.join(c)
@@ -44,7 +49,7 @@ object SimilaritySearch {
     * bucket are scored. Recall depends on nBits vs data geometry. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
-    val q = prep(queries, idCol, vecCol, "q")
+    val q = prep(queries, idCol, vecCol, "q", doSpread = false)
       .withColumn("bucket", VectorOps.lshBucket(col("q_v"), nBits))
     val c = prep(candidates, idCol, vecCol, "c")
       .withColumn("bucket", VectorOps.lshBucket(col("c_v"), nBits))
@@ -72,7 +77,7 @@ object SimilaritySearch {
       .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cent_v"))
       .withColumn("cent_nrm", VectorOps.fastNorm(col("cent_v")))
     // assign each query to its nearest centroid (broadcast centroids)
-    val q = prep(queries, idCol, vecCol, "q")
+    val q = prep(queries, idCol, vecCol, "q", doSpread = false)
     val wq = Window.partitionBy("q_id").orderBy(desc("qc_cos"), asc("cell"))
     val assigned = q.join(broadcast(cent))
       .withColumn("qc_cos",

@@ -48,7 +48,7 @@ object DedupQueries {
 
     "d4_ngram_jaccard" ->
       """WITH shall AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
-        |  FROM documents CROSS JOIN generate_series(1, 2000) AS g(i)
+        |  FROM documents CROSS JOIN generate_series(1, 20000) AS g(i)
         |  WHERE i <= length(text) - 4),
         | keep AS (SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= 50),
         | sh AS (SELECT doc_id, shall.s FROM shall JOIN keep USING (s)),

@@ -87,16 +87,16 @@ object TextQueries {
 
     "t2_quality_score" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
-        | ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE)/400.0)
-        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/CAST(length(text) AS DOUBLE))
+        | ROUND(0.4 * LEAST(1.0, GREATEST(CAST(length(text) AS DOUBLE), 1.0)/400.0)
+        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE), 1.0))
         |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
         |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)), 6) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t5_quality_filter" ->
       s"""WITH q AS (SELECT doc_id, lang,
-        | ROUND(0.4 * LEAST(1.0, CAST(length(text) AS DOUBLE)/400.0)
-        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/CAST(length(text) AS DOUBLE))
+        | ROUND(0.4 * LEAST(1.0, GREATEST(CAST(length(text) AS DOUBLE), 1.0)/400.0)
+        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE), 1.0))
         |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
         |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)), 6) AS q
         | FROM documents)

@@ -68,7 +68,7 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(0) == sh(3))
     assert(java.lang.Long.bitCount(sh(0) ^ sh(1)) < 16)
     assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) > 16)
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 8)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 3L)))
   }
