@@ -57,4 +57,51 @@ object Analysis {
           col("loc_x"), col("loc_y"), col("loc_z"), col("rotation_y"))))
     extents(corners, Seq("cx", "cy", "cz"))
   }
+
+  /** Area bounds as returned by the reference's `get_analysis`. */
+  case class AreaBounds(minimal: (Seq[Double], Seq[Double]),
+                        maximal: (Seq[Double], Seq[Double]))
+
+  /** The reference's whole `get_analysis` (data_pipeline.py:8-64) in
+    * one call: calibrate points, z-normalize per frame, aggregate
+    * point/corner/location extents, derive the minimal/maximal label
+    * areas. Returns the two (lo, hi) corner triples. All distributed;
+    * only the six 1-row aggregates are collected. */
+  def referenceAnalysis(points: DataFrame, labels: DataFrame,
+                        calib: DataFrame): AreaBounds = {
+    val calibrated = calibratePoints(points.join(calib, "frame_id"))
+    val normalized = zNormalize(calibrated, "frame_id", "z")
+    val pts = normalized.agg(
+      min(col("x")).as("min_px"), max(col("x")).as("max_px"),
+      min(col("y")).as("min_py"), max(col("y")).as("max_py"),
+      min(col("z")).as("min_pz"), max(col("z")).as("max_pz"))
+    val kept = labels.filter(col("cls") =!= "DontCare")
+    val crn = kept.select(inline(Geometry.bbox3dCorners(
+        col("dim_h"), col("dim_w"), col("dim_l"),
+        col("loc_x"), col("loc_y"), col("loc_z"), col("rotation_y"))))
+      .agg(min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+        min(col("cy")).as("min_cy"), max(col("cy")).as("max_cy"),
+        min(col("cz")).as("min_cz"), max(col("cz")).as("max_cz"))
+    // location/dims in the remapped frame: loc → (x, z, -y); dims span
+    // (l, w, h) along the remapped axes (cf. data_pipeline.py:46-49)
+    val pl = kept.agg(
+      min(col("loc_x")).as("min_lx"), max(col("loc_x")).as("max_lx"),
+      min(col("loc_z")).as("min_ly"), max(col("loc_z")).as("max_ly"),
+      min(-col("loc_y")).as("min_lz"), max(-col("loc_y")).as("max_lz"),
+      max(col("dim_l")).as("max_dx"), max(col("dim_w")).as("max_dy"),
+      max(col("dim_h")).as("max_dz"))
+    val row = pts.crossJoin(crn).crossJoin(pl).head()
+    def d(n: String) = row.getAs[Double](n)
+    def axis(ax: String) =
+      (d(s"min_p$ax"), d(s"max_p$ax"), d(s"min_c$ax"), d(s"max_c$ax"),
+        d(s"min_l$ax"), d(s"max_l$ax"), d(s"max_d$ax"))
+    val axes = Seq(axis("x"), axis("y"), axis("z"))
+    // minimal area: tightest of points/corners/loc±dim (data_pipeline.py:56-58)
+    val minLo = axes.map { case (mp, _, mc, _, ml, _, md) => math.max(mp, math.max(mc, ml - md)) }
+    val minHi = axes.map { case (_, xp, _, xc, _, xl, md) => math.min(xp, math.min(xc, xl + md)) }
+    // maximal area: loosest object span clamped to the point cloud (py:59-61)
+    val maxLo = axes.map { case (mp, _, mc, _, ml, _, md) => math.max(mp, math.min(mc, ml - md)) }
+    val maxHi = axes.map { case (_, xp, _, xc, _, xl, md) => math.min(xp, math.max(xc, xl + md)) }
+    AreaBounds((minLo, minHi), (maxLo, maxHi))
+  }
 }

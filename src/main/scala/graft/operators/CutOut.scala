@@ -26,7 +26,27 @@ object CutOut {
         count(lit(1)).as("n_frames"))
 
   /** Frame-partitioned export (replaces the reference's per-file
-    * `tofile` loop; data_pipeline.py:81). */
+    * `tofile` loop; data_pipeline.py:81). An empty input is written
+    * un-partitioned: partitionBy on an empty frame emits a file-less
+    * directory that downstream parquet reads reject
+    * (UNABLE_TO_INFER_SCHEMA), while a plain empty write keeps the
+    * schema readable. */
   def writeFrames(points: DataFrame, path: String, frameCol: String = "frame_id"): Unit =
-    points.write.mode("overwrite").partitionBy(frameCol).parquet(path)
+    if (points.isEmpty)
+      points.write.mode("overwrite").parquet(path)
+    else
+      points.write.mode("overwrite").partitionBy(frameCol).parquet(path)
+
+  /** The reference's whole `gen_cut_out_dataset` (data_pipeline.py:
+    * 67-84) in one call: calibrate, filter to the area box, export per
+    * frame, return the per-frame point-count stats row. */
+  def genCutOutDataset(points: DataFrame, calib: DataFrame,
+                       min: (Double, Double, Double), max: (Double, Double, Double),
+                       path: String): DataFrame = {
+    val calibrated = Analysis.calibratePoints(points.join(calib, "frame_id"))
+    val kept = cutOut(calibrated, min, max)
+      .select("frame_id", "x", "y", "z", "intensity")
+    writeFrames(kept, path)
+    pointStats(kept)
+  }
 }
