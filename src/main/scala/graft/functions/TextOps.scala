@@ -52,10 +52,12 @@ object TextOps {
     val punct = (countOccurrences(c, ".") + countOccurrences(c, ",")).cast("double")
     val stop = (countOccurrences(c, " the ") + countOccurrences(c, " a ") +
       countOccurrences(c, " of ")).cast("double")
-    round(
-      lit(0.4) * least(lit(1.0), chars / 400.0) +
-        lit(0.3) * (lit(1.0) - punct / chars) +
-        lit(0.3) * least(lit(1.0), stop * 10.0 / tokens), 6)
+    // no round(): Spark and DuckDB ROUND disagree on doubles whose
+    // shortest decimal repr ends in '5' at the rounded digit; the raw
+    // IEEE arithmetic is bit-identical across engines.
+    lit(0.4) * least(lit(1.0), chars / 400.0) +
+      lit(0.3) * (lit(1.0) - punct / chars) +
+      lit(0.3) * least(lit(1.0), stop * 10.0 / tokens)
   }
 
   /** Rolling polynomial hash fingerprint (mod 1e9+7, base 31) — the

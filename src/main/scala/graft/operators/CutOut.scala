@@ -22,7 +22,7 @@ object CutOut {
   def pointStats(points: DataFrame, frameCol: String = "frame_id"): DataFrame =
     points.groupBy(frameCol).agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("min_pts"), max(col("n")).as("max_pts"),
-        round(sum(col("n")).cast("double") / count(lit(1)), 6).as("avg_pts"),
+        (sum(col("n")).cast("double") / count(lit(1))).as("avg_pts"),
         count(lit(1)).as("n_frames"))
 
   /** Frame-partitioned export (replaces the reference's per-file

@@ -149,7 +149,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc", "b_id").withColumnRenamed("n", "nb"), "b_id")
       .withColumn("jac", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jac"))
+      .select(col("a_id"), col("b_id"), col("jac"))
   }
 
   /** Embedding-cosine near-dup pairs over a bounded corpus (brute
@@ -160,6 +160,7 @@ object Dedup {
     val v = spread(df).select(col(idCol).as("id"),
       VectorOps.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorOps.fastNorm(col("v")))
+      .filter(col("nrm") > 0) // zero-norm: no direction (NaN vs NULL divergence)
     val a = v.alias("a"); val b = v.alias("b")
     a.join(b, col("a.id") < col("b.id"))
       .withColumn("cos", VectorOps.cosinePre(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))

@@ -28,6 +28,10 @@ object SimilaritySearch {
     val base = if (doSpread) spread(df) else df
     base.select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
       .withColumn(s"${as}_nrm", VectorOps.fastNorm(col(s"${as}_v")))
+      // zero-norm vectors have no direction: cosine would be 0/0, and
+      // Spark's NaN (ranks first DESC) vs DuckDB's NULL (ranks last)
+      // diverge — excluded by contract
+      .filter(col(s"${as}_nrm") > 0)
   }
 
   /** Exact cosine top-k per query. Scores rounded to 6dp before
@@ -70,6 +74,7 @@ object SimilaritySearch {
     val c = spread(candidates).select(col(idCol).as("c_id"),
         VectorOps.toDouble(col(vecCol)).as("c_v"), col(cellCol).as("cell"))
       .withColumn("c_nrm", VectorOps.fastNorm(col("c_v")))
+      .filter(col("c_nrm") > 0)
     // centroid per cell: element-wise mean via posexplode + re-collect
     val cent = c.select(col("cell"), posexplode(col("c_v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos").agg(avg("x").as("m"))

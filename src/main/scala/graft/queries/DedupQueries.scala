@@ -48,21 +48,22 @@ object DedupQueries {
 
     "d4_ngram_jaccard" ->
       """WITH shall AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
-        |  FROM documents CROSS JOIN generate_series(1, 20000) AS g(i)
+        |  FROM documents CROSS JOIN generate_series(1, 50000) AS g(i)
         |  WHERE i <= length(text) - 4),
         | keep AS (SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= 50),
         | sh AS (SELECT doc_id, shall.s FROM shall JOIN keep USING (s)),
         | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         | com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
         |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT a_id, b_id, ROUND(CAST(c AS DOUBLE)/(sa.n + sb.n - c), 6) AS jac
+        |SELECT a_id, b_id, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
         |FROM com JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |WHERE c >= 5 AND CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.6
         |ORDER BY a_id, b_id""".stripMargin,
 
     "d5_embedding_neardup" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb)
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        |   WHERE list_dot_product(v, v) > 0)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  ROUND(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cos
         |FROM nn a JOIN nn b ON a.vec_id < b.vec_id

@@ -28,9 +28,9 @@ object EventQueries {
       events(s, d).groupBy("user_id")
         .agg(n("view"), n("click"), n("purchase"), n("signup"), n("error"),
           when(sum(when(col("event_type") === "click", 1).otherwise(0)) === 0, lit(null))
-            .otherwise(round(
+            .otherwise(
               sum(when(col("event_type") === "purchase", 1).otherwise(0)).cast("double") /
-                sum(when(col("event_type") === "click", 1).otherwise(0)), 6))
+                sum(when(col("event_type") === "click", 1).otherwise(0)))
             .as("purchase_per_click"))
         .orderBy("user_id")
     },
@@ -74,8 +74,8 @@ object EventQueries {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         | CASE WHEN SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 0 THEN NULL
-        |   ELSE ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
-        |     / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 6) END AS purchase_per_click
+        |   ELSE CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+        |     / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) END AS purchase_per_click
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "m1_binary_meta" ->

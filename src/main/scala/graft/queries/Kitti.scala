@@ -15,6 +15,19 @@ import graft.operators.CutOut
   */
 object Kitti {
 
+  /** Scala side of the shared part→geometry binding (mirrors the
+    * `partGeom` SQL fragment below — change both together). */
+  private def partGeomDf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      col("p_size").cast("double").as("h"),
+      (col("p_size") * 0.6).as("w"),
+      (col("p_size") * 1.3).as("l"),
+      (col("p_retailprice") / 100.0).as("x"),
+      (col("p_partkey") % 7).cast("double").as("y"),
+      (col("p_partkey") % 13).cast("double").as("z"),
+      ((col("p_partkey") % 63) / 10.0).as("ry"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // get_analysis: per-frame 5th-pct z-normalize + global extents
     // (events: user_id ≈ frame, value ≈ z)
@@ -22,8 +35,8 @@ object Kitti {
       val e = t(s, d, "events").select(col("user_id"), col("value"))
       val pf = e.groupBy("user_id").agg(expr("percentile(value, 0.05)").as("z5"))
       e.join(pf, "user_id")
-        .agg(round(min(col("value") - col("z5")), 9).as("min_z"),
-             round(max(col("value") - col("z5")), 9).as("max_z"),
+        .agg(min(col("value") - col("z5")).as("min_z"),
+             max(col("value") - col("z5")).as("max_z"),
              min(col("value")).as("min_v"), max(col("value")).as("max_v"),
              count(lit(1)).as("n"))
     },
@@ -31,14 +44,7 @@ object Kitti {
     // get_3d_bbox corner generation + global corner extents
     // (part: p_size → dims, p_retailprice/p_partkey → location/yaw)
     "k2_bbox_corner_extents" -> { (s, d) =>
-      val p = t(s, d, "part").select(
-        col("p_size").cast("double").as("h"),
-        (col("p_size") * 0.6).as("w"),
-        (col("p_size") * 1.3).as("l"),
-        (col("p_retailprice") / 100.0).as("x"),
-        (col("p_partkey") % 7).cast("double").as("y"),
-        (col("p_partkey") % 13).cast("double").as("z"),
-        ((col("p_partkey") % 63) / 10.0).as("ry"))
+      val p = partGeomDf(s, d)
       p.select(inline(Geometry.bbox3dCorners(col("h"), col("w"), col("l"),
           col("x"), col("y"), col("z"), col("ry"))))
         .agg(round(min(col("cx")), 6).as("min_x"), round(max(col("cx")), 6).as("max_x"),
@@ -63,12 +69,7 @@ object Kitti {
         min(col("l_quantity")).as("min_px"), max(col("l_quantity")).as("max_px"),
         min(col("l_discount") * 100).as("min_py"), max(col("l_discount") * 100).as("max_py"),
         min(col("l_tax") * 100).as("min_pz"), max(col("l_tax") * 100).as("max_pz"))
-      val p = t(s, d, "part").select(
-        col("p_size").cast("double").as("h"), (col("p_size") * 0.6).as("w"),
-        (col("p_size") * 1.3).as("l"), (col("p_retailprice") / 100.0).as("x"),
-        (col("p_partkey") % 7).cast("double").as("y"),
-        (col("p_partkey") % 13).cast("double").as("z"),
-        ((col("p_partkey") % 63) / 10.0).as("ry"))
+      val p = partGeomDf(s, d)
       val crn = p.select(inline(Geometry.bbox3dCorners(col("h"), col("w"), col("l"),
           col("x"), col("y"), col("z"), col("ry"))))
         .agg(min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
@@ -91,13 +92,7 @@ object Kitti {
 
     // wireframe edge segments (visualize.py:85-98)
     "k6_bbox_edges" -> { (s, d) =>
-      val p = t(s, d, "part").filter(col("p_partkey") <= 3).select(
-        col("p_partkey"),
-        col("p_size").cast("double").as("h"), (col("p_size") * 0.6).as("w"),
-        (col("p_size") * 1.3).as("l"), (col("p_retailprice") / 100.0).as("x"),
-        (col("p_partkey") % 7).cast("double").as("y"),
-        (col("p_partkey") % 13).cast("double").as("z"),
-        ((col("p_partkey") % 63) / 10.0).as("ry"))
+      val p = partGeomDf(s, d).filter(col("p_partkey") <= 3)
       // corners as rows once, then a tiny self-join on corner index —
       // embedding 72 references to the corner array in one projection
       // re-inlines the trig expression per reference (measured 34 s of
@@ -189,8 +184,8 @@ object Kitti {
     "k1_point_extents" ->
       """WITH pf AS (SELECT user_id, quantile_cont(value, 0.05) AS z5
         |  FROM events GROUP BY user_id)
-        |SELECT ROUND(MIN(e.value - pf.z5), 9) AS min_z,
-        |       ROUND(MAX(e.value - pf.z5), 9) AS max_z,
+        |SELECT MIN(e.value - pf.z5) AS min_z,
+        |       MAX(e.value - pf.z5) AS max_z,
         |       MIN(e.value) AS min_v, MAX(e.value) AS max_v, COUNT(*) AS n
         |FROM events e JOIN pf USING (user_id)""".stripMargin,
 
@@ -215,7 +210,7 @@ object Kitti {
         |    AND l_quantity < 45.0 AND l_discount*100 < 8.5 AND l_tax*100 < 7.5),
         | cnt AS (SELECT frame_id, COUNT(*) AS n FROM pts GROUP BY frame_id)
         |SELECT MIN(n) AS min_pts, MAX(n) AS max_pts,
-        |       ROUND(CAST(SUM(n) AS DOUBLE)/COUNT(*), 6) AS avg_pts,
+        |       CAST(SUM(n) AS DOUBLE)/COUNT(*) AS avg_pts,
         |       COUNT(*) AS n_frames
         |FROM cnt""".stripMargin,
 

@@ -16,6 +16,13 @@ object TextQueries {
   private val nEn = occ(" the ", 5); private val nDe = occ(" der ", 5)
   private val nFr = occ(" le ", 4); private val nEs = occ(" el ", 4)
 
+  // shared SQL mirror of TextOps.qualityScore (unrounded — see there)
+  private val qualitySql =
+    s"""0.4 * LEAST(1.0, GREATEST(CAST(length(text) AS DOUBLE), 1.0)/400.0)
+      |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE), 1.0))
+      |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
+      |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid" -> { (s, d) =>
       t(s, d, "documents")
@@ -87,18 +94,12 @@ object TextQueries {
 
     "t2_quality_score" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
-        | ROUND(0.4 * LEAST(1.0, GREATEST(CAST(length(text) AS DOUBLE), 1.0)/400.0)
-        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE), 1.0))
-        |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
-        |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)), 6) AS quality
+        | ($qualitySql) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t5_quality_filter" ->
       s"""WITH q AS (SELECT doc_id, lang,
-        | ROUND(0.4 * LEAST(1.0, GREATEST(CAST(length(text) AS DOUBLE), 1.0)/400.0)
-        |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE), 1.0))
-        |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
-        |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE)), 6) AS q
+        | ($qualitySql) AS q
         | FROM documents)
         |SELECT lang, COUNT(*) AS kept,
         | CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_q

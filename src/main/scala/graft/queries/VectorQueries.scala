@@ -33,7 +33,8 @@ object VectorQueries {
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        |   WHERE list_dot_product(v, v) > 0),
         | q AS (SELECT * FROM nn WHERE vec_id < 5),
         | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
         |    ROUND(list_dot_product(q.v, c.v)/(q.nrm*c.nrm), 6) AS cos
