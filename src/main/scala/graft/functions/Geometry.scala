@@ -41,9 +41,12 @@ object Geometry {
 
   /** The reference's fixed X-axis rotation / axis remap
     * (data_utils.py:95): camera coords → (x=length, y=width, z=up):
-    * (x,y,z) → (x, z, -y). */
+    * (x,y,z) → (x, z, -y). The `+ 0.0` normalizes IEEE `-0.0` (unary
+    * negation of an exact zero) to `+0.0` so byte-level result hashes
+    * can't diverge between engines; it is a bit-exact no-op for every
+    * nonzero value. Oracle SQL mirrors it. */
   def rotateX90(x: Column, y: Column, z: Column): Seq[Column] =
-    Seq(x, z, -y)
+    Seq(x, z, -y + lit(0.0))
 
   /** Unit-box corner offsets in KITTI label convention: sx scales
     * length, sy scales height (0 or -1: box sits on its origin),
@@ -63,8 +66,8 @@ object Geometry {
       val fx = cos(ry) * (lit(sx) * l) + sin(ry) * (lit(sz) * w) + x
       val fy = lit(sy) * h + y
       val fz = -sin(ry) * (lit(sx) * l) + cos(ry) * (lit(sz) * w) + z
-      // axis remap (fx, fz, -fy):
-      struct(lit(i).as("i"), fx.as("cx"), fz.as("cy"), (-fy).as("cz"))
+      // axis remap (fx, fz, -fy); + 0.0 normalizes -0.0 (see rotateX90)
+      struct(lit(i).as("i"), fx.as("cx"), fz.as("cy"), (-fy + lit(0.0)).as("cz"))
     }
     array(corners: _*)
   }

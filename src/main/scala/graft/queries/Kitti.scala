@@ -145,7 +145,7 @@ object Kitti {
         | $cornerOffsets,
         | k AS (SELECT cos(ry)*(sx*l) + sin(ry)*(sz*w) + x AS gx,
         |              -sin(ry)*(sx*l) + cos(ry)*(sz*w) + z AS gy,
-        |              -(sy*h + y) AS gz
+        |              -(sy*h + y) + 0.0 AS gz
         |       FROM p CROSS JOIN c),
         | crn AS (SELECT MIN(gx) min_cx, MAX(gx) max_cx, MIN(gy) min_cy,
         |      MAX(gy) max_cy, MIN(gz) min_cz, MAX(gz) max_cz FROM k),
@@ -170,7 +170,7 @@ object Kitti {
         | k AS (SELECT p_partkey, ci,
         |              cos(ry)*(sx*l) + sin(ry)*(sz*w) + x AS gx,
         |              -sin(ry)*(sx*l) + cos(ry)*(sz*w) + z AS gy,
-        |              -(sy*h + y) AS gz
+        |              -(sy*h + y) + 0.0 AS gz
         |       FROM p CROSS JOIN c),
         | e(edge_id, s, t) AS (VALUES (0,0,1),(1,1,2),(2,2,3),(3,3,0),
         |    (4,4,5),(5,5,6),(6,6,7),(7,7,4),(8,0,4),(9,1,5),(10,2,6),(11,3,7))
@@ -197,7 +197,7 @@ object Kitti {
         |    (-0.5,-1.0,-0.5),(0.5,-1.0,-0.5),(0.5,-1.0,0.5),(-0.5,-1.0,0.5)),
         | k AS (SELECT cos(ry)*(sx*l) + sin(ry)*(sz*w) + x AS gx,
         |              -sin(ry)*(sx*l) + cos(ry)*(sz*w) + z AS gy,
-        |              -(sy*h + y) AS gz
+        |              -(sy*h + y) + 0.0 AS gz
         |       FROM p CROSS JOIN c)
         |SELECT ROUND(MIN(gx),6) AS min_x, ROUND(MAX(gx),6) AS max_x,
         |       ROUND(MIN(gy),6) AS min_y, ROUND(MAX(gy),6) AS max_y,
@@ -218,7 +218,7 @@ object Kitti {
       """SELECT l_orderkey,
         | 1.0*l_quantity + 0.02*(l_extendedprice/1000.0) + 0.0*(l_discount*10.0) + 0.3 AS px,
         | 0.05*l_quantity + 0.0*(l_extendedprice/1000.0) + 1.1*(l_discount*10.0) + 0.6 AS py,
-        | -(0.0*l_quantity + 0.9*(l_extendedprice/1000.0) + 0.1*(l_discount*10.0) + (-0.2)) AS pz
+        | -(0.0*l_quantity + 0.9*(l_extendedprice/1000.0) + 0.1*(l_discount*10.0) + (-0.2)) + 0.0 AS pz
         |FROM lineitem WHERE l_orderkey % 400 = 0 AND l_linenumber = 1
         |ORDER BY l_orderkey""".stripMargin
   )

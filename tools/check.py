@@ -38,15 +38,22 @@ def main(sf_dir, out_dir):
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
         import pandas as pd
-        eq = got.equals(want)
-        if not eq:
-            # locate first mismatch for debugging
-            diffs = []
-            for c in got.columns:
-                neq = ~(got[c].eq(want[c]) | (got[c].isna() & want[c].isna()))
-                if neq.any():
-                    i = neq.idxmax()
-                    diffs.append(f"{c}[{i}]: {got[c][i]!r} != {want[c][i]!r}")
+        import numpy as np
+        # bit-exact on floats (the driver hashes bytes: 0.0 != -0.0
+        # there even though pandas .equals treats them equal)
+        diffs = []
+        for c in got.columns:
+            g, w = got[c], want[c]
+            if g.dtype.kind == 'f' and w.dtype.kind == 'f':
+                gb = g.to_numpy(dtype='f8').view('i8')
+                wb = w.to_numpy(dtype='f8').view('i8')
+                neq = gb != wb
+            else:
+                neq = ~(g.eq(w) | (g.isna() & w.isna())).to_numpy()
+            if neq.any():
+                i = int(np.argmax(neq))
+                diffs.append(f"{c}[{i}]: {g[i]!r} != {w[i]!r}")
+        if diffs:
             print(f"FAIL {name}: {'; '.join(diffs[:3])}"); n_fail += 1; continue
         print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
     print(f"== {n_pass} pass / {n_fail} fail ==")
