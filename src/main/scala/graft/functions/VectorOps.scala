@@ -33,13 +33,25 @@ object VectorOps {
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   /** Random-hyperplane LSH signature: nBits sign bits of dot products
-    * with pseudo-random ±1 hyperplanes derived from xxhash64(bit, dim)
-    * — deterministic, no stored model. Packs to a long bucket id. */
-  def lshBucket(v: Column, nBits: Int): Column = {
+    * with pseudo-random ±1 hyperplanes derived from
+    * xxhash64(bitOffset + bit, dim) — deterministic, no stored model.
+    * Packs to a long bucket id. Native codegen'd expression
+    * (graft.plans.LshBucketSig): the ±1 signs are cached per JVM, each
+    * row pays one primitive multiply-add loop. `bitOffset` selects an
+    * independent hash table for multi-table LSH. Requires
+    * GraftExtensions (Verify/Bench/tests set it). */
+  def lshBucket(v: Column, nBits: Int, bitOffset: Int = 0): Column =
+    call_function("graft_lsh_bucket", v, lit(nBits), lit(bitOffset))
+
+  /** Portable higher-order-function form of `lshBucket` — same result
+    * bit-for-bit (LshBucketSpec asserts it), interpreted per element:
+    * keep for sessions without GraftExtensions and as the differential
+    * oracle for the native expression. */
+  def lshBucketHof(v: Column, nBits: Int, bitOffset: Int = 0): Column = {
     val bits = (0 until nBits).map { i =>
       val d = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => x * when(xxhash64(lit(i), j) % 2 === 0, 1.0).otherwise(-1.0)),
+          (x, j) => x * when(xxhash64(lit(bitOffset + i), j) % 2 === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, lit(1L << i)).otherwise(lit(0L))
     }

@@ -104,5 +104,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(children.head, n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketSig].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable => l.eval() match {
+            case i: Int => i
+            case l2: Long => l2.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_lsh_bucket $what must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_lsh_bucket $what must be a literal")
+        }
+        val nBits = intLit(children(1), "nBits")
+        val offset = if (children.length > 2) intLit(children(2), "bitOffset") else 0
+        LshBucketSig(children.head, nBits, offset)
+      }))
   }
 }
