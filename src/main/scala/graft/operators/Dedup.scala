@@ -32,16 +32,20 @@ object Dedup {
     call_function("graft_minhash", TextOps.shingles(text, k), lit(numHashes))
 
   /** Portable higher-order-function fallback for sessions without
-    * GraftExtensions — same signature semantics (different hash
-    * family). Single fold with an elementwise-min accumulator: the
-    * per-lane formulation (numHashes × array_min(transform(...)))
-    * re-inlines the shingle expression into every lane — Catalyst
-    * does not CSE across array lambdas; measured 128× slower. */
+    * GraftExtensions — SAME hash family as the native expression
+    * (murmur3: h1 = hash(s), h2 = hash(s, s) i.e. murmur3 of s seeded
+    * by h1), so both paths produce identical signatures
+    * (MinHashFamilySpec asserts it; VERDICT r1 item 5 — results must
+    * not silently change with session config). Single fold with an
+    * elementwise-min accumulator: the per-lane formulation
+    * (numHashes × array_min(transform(...))) re-inlines the shingle
+    * expression into every lane — Catalyst does not CSE across array
+    * lambdas; measured 128× slower. */
   def minhashSignatureHof(text: Column, k: Int, numHashes: Int): Column = {
     val p = 1000000007L // keep h1 + i*h2 far from long overflow (ANSI mode)
     val hs = transform(TextOps.shingles(text, k),
-      s => struct(pmod(xxhash64(s), lit(p)).as("h1"),
-        pmod(xxhash64(s, lit(1)), lit(p)).as("h2")))
+      s => struct(pmod(hash(s).cast("long"), lit(p)).as("h1"),
+        pmod(hash(s, s).cast("long"), lit(p)).as("h2")))
     aggregate(hs,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => transform(acc,
@@ -95,26 +99,47 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket on 8-bit chunks — a pair with ≤7
-    * differing bits of 64 must share ≥1 of the 8 exact chunks by
-    * pigeonhole, so candidate generation is lossless for the default
-    * maxDist=7; verify hamming ≤ maxDist on candidates. maxDist > 7
-    * would make the bucketing approximate (enforced). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 7): DataFrame = {
-    require(maxDist <= 7,
-      s"8-chunk bucketing only guarantees recall for maxDist <= 7, got $maxDist")
+  /** SimHash candidate pairs: bucket the 64-bit fingerprint into
+    * `blocks` equal bit-blocks; docs sharing ≥1 exact block are
+    * candidates (with their full hamming distance attached, one row
+    * per colliding block — callers dedup).
+    *
+    * Block width is the scale lever (VERDICT r1 item 4): 8-bit chunks
+    * give only 256 buckets per position — at 10⁹ docs each bucket
+    * holds ~4M docs and the within-bucket self-join is quadratic.
+    * 16-bit blocks (the default via `simhashPairs`) give 65k buckets
+    * per position, shrinking expected bucket occupancy — and thus the
+    * quadratic term — by 256× for the same corpus. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        blocks: Int): DataFrame = {
+    require(blocks >= 2 && 64 % blocks == 0,
+      s"blocks must divide 64, got $blocks")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sh = spread(df).select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
     val chunked = sh.select(col("doc"), col("sh"),
-      explode(array((0 until 8).map(i =>
+      explode(array((0 until blocks).map(i =>
         struct(lit(i).as("chunk"),
-          shiftright(col("sh"), i * 8).bitwiseAND(lit(0xFFL)).as("val"))): _*)).as("c"))
+          shiftright(col("sh"), i * width).bitwiseAND(lit(mask)).as("val"))): _*)).as("c"))
       .select(col("doc"), col("sh"), col("c.chunk"), col("c.val"))
     val a = chunked.alias("a"); val b = chunked.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.val") === col("b.val") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("a_id"), col("b.doc").as("b_id"),
         hamming64(col("a.sh"), col("b.sh")).as("dist"))
+  }
+
+  /** SimHash near-dup pairs: by pigeonhole a pair with ≤ blocks−1
+    * differing bits must share ≥1 exact block, so candidate generation
+    * is lossless for maxDist ≤ blocks−1 (enforced). Defaults: 4×16-bit
+    * blocks, maxDist 3. For looser distances (4-7) pass blocks = 8 —
+    * and accept the 256-bucket skew tradeoff documented on
+    * `simhashCandidates`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3, blocks: Int = 4): DataFrame = {
+    require(maxDist <= blocks - 1,
+      s"$blocks-block bucketing only guarantees recall for maxDist <= ${blocks - 1}, got $maxDist")
+    simhashCandidates(df, idCol, textCol, blocks)
       .distinct()
       .filter(col("dist") <= maxDist)
   }

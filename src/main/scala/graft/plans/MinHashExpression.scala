@@ -16,8 +16,10 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * dispatch per (shingle × lane) plus one boxed accumulator array
   * allocation per shingle; this expression is two murmur hashes per
   * shingle and a primitive long[] nested loop — the whole signature in
-  * one codegen'd pass. Hash family differs from the HOF version
-  * (murmur3 vs xxhash64) — fine for LSH, and the d2 gate is rows-only.
+  * one codegen'd pass. Hash family is IDENTICAL to the HOF fallback
+  * (`Dedup.minhashSignatureHof`): h1 = murmur3(s, 42) = `hash(s)`,
+  * h2 = murmur3(s, h1) = `hash(s, s)` — so signatures do not depend on
+  * whether GraftExtensions is registered (MinHashFamilySpec).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -40,10 +42,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
     while (j < n) {
       val s = arr.getUTF8String(j)
       val b = s.getBytes
-      val h1p = MinHashSig.posMod(
-        Murmur3_x86_32.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42), P)
+      val h1 = Murmur3_x86_32.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42)
+      val h1p = MinHashSig.posMod(h1, P)
       val h2p = MinHashSig.posMod(
-        Murmur3_x86_32.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 7919), P)
+        Murmur3_x86_32.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, h1), P)
       var i = 0
       while (i < numHashes) {
         val v = (h1p + i * h2p) % P
@@ -71,12 +73,12 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |int $n = $a.numElements();
          |for (int $j = 0; $j < $n; $j++) {
          |  byte[] $bytes = $a.getUTF8String($j).getBytes();
-         |  long $h1 = graft.plans.MinHashSig.posMod(
-         |    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-         |      $bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, $bytes.length, 42), ${P}L);
+         |  int ${h1}raw = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+         |    $bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, $bytes.length, 42);
+         |  long $h1 = graft.plans.MinHashSig.posMod(${h1}raw, ${P}L);
          |  long $h2 = graft.plans.MinHashSig.posMod(
          |    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-         |      $bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, $bytes.length, 7919), ${P}L);
+         |      $bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, $bytes.length, ${h1}raw), ${P}L);
          |  for (int $i = 0; $i < $numHashes; $i++) {
          |    long $v = ($h1 + $i * $h2) % ${P}L;
          |    if ($v < $acc[$i]) $acc[$i] = $v;

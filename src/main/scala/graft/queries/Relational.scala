@@ -208,8 +208,12 @@ object Relational {
     },
 
     "q_salted_join" -> { (s, d) =>
+      // threshold ~ the mean rows-per-suppkey, so a realistic subset of
+      // keys is detected hot and salted while the rest take the plain
+      // path — the oracle asserts result identity either way
       SkewJoin.saltedJoin(t(s, d, "lineitem"), "l_suppkey",
-          Seq("l_orderkey", "l_linenumber"), t(s, d, "supplier"), "s_suppkey")
+          Seq("l_orderkey", "l_linenumber"), t(s, d, "supplier"), "s_suppkey",
+          hotKeyThreshold = 600L)
         .groupBy("s_name")
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"), count(lit(1)).as("n"))

@@ -68,9 +68,13 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(0) == sh(3))
     assert(java.lang.Long.bitCount(sh(0) ^ sh(1)) < 16)
     assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) > 16)
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 7, blocks = 8)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 3L)))
+    // default 16-bit blocking recalls exact dups too (dist 0 <= 3)
+    val p16 = Dedup.simhashPairs(docs, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(p16.contains((0L, 3L)))
   }
 
   test("ngramJaccardPairs computes exact jaccard") {
