@@ -39,14 +39,30 @@ object CutOut {
 
   /** The reference's whole `gen_cut_out_dataset` (data_pipeline.py:
     * 67-84) in one call: calibrate, filter to the area box, export per
-    * frame, return the per-frame point-count stats row. */
+    * frame, return the per-frame point-count stats row.
+    *
+    * `format`: "parquet" (columnar, partitioned by frame — the engine-
+    * native layout) or "bin" (raw KITTI float32 quads, one NNNNNN.bin
+    * per frame exactly like the reference's `pocl.tofile` — for
+    * round-tripping cut-outs into existing KITTI tooling). Point order
+    * inside a .bin follows the reader's `pt_idx` when present. */
   def genCutOutDataset(points: DataFrame, calib: DataFrame,
                        min: (Double, Double, Double), max: (Double, Double, Double),
-                       path: String): DataFrame = {
+                       path: String, format: String = "parquet"): DataFrame = {
+    val hasIdx = points.columns.contains("pt_idx")
+    val keepCols =
+      if (hasIdx) Seq("frame_id", "pt_idx", "x", "y", "z", "intensity")
+      else Seq("frame_id", "x", "y", "z", "intensity")
     val calibrated = Analysis.calibratePoints(points.join(calib, "frame_id"))
     val kept = cutOut(calibrated, min, max)
-      .select("frame_id", "x", "y", "z", "intensity")
-    writeFrames(kept, path)
+      .select(keepCols.head, keepCols.tail: _*)
+    format match {
+      case "parquet" => writeFrames(kept, path)
+      case "bin" => graft.sources.KittiSources.writePointClouds(
+        kept, path, if (hasIdx) Some("pt_idx") else None)
+      case other => throw new IllegalArgumentException(
+        s"unknown cut-out format '$other' (parquet|bin)")
+    }
     pointStats(kept)
   }
 }

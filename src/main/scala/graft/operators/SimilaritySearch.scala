@@ -15,9 +15,9 @@ import graft.ql.spread
   *   when |Q| is small even at 100 TB.
   * - `lshTopK`: random-hyperplane bucket join — candidates shrink to
   *   same-bucket rows; shuffle keyed by uniform bucket ids.
-  * - `ivfTopK`: IVF-style — build centroids (here: per-label mean as a
-  *   stand-in for k-means cells), assign each query to its nearest
-  *   centroid, probe only that cell.
+  * - `ivfKmeansTopK`: real IVF — trained spherical k-means quantizer
+  *   (KMeans.fit), nProbe-cell probing.
+  * - `ivfTopK`: IVF shape over a pre-existing partition column.
   */
 object SimilaritySearch {
 
@@ -66,9 +66,51 @@ object SimilaritySearch {
       .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
   }
 
-  /** IVF-style ANN with per-cell centroids. `cellCol` plays the role
-    * of a coarse quantizer cell assignment (k-means in a real index;
-    * any partition id works structurally). */
+  /** IVF ANN with a TRAINED coarse quantizer: spherical k-means cells
+    * (`KMeans.fit`), candidates assigned once to their nearest
+    * centroid, each query probing its `nProbe` closest cells. The
+    * 100 TB shape: fit on a hash-sample, one broadcast-join assignment
+    * pass over the corpus, then every query touches ~nProbe/nCells of
+    * the data. Recall governed by nProbe (spec: planted clusters,
+    * recall vs the exact baseline). */
+  def ivfKmeansTopK(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nCells: Int = 16, iters: Int = 3, nProbe: Int = 2,
+                    sampleMod: Int = 1): DataFrame = {
+    val cent = broadcast(
+      KMeans.fit(candidates, idCol, vecCol, nCells, iters, sampleMod)
+        .withColumn("cnrm", VectorOps.fastNorm(col("cv"))))
+    val c = prep(candidates, idCol, vecCol, "c")
+    // one assignment pass; max_by carries the payload so the argmax is
+    // a single map-side-combining aggregation, no rejoin
+    val assigned = c.join(cent)
+      .withColumn("cc", VectorOps.cosinePre(col("c_v"), col("cv"), col("c_nrm"), col("cnrm")))
+      .groupBy("c_id").agg(max_by(
+        struct(col("cell"), col("c_v"), col("c_nrm")),
+        struct(col("cc"), -col("cell"))).as("a"))
+      .select(col("c_id"), col("a.cell").as("cell"),
+        col("a.c_v").as("c_v"), col("a.c_nrm").as("c_nrm"))
+    val q = prep(queries, idCol, vecCol, "q", doSpread = false)
+    val wq = Window.partitionBy("q_id").orderBy(desc("qc_cos"), asc("cell"))
+    val probes = q.join(cent)
+      .withColumn("qc_cos",
+        VectorOps.cosinePre(col("q_v"), col("cv"), col("q_nrm"), col("cnrm")))
+      .withColumn("qr", row_number().over(wq))
+      .filter(col("qr") <= nProbe)
+      .select("q_id", "q_v", "q_nrm", "cell")
+    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    probes.join(assigned, "cell")
+      .withColumn("cos", round(
+        VectorOps.cosinePre(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("cell"), col("c_id"), col("cos"), col("rk"))
+  }
+
+  /** IVF-style ANN with per-cell centroids from an EXISTING partition
+    * column. `cellCol` plays the role of a coarse quantizer cell
+    * assignment when the data is already clustered (e.g. a class
+    * label, a shard id); for a trained quantizer use ivfKmeansTopK. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
     val c = spread(candidates).select(col(idCol).as("c_id"),

@@ -25,6 +25,13 @@ object VectorQueries {
     },
 
     "s3_ivf_ann" -> { (s, d) =>
+      SimilaritySearch.ivfKmeansTopK(qs(s, d), emb(s, d), "vec_id", "embedding",
+          k = 3, nCells = 8, iters = 3, nProbe = 2)
+        .orderBy("q_id", "rk")
+    },
+
+    // the partition-column IVF shape stays covered (pre-clustered data)
+    "s4_ivf_label" -> { (s, d) =>
       SimilaritySearch.ivfTopK(qs(s, d), emb(s, d), "vec_id", "embedding", "label", 3)
         .orderBy("q_id", "rk")
     }

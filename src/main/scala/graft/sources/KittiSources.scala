@@ -19,7 +19,10 @@ object KittiSources {
 
   /** Point clouds from KITTI velodyne `.bin` files (float32 x,y,z,
     * intensity quads, little-endian — data_utils.py:11).
-    * One input row per file → flatMap to points. */
+    * One input row per file → flatMap to points. `pt_idx` is the
+    * point's position within its file: KITTI point order is meaningful
+    * (the reference keeps it through masking), and it makes the .bin
+    * re-export (`writePointClouds`) byte-round-trippable. */
   def pointClouds(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
@@ -30,11 +33,59 @@ object KittiSources {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
         val n = fb.capacity() / 4
         Iterator.tabulate(n) { i =>
-          (fid, fb.get(4 * i).toDouble, fb.get(4 * i + 1).toDouble,
+          (fid, i.toLong, fb.get(4 * i).toDouble, fb.get(4 * i + 1).toDouble,
             fb.get(4 * i + 2).toDouble, fb.get(4 * i + 3).toDouble)
         }
       }
-      .toDF("frame_id", "x", "y", "z", "intensity")
+      .toDF("frame_id", "pt_idx", "x", "y", "z", "intensity")
+  }
+
+  /** Raw KITTI `.bin` re-export — the reference's `pocl.tofile(...)`
+    * (data_pipeline.py:81): per frame, one `NNNNNN.bin` of
+    * little-endian float32 (x, y, z, intensity) quads, point order by
+    * `orderCol` (the reader's `pt_idx` round-trips byte-identically —
+    * KittiSourcesSpec). Distributed sink: rows are shuffled once so a
+    * frame's points land in one task, then streamed to the target
+    * FileSystem (local/HDFS/S3 via the Hadoop FS API) — no driver
+    * loop, no per-frame job. Frames with zero surviving points write
+    * no file (the reference writes an empty one — callers needing
+    * placeholder files can union the frame list). */
+  def writePointClouds(points: DataFrame, dir: String,
+                       orderCol: Option[String] = Some("pt_idx")): Unit = {
+    val sortCols = col("frame_id") +: orderCol.map(col).toSeq
+    points
+      .select((col("frame_id") +: orderCol.map(col).toSeq) ++
+        Seq(col("x"), col("y"), col("z"), col("intensity")): _*)
+      .repartition(col("frame_id"))
+      .sortWithinPartitions(sortCols: _*)
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val off = if (orderCol.isDefined) 1 else 0 // x starts after frame_id[, orderCol]
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val base = new org.apache.hadoop.fs.Path(dir)
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var cur = Long.MinValue
+        var out: java.io.DataOutputStream = null
+        val quad = java.nio.ByteBuffer.allocate(16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        try {
+          rows.foreach { r =>
+            val fid = r.getLong(0)
+            if (fid != cur) {
+              if (out != null) out.close()
+              if (fs == null) fs = base.getFileSystem(conf)
+              out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+                fs.create(new org.apache.hadoop.fs.Path(base, f"$fid%06d.bin"), true)))
+              cur = fid
+            }
+            quad.clear()
+            quad.putFloat(r.getDouble(off + 1).toFloat)
+            quad.putFloat(r.getDouble(off + 2).toFloat)
+            quad.putFloat(r.getDouble(off + 3).toFloat)
+            quad.putFloat(r.getDouble(off + 4).toFloat)
+            out.write(quad.array(), 0, 16)
+          }
+        } finally if (out != null) out.close()
+      }
   }
 
   /** Labels from KITTI `label_2` text files (data_utils.py:17): 15

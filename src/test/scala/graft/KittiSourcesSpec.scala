@@ -41,12 +41,42 @@ class KittiSourcesSpec extends SparkSpec {
     dir
   }
 
-  test("pointClouds parses float32 quads per frame") {
+  test("pointClouds parses float32 quads per frame, in file order") {
     val pts = KittiSources.pointClouds(spark, root.resolve("velodyne").toString)
     assert(pts.count() == 3)
-    val f0 = pts.filter(col("frame_id") === 0).orderBy("x")
-      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-    assert(f0.toSeq == Seq((1.0, 2.0, 3.0, 0.5f.toDouble), (4.0, 5.0, 6.0, 0.9f.toDouble)))
+    val f0 = pts.filter(col("frame_id") === 0).orderBy("pt_idx")
+      .select("pt_idx", "x", "y", "z", "intensity")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(f0.toSeq == Seq((0L, 1.0, 2.0, 3.0, 0.5f.toDouble), (1L, 4.0, 5.0, 6.0, 0.9f.toDouble)))
+  }
+
+  test("writePointClouds round-trips .bin files byte-identically") {
+    val in = root.resolve("velodyne").toString
+    val outDir = Files.createTempDirectory("kitti-out")
+    KittiSources.writePointClouds(KittiSources.pointClouds(spark, in), outDir.toString)
+    for (f <- Seq("000000.bin", "000001.bin")) {
+      val orig = Files.readAllBytes(root.resolve("velodyne").resolve(f))
+      val got = Files.readAllBytes(outDir.resolve(f))
+      assert(java.util.Arrays.equals(orig, got), s"$f bytes differ")
+    }
+    // and the re-read DataFrame is value-identical to the original read
+    val a = KittiSources.pointClouds(spark, in)
+    val b = KittiSources.pointClouds(spark, outDir.toString)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("genCutOutDataset format=bin writes KITTI-readable cut-outs") {
+    val pts = KittiSources.pointClouds(spark, root.resolve("velodyne").toString)
+    val cal = KittiSources.calibrations(spark, root.resolve("calib").toString)
+    val out = Files.createTempDirectory("kitti-cut").toString
+    val stats = CutOut.genCutOutDataset(pts, cal,
+      (-10.0, -10.0, -10.0), (10.0, 10.0, 10.0), out, format = "bin").head()
+    val reread = KittiSources.pointClouds(spark, out)
+    assert(reread.count() == stats.getAs[Long]("min_pts") + stats.getAs[Long]("max_pts"))
+    // calibrated frame-0 point (1,2,3)+T=(2,4,6) remapped → (2,6,-4)
+    val p = reread.filter(col("frame_id") === 0 && col("pt_idx") === 0).head()
+    assert(p.getAs[Double]("x") == 2.0 && p.getAs[Double]("y") == 6.0
+      && p.getAs[Double]("z") == -4.0)
   }
 
   test("labels parses 15-field rows with frame ids") {
