@@ -18,7 +18,15 @@ object Bench {
     // state; each query still pays its own plan/codegen cost.
     try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the catalog (the
+    // driver sets no filter and always times everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val catalog = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val results = catalog.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }

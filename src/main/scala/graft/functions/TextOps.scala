@@ -71,8 +71,18 @@ object TextOps {
   /** Distinct character k-shingles of a string (dedup primitive).
     * Texts shorter than k have no k-shingle → empty array (mirrors the
     * SQL-oracle formulation; callers that can't handle empty sets —
-    * e.g. MinHash — filter short texts out first). */
+    * e.g. MinHash — filter short texts out first). Native codegen'd
+    * expression (graft.plans.Shingles): one char-offset walk + hash-set
+    * dedup per row instead of an interpreted lambda per character —
+    * profiled as the dominant cost of the n-gram suite. Requires
+    * GraftExtensions (Verify/Bench/tests set it). */
   def shingles(c: Column, k: Int): Column =
+    call_function("graft_shingles", c, lit(k))
+
+  /** Portable higher-order-function form of `shingles` — identical
+    * result (ShinglesSpec asserts it); for sessions without
+    * GraftExtensions and as the native expression's oracle. */
+  def shinglesHof(c: Column, k: Int): Column =
     when(length(c) < k, array().cast("array<string>")).otherwise(
       array_distinct(transform(
         sequence(lit(1), length(c) - (k - 1)),

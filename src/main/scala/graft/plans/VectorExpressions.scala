@@ -122,5 +122,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val offset = if (children.length > 2) intLit(children(2), "bitOffset") else 0
         LshBucketSig(children.head, nBits, offset)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_shingles k must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles k must be a literal")
+        }
+        Shingles(children.head, k)
+      }))
   }
 }
