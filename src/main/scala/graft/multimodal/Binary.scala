@@ -32,26 +32,29 @@ object Binary {
       struct(lit(mime).as("mime"),
         octet_length(col(payloadCol)).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB decoder: a real implementation would decode the codec here
-    * (per-partition, reusing a decoder instance). The fake produces a
-    * deterministic 8-dim feature from the byte content so downstream
-    * plumbing (schema, batching, joins) is fully testable. */
-  private def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    // ??? — real codec goes here; deterministic fake below
-    val h = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-    Array.tabulate(8)(i => (((h >>> (i * 8)) & 0xFF).toInt / 255.0f))
+  /** Per-partition decoder lifecycle: open once, close on task
+    * completion (JNI/native decoders are expensive to construct). */
+  private def withDecoder(codec: MediaCodec): MediaCodec.Decoder = {
+    val dec = codec.open()
+    org.apache.spark.TaskContext.get() match {
+      case null => () // driver-local (tests): GC'd, close() is a no-op path
+      case tc => tc.addTaskCompletionListener[Unit](_ => dec.close())
+    }
+    dec
   }
 
   /** Batched feature extraction over the opaque column: one decoder
-    * pass per partition (mapPartitions, not per-row UDF). */
-  def extractFeatures(media: DataFrame): DataFrame = {
+    * instance per partition (mapPartitions, not per-row UDF), codec
+    * pluggable via `MediaCodec`. */
+  def extractFeatures(media: DataFrame,
+                      codec: MediaCodec = FakeHashCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val out = media.select(col("media_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // decoder init would happen once per partition here
-        it.map { case (id, bytes) => (id, fakeDecode(bytes)) }
+        val dec = withDecoder(codec)
+        it.map { case (id, bytes) => (id, dec.decode(bytes)) }
       }
       .toDF("media_id", "features")
     media.join(out, "media_id")
@@ -59,17 +62,22 @@ object Binary {
 
   /** Frame sampling: split the payload into `n` equal byte ranges
     * ("frames") and emit one row per sampled frame — the partitioning
-    * shape of video frame extraction. */
-  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    * shape of video frame extraction. A real video codec would seek
+    * keyframes instead of byte ranges; the row shape is identical. */
+  def sampleFrames(media: DataFrame, n: Int,
+                   codec: MediaCodec = FakeHashCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val span = math.max(1, bytes.length / n)
-        (0 until math.min(n, bytes.length)).iterator.map { i =>
-          val chunk = bytes.slice(i * span, math.min((i + 1) * span, bytes.length))
-          (id, i, fakeDecode(chunk))
+      .mapPartitions { it =>
+        val dec = withDecoder(codec)
+        it.flatMap { case (id, bytes) =>
+          val span = math.max(1, bytes.length / n)
+          (0 until math.min(n, bytes.length)).iterator.map { i =>
+            val chunk = bytes.slice(i * span, math.min((i + 1) * span, bytes.length))
+            (id, i, dec.decode(chunk))
+          }
         }
       }
       .toDF("media_id", "frame_no", "features")

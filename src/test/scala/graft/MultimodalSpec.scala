@@ -36,4 +36,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 2L).count() == 4)
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_no", "features"))
   }
+
+  test("custom MediaCodec plugs into the same pipeline") {
+    // a 2-dim "codec": [byte count, ascii sum] — stands in for any real
+    // decoder behind the MediaCodec seam
+    object ByteStatsCodec extends graft.multimodal.MediaCodec {
+      override def name = "byte-stats"
+      override def dim = 2
+      override def open(): graft.multimodal.MediaCodec.Decoder =
+        (bytes: Array[Byte]) => Array(bytes.length.toFloat, bytes.map(_.toInt).sum.toFloat)
+    }
+    val f = Binary.extractFeatures(media, ByteStatsCodec)
+      .orderBy("media_id").select("features").as[Array[Float]].collect()
+    assert(f.map(_.length).toSeq == Seq(2, 2))
+    assert(f(0)(0) == 11.0f) // "hello world".length
+  }
 }
