@@ -110,6 +110,18 @@ object TextQueries {
         |FROM documents WHERE doc_id % 7 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // DuckDB list_reduce's first-element seed equals Spark's 0-seeded
+    // fold here: acc1 = (0*31 + c1) % p = c1 either way. Guard: empty
+    // text folds over Spark's descending sequence(1,0) of ascii('')=0
+    // to 0 — mirrored by the CASE (corpus has none; belt+braces).
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        | CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+        |   list_transform(range(1, length(text)+1),
+        |     i -> ascii(substr(text, CAST(i AS INT), 1))::BIGINT),
+        |   (a, b) -> (a * 31 + b) % 1000000007) END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t3_token_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
