@@ -220,6 +220,55 @@ object Relational {
         .orderBy("s_name")
     },
 
+    // TPC-H Q13 shape: filtered LEFT OUTER join + two-level aggregation
+    // (per-customer order count -> count histogram)
+    "q13_customer_distribution" -> { (s, d) =>
+      val ord = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      t(s, d, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count")) // count(col): non-null only
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q18 shape: HAVING-filtered aggregate joined back to the
+    // fact's parent (orders with > 250 total quantity)
+    "q18_large_orders" -> { (s, d) =>
+      val big = t(s, d, "lineitem").groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      t(s, d, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+    },
+
+    // statistical aggregate surface: mean / sample stddev / Pearson
+    // correlation from exact decimal power sums (NOT stddev()/corr()
+    // builtins — their streaming algorithms differ between engines;
+    // the manual formula over order-independent decimal sums is
+    // bit-reproducible and oracle-mirrorable)
+    "q_stats_moments" -> { (s, d) =>
+      val q = dec(col("l_quantity")); val e = dec(col("l_extendedprice"))
+      val g = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("double").as("sx"),
+        sum((q * q).cast("decimal(38,6)")).cast("double").as("sxx"),
+        sum(e).cast("double").as("sy"),
+        sum((e * e).cast("decimal(38,6)")).cast("double").as("syy"),
+        sum((q * e).cast("decimal(38,6)")).cast("double").as("sxy"))
+      val nd = col("n").cast("double")
+      g.select(col("l_returnflag"), col("n"),
+          (col("sx") / nd).as("mean_qty"),
+          sqrt((nd * col("sxx") - col("sx") * col("sx")) / (nd * (nd - 1.0)))
+            .as("std_qty"),
+          ((nd * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+              sqrt(nd * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
     "q_asof_join" -> { (s, d) =>
       val events = graft.ql.events(s, d).select("event_id", "user_id", "ts")
       val daily = t(s, d, "orders")
@@ -237,6 +286,45 @@ object Relational {
     """CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
 
   val oracle: Map[String, String] = Map(
+    "q13_customer_distribution" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+        |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    // decimal -> double goes through VARCHAR: DuckDB's direct decimal
+    // cast double-rounds (int128 -> double, then /10^scale) and drifts
+    // 1 ulp from Spark's correctly-rounded BigDecimal.doubleValue on
+    // sums wider than 2^53; strtod on the exact digits is correctly
+    // rounded and matches Spark bit-for-bit (verified on syy)
+    "q_stats_moments" ->
+      """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | sx / CAST(n AS DOUBLE) AS mean_qty,
+        | sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty,
+        | (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |      * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
