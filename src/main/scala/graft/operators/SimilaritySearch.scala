@@ -72,7 +72,13 @@ object SimilaritySearch {
     * 100 TB shape: fit on a hash-sample, one broadcast-join assignment
     * pass over the corpus, then every query touches ~nProbe/nCells of
     * the data. Recall governed by nProbe (spec: planted clusters,
-    * recall vs the exact baseline). */
+    * recall vs the exact baseline).
+    *
+    * Plan note: the corpus × centroids scoring join is an intentional
+    * unconditioned broadcast join with a k-row build side — O(n·k)
+    * dot products IS the IVF assignment cost (every vector scores
+    * every centroid); it shows as BroadcastNestedLoopJoin but never
+    * broadcasts more than the k × dim model. */
   def ivfKmeansTopK(queries: DataFrame, candidates: DataFrame,
                     idCol: String, vecCol: String, k: Int,
                     nCells: Int = 16, iters: Int = 3, nProbe: Int = 2,

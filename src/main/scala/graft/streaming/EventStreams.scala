@@ -54,6 +54,29 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq(idCol))
 
+  /** Stream-static enrichment: a streaming fact joined to a static
+    * dimension. The dim is broadcast per micro-batch — stateless, the
+    * production shape for decorating events with reference data
+    * (static side re-read per batch picks up slowly-changing dims). */
+  def enrichStreaming(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), key)
+
+  /** Watermarked stream-stream interval join: right-side events within
+    * `withinMs` AFTER the left event, both sides' buffered state
+    * pruned by their watermarks (without the time-range condition the
+    * join state would grow unboundedly). Columns: left (key, ts, ...),
+    * right (key, rts, ...). */
+  def intervalJoinStreaming(left: DataFrame, right: DataFrame, key: String,
+                            withinMs: Long,
+                            watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withColumnRenamed(key, "__rkey").withWatermark("rts", watermark)
+    l.join(r, col(key) === col("__rkey") &&
+        col("rts") >= col("ts") &&
+        col("rts") <= col("ts") + expr(s"INTERVAL $withinMs MILLISECONDS"))
+      .drop("__rkey")
+  }
+
   // ---- streaming sessionization with explicit state ----
 
   case class Ev(user_id: Long, tsMicros: Long)

@@ -73,6 +73,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStreaming decorates a stream with a static dim per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.enrichStreaming(df, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(0), 1L), (ts(1), 2L), (ts(2), 3L)) // 3L: no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("user_id", "tier")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((1L, "gold"), (2L, "basic"))) // inner join drops 3L
+    } finally q.stop()
+  }
+
+  test("intervalJoinStreaming matches right events within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Timestamp, Long, String)]
+    val rMem = MemoryStream[(Timestamp, Long, String)]
+    val l = lMem.toDF().toDF("ts", "k", "l_tag")
+    val r = rMem.toDF().toDF("rts", "k", "r_tag")
+    val q = EventStreams.intervalJoinStreaming(l, r, "k", withinMs = 120000L,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      lMem.addData((ts(10), 1L, "imp"))
+      rMem.addData((ts(11), 1L, "click-in"),   // 1 min after: in window
+        (ts(20), 1L, "click-late"),            // 10 min after: out
+        (ts(11), 2L, "other-key"))             // wrong key
+      q.processAllAvailable()
+      val rows = spark.table("ivj").select("l_tag", "r_tag")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("imp", "click-in")))
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling agg agree on the same data") {
     val batch = Seq(
       (ts(0), "click", 1.0), (ts(10), "click", 2.0), (ts(61), "view", 5.0))
