@@ -20,5 +20,12 @@ class SqlInterfaceSpec extends SparkSpec {
         |                 CAST(a.embedding AS ARRAY<DOUBLE>)) AS d
         |FROM embeddings a WHERE a.vec_id = 0""".stripMargin).head().getDouble(0)
     assert(cos > 0.0)
+    // all four native expressions resolve from SQL text
+    val r2 = spark.sql(
+      """SELECT graft_lsh_bucket(CAST(embedding AS ARRAY<DOUBLE>), 8) AS b,
+        |       size(graft_minhash(graft_shingles('hello world text', 3), 16)) AS m
+        |FROM embeddings WHERE vec_id = 0""".stripMargin).head()
+    assert(r2.getLong(0) >= 0L && r2.getLong(0) < 256L)
+    assert(r2.getInt(1) == 16)
   }
 }
