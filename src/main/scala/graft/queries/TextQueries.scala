@@ -66,6 +66,26 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // vocabulary building: top-k character n-grams by document
+    // frequency (the shingle inventory an LLM tokenizer/dedup pass
+    // profiles first) — exact, deterministic tie-break on the gram
+    "t7_vocab_topk" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 5)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), asc("gram"))
+        .limit(20)
+    },
+
+    // corpus length profile: 100-char histogram buckets
+    "t8_length_histogram" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(floor(length(col("text")) / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("chars"))
+        .orderBy("bucket")
+    },
+
     // deterministic stratified sample: hash-free modulo stratum so the
     // sample is reproducible and oracle-checkable
     "t6_stratified_sample" -> { (s, d) =>
@@ -109,6 +129,18 @@ object TextQueries {
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
         |FROM documents WHERE doc_id % 7 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t7_vocab_topk" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
+        |  FROM documents CROSS JOIN generate_series(1, 50000) AS g(i)
+        |  WHERE i <= length(text) - 4)
+        |SELECT gram, COUNT(*) AS df FROM sh GROUP BY gram
+        |ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+
+    "t8_length_histogram" ->
+      """SELECT CAST(FLOOR(length(text)/100) AS BIGINT) AS bucket,
+        | COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // DuckDB list_reduce's first-element seed equals Spark's 0-seeded
     // fold here: acc1 = (0*31 + c1) % p = c1 either way. Guard: empty
