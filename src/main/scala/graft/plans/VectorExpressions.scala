@@ -40,17 +40,25 @@ case class VecDot(left: Expression, right: Expression)
 
   override def nullable: Boolean = true
 
-  /** Length mismatch → null, matching the HOF formulation (zip_with
-    * pads with null, which propagates through the sum) — a silently
-    * truncated dot would corrupt similarity rankings undetectably. */
+  /** Length mismatch OR any null element → null, matching the HOF
+    * formulation exactly (zip_with pads with null and a null product
+    * nulls the whole sum) — a silently truncated or garbage-slotted
+    * dot would corrupt similarity rankings undetectably. The null
+    * parity is also what makes the RewriteDotProduct optimizer rule a
+    * sound substitution on nullable-element arrays. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
     else {
       val n = x.numElements()
-      var s = 0.0
       var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+      var s = 0.0
+      i = 0
       while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
       s
     }
@@ -61,9 +69,16 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = $a.numElements();
-         |if ($b.numElements() != $n) {
+         |boolean $bad = ($b.numElements() != $n);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  }
+         |}
+         |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
@@ -84,6 +99,7 @@ case class VecDot(left: Expression, right: Expression)
   * with `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "graft_dot"),
