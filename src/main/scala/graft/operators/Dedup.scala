@@ -85,8 +85,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit signed vote of
-    * token hashes, map-side only. */
-  def simhash64(text: Column): Column = {
+    * token hashes, map-side only. Native codegen'd expression
+    * (graft.plans.SimHash64): each token hashed once, all 64 bits
+    * voting in one pass. Requires GraftExtensions (Verify/Bench/tests
+    * set it). */
+  def simhash64(text: Column): Column =
+    call_function("graft_simhash", split(trim(text), " +"))
+
+  /** Portable higher-order-function form of `simhash64` — identical
+    * result (SimHashExprSpec asserts it), but each of the 64 bit
+    * lambdas re-hashes every token (no cross-lambda CSE in Catalyst);
+    * keep for sessions without GraftExtensions and as the native
+    * expression's differential oracle. */
+  def simhash64Hof(text: Column): Column = {
     val th = transform(split(trim(text), " +"), t => xxhash64(t))
     val bits = (0 until 64).map { b =>
       val vote = aggregate(th, lit(0L),

@@ -154,5 +154,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         Shingles(children.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }
