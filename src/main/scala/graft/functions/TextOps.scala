@@ -61,8 +61,18 @@ object TextOps {
   }
 
   /** Rolling polynomial hash fingerprint (mod 1e9+7, base 31) — the
-    * document-fingerprinting primitive; order-sensitive by design. */
+    * document-fingerprinting primitive; order-sensitive by design.
+    * Native codegen'd expression (graft.plans.Fingerprint): one
+    * code-point walk per row instead of an interpreted lambda +
+    * substring + ascii per character. Requires GraftExtensions
+    * (Verify/Bench/tests set it). */
   def fingerprint(c: Column): Column =
+    call_function("graft_fingerprint", c)
+
+  /** Portable higher-order-function form of `fingerprint` — identical
+    * result (FingerprintSpec asserts it); for sessions without
+    * GraftExtensions and as the native expression's oracle. */
+  def fingerprintHof(c: Column): Column =
     aggregate(
       sequence(lit(1), length(c)),
       lit(0L),

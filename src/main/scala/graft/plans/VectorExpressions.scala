@@ -158,5 +158,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => Fingerprint(children.head)))
   }
 }
