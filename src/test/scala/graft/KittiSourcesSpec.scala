@@ -128,6 +128,14 @@ class KittiSourcesSpec extends SparkSpec {
     assert(stats.getAs[Long]("n_frames") == 1L)
   }
 
+  test("labelCornerExtents excludes DontCare and spans rotated corners") {
+    val lbl = KittiSources.labels(spark, root.resolve("label_2").toString)
+    val e = Analysis.labelCornerExtents(lbl).head()
+    // DontCare (-1000 locations) must not poison the extents
+    assert(e.getAs[Double]("min_cx") > -100.0)
+    assert(e.getAs[Double]("max_cx") > e.getAs[Double]("min_cx"))
+  }
+
   test("zNormalize subtracts per-frame percentile") {
     val pts = KittiSources.pointClouds(spark, root.resolve("velodyne").toString)
     val norm = Analysis.zNormalize(pts, "frame_id", "z", p = 0.0) // min
