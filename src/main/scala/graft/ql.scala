@@ -37,7 +37,12 @@ object ql {
     * per-row kernel. A few-MB parquet arrives as ONE partition, so
     * minhash/simhash/vector kernels would otherwise run on one core —
     * the round-trip shuffle of the (small) input is noise next to the
-    * kernel cost. No-op sizing: uses the session's shuffle partitions. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    * kernel cost. GUARDED: a source that already has that much
+    * parallelism (the 100 TB case — thousands of scan partitions) is
+    * returned untouched; unconditional repartition would inject a
+    * full-corpus shuffle exactly where it hurts most. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }
