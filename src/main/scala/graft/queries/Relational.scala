@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
-import graft.operators.{AsOfJoin, SkewJoin}
+import graft.operators.{AsOfJoin, RangeJoin, SkewJoin}
 
 /** Relational core — scan/filter/agg/join/window/top-k shapes (SURVEY §2.2).
   *
@@ -269,6 +269,21 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // bucket-chunked range join: lineitem prices into supplier-derived
+    // intervals — an equi-join on bucket ids, not a BNLJ (RangeJoin)
+    "q_range_join" -> { (s, d) =>
+      val intervals = t(s, d, "supplier").select(col("s_suppkey"),
+        (col("s_acctbal") * 10).as("lo"),
+        (col("s_acctbal") * 10 + 2000.0).as("hi"))
+      RangeJoin.pointInInterval(
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice"),
+          "l_extendedprice", intervals, "lo", "hi", bucketWidth = 2000.0)
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("price_sum"))
+        .orderBy("s_suppkey")
+    },
+
     "q_asof_join" -> { (s, d) =>
       val events = graft.ql.events(s, d).select("event_id", "user_id", "ts")
       val daily = t(s, d, "orders")
@@ -286,6 +301,15 @@ object Relational {
     """CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
 
   val oracle: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH iv AS (SELECT s_suppkey, s_acctbal*10 AS lo,
+        |    s_acctbal*10 + 2000.0 AS hi FROM supplier)
+        |SELECT s_suppkey, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+        |FROM lineitem JOIN iv
+        |  ON l_extendedprice >= lo AND l_extendedprice <= hi
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+
     "q13_customer_distribution" ->
       """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders
