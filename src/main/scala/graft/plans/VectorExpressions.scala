@@ -162,5 +162,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
       (children: Seq[Expression]) => Fingerprint(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv_distinct"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_kmv_distinct k must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_distinct k must be a literal")
+        }
+        KmvSketch(children.head, k).toAggregateExpression()
+      }))
   }
 }

@@ -37,6 +37,17 @@ object DedupQueries {
     "d5_embedding_neardup" -> { (s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
         .orderBy("a_id", "b_id")
+    },
+
+    // KMV distinct sketch vs exact: bounded-state cardinality per
+    // group (hash-family dependent -> rows-only; KmvSketchSpec pins
+    // the accuracy and partition-invariance contracts)
+    "d6_kmv_distinct" -> { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(call_function("graft_kmv_distinct", col("l_partkey"), lit(256))
+            .as("est_distinct"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+        .orderBy("l_returnflag")
     }
   )
 
