@@ -95,3 +95,52 @@ case class KmvSketch(child: Expression, k: Int,
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Same KMV state, but evaluating to the raw sketch (the ascending
+  * flipped-hash array) instead of the estimate — the mergeable form
+  * for set-operation estimates across groups/datasets
+  * (`SketchOps.kmvUnionEstimate` / `kmvJaccardEstimate`). */
+case class KmvSketchValues(child: Expression, k: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  require(k >= 8, s"KMV needs k >= 8, got $k")
+
+  private val base = KmvSketch(child, k)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    base.createAggregationBuffer()
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    base.update(buf, input)
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    base.merge(buf, other)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    base.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    base.deserialize(bytes)
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = "graft_kmv_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchValues =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchValues =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

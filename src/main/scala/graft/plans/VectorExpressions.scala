@@ -178,5 +178,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvSketch(children.head, k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchValues].getName, "graft_kmv_sketch"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_kmv_sketch k must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_kmv_sketch k must be a literal")
+        }
+        KmvSketchValues(children.head, k).toAggregateExpression()
+      }))
   }
 }

@@ -38,6 +38,24 @@ class KmvSketchSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("sketch set operations: union/intersection/jaccard estimates") {
+    import graft.functions.SketchOps
+    // A = [0, 30k), B = [20k, 50k): |A|=|B|=30k, |A∩B|=10k, |A∪B|=50k,
+    // true Jaccard = 0.2
+    val k = 512
+    val a = (0 until 30000).map(_.toLong).toDF("v")
+      .agg(SketchOps.kmvSketch($"v", k).as("s"))
+    val b = (20000 until 50000).map(_.toLong).toDF("v")
+      .agg(SketchOps.kmvSketch($"v", k).as("s"))
+    val row = a.crossJoin(b.withColumnRenamed("s", "t")).select(
+      SketchOps.kmvUnionEstimate($"s", $"t", k).as("u"),
+      SketchOps.kmvJaccardEstimate($"s", $"t", k).as("j"),
+      SketchOps.kmvIntersectEstimate($"s", $"t", k).as("i")).head()
+    assert(math.abs(row.getDouble(0) - 50000) / 50000 < 0.15, s"union ${row.getDouble(0)}")
+    assert(math.abs(row.getDouble(1) - 0.2) < 0.06, s"jaccard ${row.getDouble(1)}")
+    assert(math.abs(row.getDouble(2) - 10000) / 10000 < 0.35, s"inter ${row.getDouble(2)}")
+  }
+
   test("usable from SQL and groupBy") {
     (1 to 1000).map(i => (i % 4, i.toLong % 300)).toDF("g", "v")
       .createOrReplaceTempView("kmv_t")
