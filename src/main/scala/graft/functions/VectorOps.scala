@@ -43,6 +43,33 @@ object VectorOps {
   def lshBucket(v: Column, nBits: Int, bitOffset: Int = 0): Column =
     call_function("graft_lsh_bucket", v, lit(nBits), lit(bitOffset))
 
+  /** Multi-probe bucket list: the primary bucket plus `nProbes − 1`
+    * neighbors with the lowest-|margin| sign bits flipped — the bits
+    * most likely to differ for a true near neighbor (Lv et al., VLDB
+    * 2007). Margins are per-hyperplane dots, computed HOF-style: this
+    * runs on the (small) query side only; candidates keep the single
+    * native bucket. Probing multiplies recall without re-bucketing the
+    * corpus — the knob to turn when more tables are too expensive. */
+  def lshProbeBuckets(v: Column, nBits: Int, nProbes: Int,
+                      bitOffset: Int = 0): Column = {
+    require(nProbes >= 1 && nProbes <= nBits, s"nProbes in [1, $nBits], got $nProbes")
+    val margins = transform(sequence(lit(0), lit(nBits - 1)), i =>
+      aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, j) => x * when(xxhash64(i + bitOffset, j) % 2 === 0, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x))
+    val primary = lshBucket(v, nBits, bitOffset)
+    // bits ranked by |margin| ascending: cheapest to flip first
+    val ranked = array_sort(zip_with(margins, sequence(lit(0), lit(nBits - 1)),
+      (m, i) => struct(abs(m).as("a"), i.as("i"))))
+    val powers = array((0 until nBits).map(b => lit(1L << b)): _*)
+    array((0 until nProbes).map {
+      case 0 => primary
+      case p => primary.bitwiseXOR(
+        element_at(powers, element_at(ranked, p).getField("i") + 1))
+    }: _*)
+  }
+
   /** Portable higher-order-function form of `lshBucket` — same result
     * bit-for-bit (LshBucketSpec asserts it), interpreted per element:
     * keep for sessions without GraftExtensions and as the differential

@@ -50,14 +50,23 @@ object SimilaritySearch {
   }
 
   /** LSH-bucketed ANN: only candidates in the query's hyperplane
-    * bucket are scored. Recall depends on nBits vs data geometry. */
+    * bucket(s) are scored. Recall depends on nBits vs data geometry;
+    * `nProbes` > 1 additionally probes the buckets with the query's
+    * lowest-margin bits flipped (multi-probe LSH) — recall rises
+    * without re-bucketing the corpus. Candidates always carry ONE
+    * bucket; only the small query side fans out. */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
-              idCol: String, vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nBits: Int = 8,
+              nProbes: Int = 1): DataFrame = {
     val q = prep(queries, idCol, vecCol, "q", doSpread = false)
-      .withColumn("bucket", VectorOps.lshBucket(col("q_v"), nBits))
+      .withColumn("bucket",
+        explode(VectorOps.lshProbeBuckets(col("q_v"), nBits, nProbes)))
     val c = prep(candidates, idCol, vecCol, "c")
       .withColumn("bucket", VectorOps.lshBucket(col("c_v"), nBits))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+    // no dedup needed: the probe buckets of one query are pairwise
+    // distinct (each flips a different bit) and a candidate carries
+    // exactly one bucket, so a (query, candidate) pair matches once
     q.join(c, "bucket")
       .withColumn("cos", round(
         VectorOps.cosinePre(col("q_v"), col("c_v"), col("q_nrm"), col("c_nrm")), 6))

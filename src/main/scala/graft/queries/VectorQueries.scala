@@ -30,6 +30,14 @@ object VectorQueries {
         .orderBy("q_id", "rk")
     },
 
+    // multi-probe LSH: same corpus bucketing as s2, recall raised by
+    // probing the query's 3 lowest-margin neighbor buckets
+    "s5_lsh_multiprobe" -> { (s, d) =>
+      SimilaritySearch.lshTopK(qs(s, d), emb(s, d), "vec_id", "embedding", 3,
+          nBits = 8, nProbes = 4)
+        .orderBy("q_id", "rk")
+    },
+
     // the partition-column IVF shape stays covered (pre-clustered data)
     "s4_ivf_label" -> { (s, d) =>
       SimilaritySearch.ivfTopK(qs(s, d), emb(s, d), "vec_id", "embedding", "label", 3)

@@ -38,6 +38,34 @@ class LshBucketSpec extends SparkSpec {
     assert(n > 0, "offset tables produced identical buckets for all rows")
   }
 
+  test("multi-probe raises candidate coverage; probes are distinct and include the primary") {
+    val rnd = new Random(61)
+    val dim = 24
+    val corpus = (1 to 600).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").cache()
+    val queries = corpus.filter(col("vec_id") <= 8)
+    // probe arrays: primary first, all pairwise distinct
+    val probes = queries.select(
+        graft.functions.VectorOps.lshBucket(
+          graft.functions.VectorOps.toDouble(col("embedding")), 8).as("primary"),
+        graft.functions.VectorOps.lshProbeBuckets(
+          graft.functions.VectorOps.toDouble(col("embedding")), 8, 4).as("ps"))
+      .collect()
+    probes.foreach { r =>
+      val ps = r.getSeq[Long](1)
+      assert(ps.head == r.getLong(0) && ps.distinct.size == ps.size)
+    }
+    import graft.operators.SimilaritySearch
+    val single = SimilaritySearch.lshTopK(queries, corpus, "vec_id", "embedding",
+      k = 10, nBits = 8, nProbes = 1).count()
+    val multi = SimilaritySearch.lshTopK(queries, corpus, "vec_id", "embedding",
+      k = 10, nBits = 8, nProbes = 4).count()
+    assert(multi >= single, s"multi-probe returned fewer rows: $multi < $single")
+    // on random gaussians with 256 buckets, 4x probes must find more
+    assert(multi > single, s"probing added nothing ($single rows)")
+    corpus.unpersist()
+  }
+
   test("null element and empty vector match HOF (bucket 0)") {
     val df = Seq(
       (1L, Array[java.lang.Double](1.0, null, 2.0)),
