@@ -117,6 +117,20 @@ object Kitti {
         .orderBy("p_partkey", "edge_id")
     },
 
+    // z-order spatial clustering key over the cut-out coordinate
+    // space — the layout that makes 3D box filters prune files at
+    // scale; exact integer oracle
+    "k7_zorder_cluster" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Geometry.zorderKey(Seq(
+            (col("l_quantity"), 0.0, 50.0),
+            (col("l_discount") * 100, 0.0, 10.0),
+            (col("l_tax") * 100, 0.0, 8.0)), bits = 8).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    },
+
     // apply_calibration chain: fixed 3x4 transform + axis remap
     "k5_calib_transform" -> { (s, d) =>
       val m = Seq(1.0, 0.02, 0.0, 0.3, 0.0, 0.9, 0.1, -0.2, 0.05, 0.0, 1.1, 0.6)
@@ -139,7 +153,21 @@ object Kitti {
     """c(ci, sx, sy, sz) AS (VALUES (0,-0.5,0.0,-0.5),(1,0.5,0.0,-0.5),(2,0.5,0.0,0.5),(3,-0.5,0.0,0.5),
       |    (4,-0.5,-1.0,-0.5),(5,0.5,-1.0,-0.5),(6,0.5,-1.0,0.5),(7,-0.5,-1.0,0.5))""".stripMargin
 
+  private val zorderSql: String = {
+    def q(c: String, lo: Double, hi: Double) =
+      s"LEAST(255, GREATEST(0, CAST(FLOOR(($c - $lo)/${hi - lo} * 256) AS BIGINT)))"
+    val terms = (for { i <- 0 until 8; j <- 0 until 3 } yield
+      s"(((q$j >> $i) & 1) * ${1L << (i * 3 + j)})").mkString(" + ")
+    s"""WITH qd AS (SELECT l_orderkey, l_linenumber,
+       |    ${q("l_quantity", 0.0, 50.0)} AS q0,
+       |    ${q("l_discount*100", 0.0, 10.0)} AS q1,
+       |    ${q("l_tax*100", 0.0, 8.0)} AS q2 FROM lineitem)
+       |SELECT l_orderkey, l_linenumber, $terms AS zkey
+       |FROM qd ORDER BY zkey, l_orderkey, l_linenumber LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "k7_zorder_cluster" -> zorderSql,
     "k4_area_derivation" ->
       s"""WITH p AS ($partGeom),
         | $cornerOffsets,
