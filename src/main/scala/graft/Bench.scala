@@ -31,7 +31,13 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       // failed queries report -1 so breakage is visible, not a fast time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // release leftover blocks (localCheckpoints inside operators are
+      // otherwise only freed by the ContextCleaner after GC) so earlier
+      // queries don't tax later ones — measurement hygiene, VERDICT r2
+      // item 4; done outside the timed span.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -51,4 +51,44 @@ class KMeansIvfSpec extends SparkSpec {
       "vec_id", "embedding", k = 5, nCells = 6, iters = 3, nProbe = 2, sampleMod = 3)
     assert(ivf.count() == 5)
   }
+
+  test("fitLocal is deterministic, shares fit's init rule, and recalls planted clusters") {
+    val f1 = KMeans.fitLocal(clustered, "vec_id", "embedding", k = 6, iters = 4)
+      .orderBy("cell").as[(Long, Seq[Double])].collect()
+    val f2 = KMeans.fitLocal(clustered, "vec_id", "embedding", k = 6, iters = 4)
+      .orderBy("cell").as[(Long, Seq[Double])].collect()
+    assert(f1.toSeq == f2.toSeq, "local refit must be bit-identical")
+    // iters = 0 exposes the raw init: must equal the distributed fit's
+    // seeded draw (smallest (xxhash64(id), id) vectors)
+    val initLocal = KMeans.fitLocal(clustered, "vec_id", "embedding", k = 6, iters = 0)
+      .orderBy("cell").as[(Long, Seq[Double])].collect().toSeq
+    val initDist = KMeans.fit(clustered, "vec_id", "embedding", k = 6, iters = 0)
+      .orderBy("cell").as[(Long, Seq[Double])].collect().toSeq
+    assert(initLocal == initDist, "fitLocal and fit must share the init rule")
+    // and the trained quantizer drives the same recall contract
+    val queries = clustered.filter($"vec_id" % 60 === 0)
+    val exact = SimilaritySearch.bruteForceTopK(queries, clustered,
+        "vec_id", "embedding", 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilaritySearch.ivfKmeansTopK(queries, clustered,
+        "vec_id", "embedding", k = 10, nCells = 6, nProbe = 2,
+        quantizer = Some(KMeans.fitLocal(clustered, "vec_id", "embedding", k = 6, iters = 4)))
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"fitLocal recall $recall")
+  }
+
+  test("fit/apply split: pre-trained quantizer reproduces the inline fit") {
+    val queries = clustered.filter($"vec_id" % 60 === 0)
+    val trained = KMeans.fit(clustered, "vec_id", "embedding", k = 6, iters = 4)
+    val applied = SimilaritySearch.ivfKmeansTopK(queries, clustered,
+        "vec_id", "embedding", k = 10, nCells = 6, iters = 4, nProbe = 2,
+        quantizer = Some(trained))
+      .orderBy("q_id", "rk").collect().toSeq
+    val inline = SimilaritySearch.ivfKmeansTopK(queries, clustered,
+        "vec_id", "embedding", k = 10, nCells = 6, iters = 4, nProbe = 2)
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(applied == inline,
+      "passing the fitted quantizer must be equivalent to fitting inline")
+  }
 }
