@@ -40,10 +40,13 @@ object Dedup {
     * elementwise-min accumulator: the per-lane formulation
     * (numHashes × array_min(transform(...))) re-inlines the shingle
     * expression into every lane — Catalyst does not CSE across array
-    * lambdas; measured 128× slower. */
+    * lambdas; measured 128× slower. Built on `shinglesHof` (not the
+    * native `shingles`) so the whole column works in a plain session —
+    * a fallback that itself needed the extension would be no fallback
+    * (HofFallbackSpec asserts no graft_* call in the tree). */
   def minhashSignatureHof(text: Column, k: Int, numHashes: Int): Column = {
     val p = 1000000007L // keep h1 + i*h2 far from long overflow (ANSI mode)
-    val hs = transform(TextOps.shingles(text, k),
+    val hs = transform(TextOps.shinglesHof(text, k),
       s => struct(pmod(hash(s).cast("long"), lit(p)).as("h1"),
         pmod(hash(s, s).cast("long"), lit(p)).as("h2")))
     aggregate(hs,

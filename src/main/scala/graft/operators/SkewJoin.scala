@@ -34,7 +34,11 @@ object SkewJoin {
 
   /** The dim side with its conditional salt: `salts` replicas for hot
     * keys, exactly one row (salt 0) for cold keys. Public so the
-    * no-cold-replication property is assertable (SkewJoinSpec). */
+    * no-cold-replication property is assertable (SkewJoinSpec).
+    * `hotKeys` must be a 1-column frame named `__hot_key` with
+    * DISTINCT values (the shape `detectHotKeys` produces and
+    * `saltedJoin` normalizes to); duplicates here would duplicate
+    * join results. */
   def saltedDim(right: DataFrame, rightKey: String, salts: Int,
                 hotKeys: DataFrame): DataFrame =
     right.join(broadcast(hotKeys), right(rightKey) === col("__hot_key"), "left")
@@ -47,19 +51,28 @@ object SkewJoin {
     * so the salt is deterministic — keeps results reproducible and
     * oracle-comparable, unlike rand()-based salting.
     *
-    * Hot keys: pass `hotKeys` (a 1-column DataFrame of key values —
-    * e.g. from `detectHotKeys`, or a literal list known from data
-    * profiling), or `hotKeyThreshold` > 0 to detect them from `left`.
-    * With neither, EVERY key is salted — the pre-r2 behavior, kept for
-    * when the skew profile is unknown and the dim is small enough to
-    * pay `salts`× replication. */
+    * Hot keys: pass `hotKeys` — any single-column DataFrame of key
+    * values (from `detectHotKeys`, or a literal list known from data
+    * profiling); its one column is taken whatever its name, and the
+    * values are de-duplicated here, because a duplicated hot-key row
+    * would otherwise silently duplicate every matching result row
+    * through the two salt lookups. Alternatively `hotKeyThreshold` > 0
+    * detects hot keys from `left`. With neither, EVERY key is salted —
+    * the pre-r2 behavior, kept for when the skew profile is unknown
+    * and the dim is small enough to pay `salts`× replication. */
   def saltedJoin(left: DataFrame, leftKey: String, uniqueCols: Seq[String],
                  right: DataFrame, rightKey: String,
                  salts: Int = 8,
                  hotKeys: Option[DataFrame] = None,
                  hotKeyThreshold: Long = 0L): DataFrame = {
     val factSalt = pmod(xxhash64(uniqueCols.map(col): _*), lit(salts.toLong))
-    val hot = hotKeys.orElse(
+    val hot = hotKeys.map { hk =>
+      require(hk.columns.length == 1,
+        s"hotKeys must be a single-column frame of key values, got ${hk.columns.mkString(", ")}")
+      // normalize + distinct: the hot set is tiny by contract, so the
+      // extra aggregation is noise next to silently-wrong duplicates
+      hk.select(col(hk.columns.head).as("__hot_key")).distinct()
+    }.orElse(
       if (hotKeyThreshold > 0L) Some(detectHotKeys(left, leftKey, hotKeyThreshold))
       else None)
     val (l, r) = hot match {

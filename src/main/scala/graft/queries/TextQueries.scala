@@ -130,10 +130,13 @@ object TextQueries {
         |FROM documents WHERE doc_id % 7 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // per-row unnest(range(...)) enumerates positions from each row's
+    // own length — no fixed series bound a longer document could
+    // silently overflow on the oracle side only
     "t7_vocab_topk" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS gram
-        |  FROM documents CROSS JOIN generate_series(1, 50000) AS g(i)
-        |  WHERE i <= length(text) - 4)
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+        |        FROM documents))
         |SELECT gram, COUNT(*) AS df FROM sh GROUP BY gram
         |ORDER BY df DESC, gram LIMIT 20""".stripMargin,
 

@@ -44,6 +44,12 @@ def main(sf_dir, out_dir):
         diffs = []
         for c in got.columns:
             g, w = got[c], want[c]
+            # dtype drift (e.g. Spark bigint vs oracle double) must fail
+            # even when the values compare numerically equal — the
+            # driver's hash is over typed bytes
+            if g.dtype != w.dtype:
+                diffs.append(f"{c}: dtype {g.dtype} != {w.dtype}")
+                continue
             if g.dtype.kind == 'f' and w.dtype.kind == 'f':
                 gb = g.to_numpy(dtype='f8').view('i8')
                 wb = w.to_numpy(dtype='f8').view('i8')
