@@ -36,6 +36,58 @@ class ReferencePipelineSpec extends SparkSpec {
     dir
   }
 
+  /** Exact-parity fixture: 2 frames, identity calibration (velo =
+    * camera coords), axis-aligned labels, one DontCare. Expected
+    * numbers hand-derived from data_pipeline.py's formulas and
+    * cross-checked against the reference implementation run on the
+    * same files:
+    *
+    *   frame 0: points (1,-2,3), (5,-6,7) → remapped (x, z, -y) =
+    *     (1,3,2), (5,7,6); z_scale = 2 + 0.05·(6−2) = 2.2.
+    *     Car dims (h,w,l) = (2,1,4), loc (10,1,20), ry = 0 → remapped
+    *     corners x∈[8,12], y∈[19.5,20.5], z∈{−1,1}−2.2 = [−3.2,−1.2].
+    *   frame 1: points (0,0,10), (4,-8,30) → (0,10,0), (4,30,8);
+    *     z_scale = 0.4. Pedestrian dims (1,1,1), loc (−2,0,8) →
+    *     corners x∈[−2.5,−1.5], y∈[7.5,8.5], z∈{0,1}−0.4 = [−0.4,0.6].
+    *
+    *   min_point (0,3,−0.4), max_point (5,30,7.6);
+    *   min_obj_corner (−2.5,7.5,−3.2), max_obj_corner (12,20.5,0.6);
+    *   loc extents remapped (x, z−z_scale, +y): min (−2,7.6,0),
+    *   max (10,17.8,1); max_dim (l,w,h) = (4,1,2).
+    *   ⇒ minimal area (0,7.5,−0.4) → (5,18.8,0.6)
+    *     maximal area (0,6.6,−0.4) → (5,20.5,3.0)   (2 dp) */
+  private lazy val parityRoot: Path = {
+    val dir = Files.createTempDirectory("kitti-parity")
+    val velo = Files.createDirectories(dir.resolve("velodyne"))
+    val lbl = Files.createDirectories(dir.resolve("label_2"))
+    val cal = Files.createDirectories(dir.resolve("calib"))
+    writeBin(velo.resolve("000000.bin"),
+      Seq((1f, -2f, 3f, 0.5f), (5f, -6f, 7f, 0.5f)))
+    writeBin(velo.resolve("000001.bin"),
+      Seq((0f, 0f, 10f, 0.5f), (4f, -8f, 30f, 0.5f)))
+    Files.writeString(lbl.resolve("000000.txt"),
+      "Car 0.0 0 0.0 0 0 0 0 2.0 1.0 4.0 10.0 1.0 20.0 0.0\n" +
+        "DontCare -1 -1 -10 0 0 0 0 9 9 9 100 100 100 0\n")
+    Files.writeString(lbl.resolve("000001.txt"),
+      "Pedestrian 0.0 0 0.0 0 0 0 0 1.0 1.0 1.0 -2.0 0.0 8.0 0.0\n")
+    val calTxt = "P2: 1 0 0 0 0 1 0 0 0 0 1 0\nR0_rect: 1 0 0 0 1 0 0 0 1\n" +
+      "Tr_velo_to_cam: 1 0 0 0 0 1 0 0 0 0 1 0\n"
+    Files.writeString(cal.resolve("000000.txt"), calTxt)
+    Files.writeString(cal.resolve("000001.txt"), calTxt)
+    dir
+  }
+
+  test("referenceAnalysis matches get_analysis bit-for-bit on the parity fixture") {
+    val pts = KittiSources.pointClouds(spark, parityRoot.resolve("velodyne").toString)
+    val lbl = KittiSources.labels(spark, parityRoot.resolve("label_2").toString)
+    val cal = KittiSources.calibrations(spark, parityRoot.resolve("calib").toString)
+    val b = Analysis.referenceAnalysis(pts, lbl, cal)
+    assert(b.minimal._1 == Seq(0.0, 7.5, -0.4), s"minimal lo ${b.minimal._1}")
+    assert(b.minimal._2 == Seq(5.0, 18.8, 0.6), s"minimal hi ${b.minimal._2}")
+    assert(b.maximal._1 == Seq(0.0, 6.6, -0.4), s"maximal lo ${b.maximal._1}")
+    assert(b.maximal._2 == Seq(5.0, 20.5, 3.0), s"maximal hi ${b.maximal._2}")
+  }
+
   test("referenceAnalysis derives minimal/maximal areas like get_analysis") {
     val pts = KittiSources.pointClouds(spark, root.resolve("velodyne").toString)
     val lbl = KittiSources.labels(spark, root.resolve("label_2").toString)
