@@ -39,6 +39,23 @@ object Geometry {
         element_at(m, 3 * r + 3) * z
     }
 
+  /** P2 image-plane projection (the projection matrix the reference
+    * parses at data_utils.py:53): pixel (u, v) of a RECTIFIED
+    * camera-frame point — [u·w, v·w, w] = P2_3x4 · (x, y, z, 1),
+    * divide by the depth w. Returns (u, v, depth); points behind the
+    * image plane (depth ≤ 0) project to garbage — filter with
+    * `inImage`, which requires depth > 0. */
+  def projectToImage(p2: Column, x: Column, y: Column, z: Column): Seq[Column] = {
+    val Seq(uh, vh, w) = transform3x4Col(p2, x, y, z)
+    Seq(uh / w, vh / w, w)
+  }
+
+  /** Visibility predicate for `projectToImage` output: inside a
+    * width × height image and in front of the camera. */
+  def inImage(u: Column, v: Column, depth: Column,
+              width: Double, height: Double): Column =
+    depth > 0 && u >= 0 && u < width && v >= 0 && v < height
+
   /** The reference's fixed X-axis rotation / axis remap
     * (data_utils.py:95): camera coords → (x=length, y=width, z=up):
     * (x,y,z) → (x, z, -y). The `+ 0.0` normalizes IEEE `-0.0` (unary

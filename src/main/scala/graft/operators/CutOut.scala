@@ -18,12 +18,25 @@ object CutOut {
     points.filter(Geometry.inBox(col("x"), col("y"), col("z"), min, max))
 
   /** Per-frame counts + global min/avg/max point numbers
-    * (data_pipeline.py:82-84). One row. */
-  def pointStats(points: DataFrame, frameCol: String = "frame_id"): DataFrame =
-    points.groupBy(frameCol).agg(count(lit(1)).as("n"))
+    * (data_pipeline.py:82-84). One row. `frames` (the pre-filter frame
+    * list) makes all-filtered frames count as 0 — the reference
+    * appends `pocl.shape[0]` for every input file, zeros included, so
+    * its min/avg see empty frames. */
+  def pointStats(points: DataFrame, frameCol: String = "frame_id",
+                 frames: Option[DataFrame] = None): DataFrame = {
+    val counts = points.groupBy(frameCol).agg(count(lit(1)).as("n"))
+    val perFrame = frames match {
+      case Some(f) =>
+        f.select(col(f.columns.head).as(frameCol)).distinct()
+          .join(counts, Seq(frameCol), "left")
+          .select(coalesce(col("n"), lit(0L)).as("n"))
+      case None => counts.select("n")
+    }
+    perFrame
       .agg(min(col("n")).as("min_pts"), max(col("n")).as("max_pts"),
         (sum(col("n")).cast("double") / count(lit(1))).as("avg_pts"),
         count(lit(1)).as("n_frames"))
+  }
 
   /** Frame-partitioned export (replaces the reference's per-file
     * `tofile` loop; data_pipeline.py:81). An empty input is written
@@ -56,13 +69,17 @@ object CutOut {
     val calibrated = Analysis.calibratePoints(points.join(calib, "frame_id"))
     val kept = cutOut(calibrated, min, max)
       .select(keepCols.head, keepCols.tail: _*)
+    // every INPUT frame produces an output file (empty when all its
+    // points are cut) and a stats row of 0, like the reference's
+    // per-file tofile + point_numbers loop (data_pipeline.py:70-84)
+    val allFrames = points.select("frame_id").distinct()
     format match {
       case "parquet" => writeFrames(kept, path)
       case "bin" => graft.sources.KittiSources.writePointClouds(
-        kept, path, if (hasIdx) Some("pt_idx") else None)
+        kept, path, if (hasIdx) Some("pt_idx") else None, frames = Some(allFrames))
       case other => throw new IllegalArgumentException(
         s"unknown cut-out format '$other' (parquet|bin)")
     }
-    pointStats(kept)
+    pointStats(kept, frames = Some(allFrames))
   }
 }

@@ -47,44 +47,87 @@ object KittiSources {
     * KittiSourcesSpec). Distributed sink: rows are shuffled once so a
     * frame's points land in one task, then streamed to the target
     * FileSystem (local/HDFS/S3 via the Hadoop FS API) — no driver
-    * loop, no per-frame job. Frames with zero surviving points write
-    * no file (the reference writes an empty one — callers needing
-    * placeholder files can union the frame list). */
+    * loop, no per-frame job.
+    *
+    * `frames` (a 1-column frame-id DataFrame, e.g. the pre-filter
+    * frame list) makes every listed frame produce a file even when all
+    * its points were filtered out — the reference writes an EMPTY .bin
+    * for such frames, and KITTI tooling that indexes by directory
+    * listing expects them. Without it, all-filtered frames write
+    * nothing.
+    *
+    * Task-commit protocol: each frame streams to an attempt-scoped
+    * dot-temp (`.NNNNNN.bin.<attempt>.tmp`) and is renamed onto its
+    * final name only after a clean close, so a failed or speculative
+    * task attempt can never leave a torn final file — the last
+    * finished attempt wins with identical bytes (the sort makes frame
+    * content deterministic). Stranded `.tmp`s from killed attempts are
+    * dot-prefixed and invisible to `*.bin` globs. */
   def writePointClouds(points: DataFrame, dir: String,
-                       orderCol: Option[String] = Some("pt_idx")): Unit = {
+                       orderCol: Option[String] = Some("pt_idx"),
+                       frames: Option[DataFrame] = None): Unit = {
     val sortCols = col("frame_id") +: orderCol.map(col).toSeq
-    points
+    val base = points
       .select((col("frame_id") +: orderCol.map(col).toSeq) ++
         Seq(col("x"), col("y"), col("z"), col("intensity")): _*)
+      .withColumn("__ph", lit(false))
+    // placeholders sort before real rows (nulls first) and write no
+    // bytes — they only force file creation for their frame
+    val withPh = frames match {
+      case Some(f) =>
+        val phCols = base.schema.fields.dropRight(1).map { fd =>
+          if (fd.name == "frame_id") col("frame_id")
+          else lit(null).cast(fd.dataType).as(fd.name)
+        }.toSeq
+        base.unionByName(
+          f.select(col(f.columns.head).cast("long").as("frame_id")).distinct()
+            .select(phCols :+ lit(true).as("__ph"): _*))
+      case None => base
+    }
+    withPh
       .repartition(col("frame_id"))
       .sortWithinPartitions(sortCols: _*)
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val off = if (orderCol.isDefined) 1 else 0 // x starts after frame_id[, orderCol]
         val conf = new org.apache.hadoop.conf.Configuration()
-        val base = new org.apache.hadoop.fs.Path(dir)
+        val baseDir = new org.apache.hadoop.fs.Path(dir)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var fs: org.apache.hadoop.fs.FileSystem = null
         var cur = Long.MinValue
         var out: java.io.DataOutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
         val quad = java.nio.ByteBuffer.allocate(16)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def commitFrame(): Unit = if (out != null) {
+          out.close(); out = null
+          val dst = new org.apache.hadoop.fs.Path(baseDir, f"$cur%06d.bin")
+          if (fs.exists(dst)) fs.delete(dst, false)
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"commit rename failed: $tmp -> $dst")
+        }
         try {
           rows.foreach { r =>
             val fid = r.getLong(0)
             if (fid != cur) {
-              if (out != null) out.close()
-              if (fs == null) fs = base.getFileSystem(conf)
+              commitFrame()
+              if (fs == null) fs = baseDir.getFileSystem(conf)
+              tmp = new org.apache.hadoop.fs.Path(baseDir, f".$fid%06d.bin.$attempt.tmp")
               out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-                fs.create(new org.apache.hadoop.fs.Path(base, f"$fid%06d.bin"), true)))
+                fs.create(tmp, true)))
               cur = fid
             }
-            quad.clear()
-            quad.putFloat(r.getDouble(off + 1).toFloat)
-            quad.putFloat(r.getDouble(off + 2).toFloat)
-            quad.putFloat(r.getDouble(off + 3).toFloat)
-            quad.putFloat(r.getDouble(off + 4).toFloat)
-            out.write(quad.array(), 0, 16)
+            if (!r.getBoolean(r.size - 1)) { // skip placeholder rows
+              quad.clear()
+              quad.putFloat(r.getDouble(off + 1).toFloat)
+              quad.putFloat(r.getDouble(off + 2).toFloat)
+              quad.putFloat(r.getDouble(off + 3).toFloat)
+              quad.putFloat(r.getDouble(off + 4).toFloat)
+              out.write(quad.array(), 0, 16)
+            }
           }
-        } finally if (out != null) out.close()
+          commitFrame() // normal completion: commit the last open frame
+        } finally if (out != null) out.close() // abnormal: leave only the .tmp
       }
   }
 

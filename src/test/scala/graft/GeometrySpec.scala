@@ -115,4 +115,21 @@ class GeometrySpec extends SparkSpec {
     // pruning work on box filters
     assert(dz < dr / 3, s"z-order adjacency $dz vs random $dr")
   }
+
+  test("projectToImage matches the NumPy-derived P2 fixture") {
+    // P2 = [[2,0,1,0],[0,2,1,0],[0,0,1,0]] (f=2, cx=cy=1);
+    // expected (u, v, depth) computed with numpy: P2 @ (x,y,z,1), /w
+    val p2 = Seq(2.0, 0, 1, 0, 0, 2, 1, 0, 0, 0, 1, 0)
+    val df = Seq((2.0, 4.0, 8.0), (0.0, 0.0, 4.0), (-1.0, 3.0, 2.0), (0.0, 0.0, -1.0))
+      .toDF("x", "y", "z")
+      .withColumn("p2", typedLit(p2))
+    val Seq(u, v, w) = Geometry.projectToImage($"p2", $"x", $"y", $"z")
+    val got = df.select(u.as("u"), v.as("v"), w.as("d"),
+        Geometry.inImage(u, v, w, 4.0, 3.0).as("vis"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got(0) == ((1.5, 2.0, 8.0, true)))
+    assert(got(1) == ((1.0, 1.0, 4.0, true)))
+    assert(got(2) == ((0.0, 4.0, 2.0, false))) // v = 4 ≥ height 3
+    assert(!got(3)._4, "behind the camera must not be visible")
+  }
 }

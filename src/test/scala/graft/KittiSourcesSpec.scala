@@ -65,6 +65,31 @@ class KittiSourcesSpec extends SparkSpec {
     assert(a.except(b).isEmpty && b.except(a).isEmpty)
   }
 
+  test("writePointClouds writes empty placeholder .bin for all-filtered frames") {
+    val pts = KittiSources.pointClouds(spark, root.resolve("velodyne").toString)
+    val cal = KittiSources.calibrations(spark, root.resolve("calib").toString)
+    val out = Files.createTempDirectory("kitti-empty")
+    // box keeps frame-0 points only: frame 1 (origin + T = (1,2,3),
+    // remapped (1,3,-2)) falls outside x > 1.5
+    val stats = CutOut.genCutOutDataset(pts, cal,
+      (1.5, 1.5, -10.0), (10.0, 10.0, 10.0), out.toString, format = "bin").head()
+    // the reference writes an EMPTY .bin for the cut-away frame and
+    // counts it as 0 in the stats (data_pipeline.py:80-84)
+    assert(Files.exists(out.resolve("000001.bin")), "placeholder file missing")
+    assert(Files.size(out.resolve("000001.bin")) == 0L)
+    assert(Files.size(out.resolve("000000.bin")) == 32L)
+    assert(stats.getAs[Long]("n_frames") == 2L)
+    assert(stats.getAs[Long]("min_pts") == 0L)
+    assert(stats.getAs[Long]("max_pts") == 2L)
+    assert(stats.getAs[Double]("avg_pts") == 1.0)
+    // commit protocol leaves no temp files behind
+    val leftovers = Files.list(out).iterator()
+    val tmps = Iterator.continually(leftovers)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.endsWith(".tmp")).toSeq
+    assert(tmps.isEmpty, s"stranded temp files: $tmps")
+  }
+
   test("genCutOutDataset format=bin writes KITTI-readable cut-outs") {
     val pts = KittiSources.pointClouds(spark, root.resolve("velodyne").toString)
     val cal = KittiSources.calibrations(spark, root.resolve("calib").toString)
