@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ql._
-import graft.operators.Dedup
+import graft.functions.VectorOps
+import graft.operators.{Components, Dedup}
 
 /** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). d2/d3 are
   * hash-family-dependent (xxhash64) so they get rows-only checks; d1
@@ -37,6 +38,20 @@ object DedupQueries {
     "d5_embedding_neardup" -> { (s, d) =>
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
         .orderBy("a_id", "b_id")
+    },
+
+    // cluster resolution: transitive closure of the d5 near-dup pairs —
+    // every vector labeled with its component's min id (the canonical
+    // keeper). Exact oracle via DuckDB recursive CTE.
+    "d7_dup_clusters" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+      val nodes = e.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+        .filter(VectorOps.fastNorm(col("v")) > 0)
+        .select("vec_id")
+      val pairs = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)
+      Components.connectedComponents(pairs, "a_id", "b_id", nodes = Some(nodes))
+        .select(col("node").as("vec_id"), col("comp").as("component"))
+        .orderBy("vec_id")
     },
 
     // KMV distinct sketch vs exact: bounded-state cardinality per
@@ -79,6 +94,25 @@ object DedupQueries {
         |  ROUND(list_dot_product(a.v, b.v)/(a.nrm*b.nrm), 6) AS cos
         |FROM nn a JOIN nn b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // transitive closure of the d5 pair graph: component = min
+    // reachable vec_id (recursive CTE; UNION dedups so it terminates)
+    "d7_dup_clusters" ->
+      """WITH RECURSIVE
+        | emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v FROM emb WHERE list_dot_product(v, v) > 0),
+        | pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |   FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+        |   WHERE list_dot_product(a.v, b.v) /
+        |     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        | edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+        |   UNION SELECT b_id, a_id FROM pairs),
+        | reach(node, r) AS (
+        |   SELECT vec_id, vec_id FROM nn
+        |   UNION
+        |   SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node)
+        |SELECT node AS vec_id, MIN(r) AS component FROM reach GROUP BY node
+        |ORDER BY vec_id""".stripMargin
   )
 }
