@@ -26,7 +26,11 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    val results = catalog.map { case (name, fn) =>
+    // deterministic name-sorted run order: Map iteration order is
+    // hash-arbitrary and changes as the catalog grows, which makes
+    // per-query times incomparable across rounds (a query's cost
+    // depends on which queries warmed the JVM before it)
+    val results = catalog.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
@@ -35,13 +39,21 @@ object Bench {
       // release leftover blocks (localCheckpoints inside operators are
       // otherwise only freed by the ContextCleaner after GC) so earlier
       // queries don't tax later ones — measurement hygiene, VERDICT r2
-      // item 4; done outside the timed span.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // item 4; done outside the timed span. Blocking unpersist, then a
+      // forced GC: broadcast blocks and shuffle files are reclaimed by
+      // the ContextCleaner only after their references are collected,
+      // so without the GC the 52-query session still accumulates them
+      // and late queries pay the memory/GC tax (the BENCH_r02/r03
+      // late-run slowdown cluster).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+      Thread.sleep(50) // let the async ContextCleaner drain its queue
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

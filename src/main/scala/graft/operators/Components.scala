@@ -1,6 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over a pair list — the cluster-resolution step
@@ -9,22 +13,29 @@ import org.apache.spark.sql.functions._
   * documents two at a time, but "keep one copy" must hold per
   * transitive CLUSTER (a~b, b~c ⇒ keep exactly one of {a,b,c}).
   *
-  * Algorithm: min-label propagation with pointer jumping (the
-  * hash-to-min scheme of Rastogi et al., ICDE'13). Every node starts
-  * labeled with itself; each round a node takes the minimum of its own
-  * label, its neighbors' labels, and its LABEL's label (c(c(v)) — the
-  * pointer jump that contracts label chains exponentially, so rounds
-  * scale with log(diameter) rather than diameter). Fixpoint = every
-  * node carries the minimum id of its component: a canonical,
-  * deterministic cluster representative independent of partitioning
+  * Algorithm: hash-to-min label propagation (Rastogi et al., ICDE'13).
+  * Every edge-endpoint starts labeled with itself; each round a node
+  * takes the minimum label over its graph neighbors PLUS two "label
+  * edges" per node — (v, c(v)) giving the pointer jump c(c(v)), and
+  * (c(v), v) letting the current root learn labels its members found
+  * elsewhere — folded into ONE equi-join + min-aggregate. Fixpoint =
+  * every endpoint carries the minimum id of its component: a
+  * canonical, deterministic representative independent of partitioning
   * and iteration order.
   *
-  * Scale shape: one round = one equi-join of the (undirected) edge
-  * list against the label table + a map-side-combining min aggregate +
-  * a label self-join (|V|-sized) — all equi-shuffles, no driver-side
-  * graph. `maxIters` guards pathological inputs and the operator fails
-  * loudly rather than return a non-converged (wrong) labeling. Labels
-  * are checkpointed per round to sever the iterative lineage.
+  * Scale shape, the 100 TB lens:
+  * - The iteration runs over EDGE ENDPOINTS only. In a real corpus
+  *   near-dup edges touch a small fraction of documents; isolated
+  *   nodes (the overwhelming majority) are unioned in as their own
+  *   component at the END, never shuffled through the rounds.
+  * - One round = ONE Spark job: the convergence metric (label sum —
+  *   labels only ever decrease, so an unchanged sum ⇔ a fixpoint) is
+  *   collected via `Dataset.observe` DURING the checkpoint
+  *   materialization instead of a second aggregation job per round.
+  * - Everything is equi-join/aggregate shaped — no driver-side graph;
+  *   labels are checkpointed per round to sever the iterative lineage.
+  * `maxIters` guards pathological inputs and the operator fails loudly
+  * rather than return a non-converged (wrong) labeling.
   */
 object Components {
 
@@ -34,56 +45,71 @@ object Components {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           nodes: Option[DataFrame] = None,
                           maxIters: Int = 50): DataFrame = {
-    // checkpoint the forward edges BEFORE mirroring them: the pair
-    // pipeline feeding this (often an expensive near-dup join) must
-    // execute once, not once per union branch
-    val fwd = edges
+    // mirror each edge in ONE pass over the (often expensive) pair
+    // pipeline feeding this: explode to (u,v) and (v,u) rather than a
+    // self-union that would execute the pipeline once per branch, then
+    // checkpoint the deduped symmetric list (scanned once per round)
+    val sym = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .localCheckpoint(true)
-    val sym = fwd
-      .union(fwd.select(col("v").as("u"), col("u").as("v")))
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
       .distinct()
-      .localCheckpoint(true) // scanned once per round
-    val endpoints = sym.select(col("u").as("node")).distinct()
-    val nodeDf = nodes match {
-      case Some(n) =>
-        n.select(col(n.columns.head).cast("long").as("node"))
-          .union(endpoints).distinct()
-      case None => endpoints
-    }
-    var labels = nodeDf.select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
-    // labels only ever decrease, so an unchanged sum ⇔ a fixpoint
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
     var prevSum: java.math.BigDecimal = null
     var round = 0
-    while (round < maxIters) {
+    var converged = false
+    while (!converged && round < maxIters) {
       round += 1
-      val nbrMin = sym
+      // label edges: (v, c(v)) lets v see c(c(v)) (pointer jump);
+      // (c(v), v) lets the current root see labels its members learned
+      // elsewhere; c(v)=v degenerates to a self-loop, which keeps every
+      // node in the aggregation's key set.
+      val aug = sym
+        .union(labels.select(col("node").as("u"), col("comp").as("v")))
+        .union(labels.select(col("comp").as("u"), col("node").as("v")))
+      val obs = Observation()
+      val next = aug
         .join(labels.withColumnRenamed("node", "__v"), col("v") === col("__v"))
-        .groupBy("u").agg(min("comp").as("nmin"))
-        .withColumnRenamed("u", "__u")
-      val stepped = labels.join(nbrMin, col("node") === col("__u"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump: follow the label once (c(c(v))) — labels stay
-      // inside the component (c(v) is reachable, so c(c(v)) is too)
-      val next = stepped
-        .join(stepped.select(col("node").as("__ln"), col("comp").as("__lc")),
-          col("comp") === col("__ln"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("__lc"), col("comp"))).as("comp"))
+        .groupBy("u").agg(min("comp").as("comp"))
+        .select(col("u").as("node"), col("comp"))
+        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("s"))
         .localCheckpoint(true)
-      val labelSum = next.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+      // the checkpoint materialization IS the round's only job; observe
+      // collected the label sum during it. Defensive timeout: if the
+      // metric ever failed to fire (obs.get would block forever), fall
+      // back to an explicit aggregation over the checkpointed blocks.
+      val labelSum = Try(Await.result(
+          Future(obs.get("s").asInstanceOf[java.math.BigDecimal])(
+            scala.concurrent.ExecutionContext.global), 30.seconds))
+        .getOrElse(next.agg(sum(col("comp").cast("decimal(38,0)")))
+          .head().getDecimal(0))
       labels = next
-      if (labelSum == prevSum) return labels
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"connectedComponents round $round labelSum=$labelSum")
+      converged = labelSum == prevSum
       prevSum = labelSum
     }
-    throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds — " +
-        "component diameter exceeds maxIters; raise it (near-dup clusters " +
-        "are dense/shallow; long chains are a sign the threshold is too loose)")
+    if (!converged && round == maxIters)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise it (near-dup clusters " +
+          "are dense/shallow; long chains are a sign the threshold is too loose)")
+    // isolated nodes never entered the iteration; attach them as their
+    // own singleton components
+    nodes match {
+      case Some(n) =>
+        val all = n.select(col(n.columns.head).cast("long").as("node")).distinct()
+        val isolated = all.join(labels, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("comp"))
+        labels.union(isolated)
+      case None => labels
+    }
   }
 
   /** One row per duplicate cluster: canonical keeper (min id), member
