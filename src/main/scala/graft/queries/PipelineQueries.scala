@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ql._
+import graft.functions.TextOps
+import graft.operators.{CorpusMix, Decontaminate}
+
+/** LLM-training-data pipeline compositions over `documents`
+  * (SURVEY §2.8): benchmark decontamination, token-budget corpus
+  * mixing, and the end-to-end corpus-cleanse pipeline a user of this
+  * library would actually run. All three have exact DuckDB oracles —
+  * every step (quality, langid, dedup, sampling, ranking) is
+  * deterministic arithmetic both engines reproduce bit-for-bit. */
+object PipelineQueries {
+
+  private val mixBudgets = Map(
+    "en" -> 4000L, "de" -> 1500L, "fr" -> 1500L, "es" -> 1500L, "zh" -> 1000L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark decontamination: corpus docs sharing >= 3 distinct
+    // 8-grams with the (broadcast) eval split; eval = doc_id % 50 == 0
+    "t9_contamination" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Decontaminate.overlap(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 8, minShared = 3L)
+        .orderBy("doc_id")
+    },
+
+    // data mixture under per-language token budgets: deterministic
+    // multiplicative-hash prefix per language (CorpusMix), reported as
+    // per-language yield
+    "t10_mix_budget" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("toks", TextOps.wsTokenCount(col("text")))
+      CorpusMix.tokenBudgetSample(docs, "lang", "doc_id", "toks",
+          mixBudgets, defaultBudget = 500L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("tokens"),
+          max(col("__cum_before") + col("toks")).cast("long").as("used_budget"))
+        .orderBy("lang")
+    },
+
+    // the end-to-end cleanse a training-data user runs: quality gate →
+    // exact dedup (keep min doc_id per content hash) → deterministic
+    // 1-in-3 sample → per-predicted-language yield report
+    "p1_corpus_pipeline" -> { (s, d) =>
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      t(s, d, "documents")
+        .withColumn("q", TextOps.qualityScore(col("text")))
+        .filter(col("q") >= 0.45)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .filter(col("doc_id") % 3 === 0)
+        .select(TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.wsTokenCount(col("text")).as("toks"), col("q"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("tokens"),
+          (sum(col("q").cast("decimal(10,6)")).cast("double") / count(lit(1)))
+            .as("avg_q"))
+        .orderBy("lang_pred")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t9_contamination" ->
+      """WITH ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 8) AS g
+        |  FROM (SELECT text, unnest(range(1, length(text) - 6)) AS i
+        |        FROM documents WHERE doc_id % 50 = 0)),
+        | corp AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+        |        FROM documents WHERE doc_id % 50 <> 0)),
+        | st AS (SELECT c.doc_id, COUNT(*) AS n_grams,
+        |   COUNT(ev.g) AS n_shared
+        |  FROM corp c LEFT JOIN ev ON c.g = ev.g GROUP BY c.doc_id)
+        |SELECT doc_id, n_shared, n_grams,
+        |  CAST(n_shared AS DOUBLE)/n_grams AS contam
+        |FROM st WHERE n_shared >= 3 ORDER BY doc_id""".stripMargin,
+
+    "t10_mix_budget" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks
+        |  FROM documents),
+        | r AS (SELECT *, (doc_id * 2654435761) % 1000000007 AS rk FROM tok),
+        | c AS (SELECT *, COALESCE(SUM(toks) OVER (PARTITION BY lang
+        |     ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |   0) AS cumb FROM r),
+        | kept AS (SELECT * FROM c WHERE cumb <
+        |   CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 WHEN 'fr' THEN 1500
+        |             WHEN 'es' THEN 1500 WHEN 'zh' THEN 1000 ELSE 500 END)
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+        |  CAST(MAX(cumb + toks) AS BIGINT) AS used_budget
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p1_corpus_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, text, (${TextQueries.qualitySql}) AS q
+        |   FROM documents),
+        | f AS (SELECT * FROM q WHERE q >= 0.45),
+        | dd AS (SELECT * FROM f QUALIFY
+        |   ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        | samp AS (SELECT * FROM dd WHERE doc_id % 3 = 0),
+        | l AS (SELECT doc_id, q, (${TextQueries.langPredSql}) AS lang_pred,
+        |   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks
+        |  FROM samp)
+        |SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+        |  CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE)/COUNT(*) AS avg_q
+        |FROM l GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  )
+}

@@ -11,13 +11,21 @@ import graft.functions.TextOps
 object TextQueries {
 
   // shared SQL fragments mirroring TextOps.countOccurrences
-  private def occ(sub: String, l: Int) =
+  private[queries] def occ(sub: String, l: Int) =
     s"CAST((length(text) - length(replace(text, '$sub', '')))/$l AS BIGINT)"
   private val nEn = occ(" the ", 5); private val nDe = occ(" der ", 5)
   private val nFr = occ(" le ", 4); private val nEs = occ(" el ", 4)
 
+  // shared SQL mirror of TextOps.langId's argmax-with-priority CASE
+  private[queries] val langPredSql =
+    s"""CASE WHEN $nEn = GREATEST($nEn, $nDe, $nFr, $nEs) AND $nEn > 0 THEN 'en'
+       |     WHEN $nDe = GREATEST($nEn, $nDe, $nFr, $nEs) AND $nDe > 0 THEN 'de'
+       |     WHEN $nFr = GREATEST($nEn, $nDe, $nFr, $nEs) AND $nFr > 0 THEN 'fr'
+       |     WHEN $nEs = GREATEST($nEn, $nDe, $nFr, $nEs) AND $nEs > 0 THEN 'es'
+       |     ELSE 'und' END""".stripMargin
+
   // shared SQL mirror of TextOps.qualityScore (unrounded — see there)
-  private val qualitySql =
+  private[queries] val qualitySql =
     s"""0.4 * LEAST(1.0, GREATEST(CAST(length(text) AS DOUBLE), 1.0)/400.0)
       |  + 0.3 * (1.0 - CAST(${occ(".", 1)} + ${occ(",", 1)} AS DOUBLE)/GREATEST(CAST(length(text) AS DOUBLE), 1.0))
       |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusMix, Decontaminate}
+
+/** Decontamination + corpus-mix operators (SURVEY §2.8). */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags planted eval overlap, not clean docs") {
+    val evalDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "pack my box with five dozen liquor jugs right now")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contaminated: contains a full eval sentence
+      (10L, "prefix text then the quick brown fox jumps over the lazy dog tonight and more"),
+      // clean: no shared 8-gram
+      (11L, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+      // partially contaminated: shares a shorter eval fragment
+      (12L, "something about five dozen liquor jugs right here")).toDF("doc_id", "text")
+    val got = Decontaminate.overlap(corpus, evalDf, "doc_id", "text",
+        k = 8, minShared = 3L)
+      .orderBy("doc_id")
+      .collect()
+    val ids = got.map(_.getLong(0)).toSeq
+    assert(ids.contains(10L), "fully planted doc must be flagged")
+    assert(!ids.contains(11L), "clean doc must not be flagged")
+    got.foreach { r =>
+      val (shared, grams, contam) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(shared >= 3 && shared <= grams)
+      assert(contam === shared.toDouble / grams)
+    }
+    // the planted doc contains the whole eval text → overlap dominated
+    val planted = got.find(_.getLong(0) == 10L).get
+    assert(planted.getLong(1) > 30, "full-sentence plant shares many 8-grams")
+  }
+
+  test("decontaminate broadcasts the eval side (corpus never shuffles on grams)") {
+    val evalDf = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "qrstuvwxyz0123456789")).toDF("doc_id", "text")
+    val plan = Decontaminate.overlap(corpus, evalDf, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side must broadcast-join, got:\n$plan")
+  }
+
+  test("tokenBudgetSample respects budgets with at most one overshoot doc") {
+    val docs = (0L until 300L)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", 10L + (i % 7)))
+      .toDF("id", "src", "toks")
+    val budgets = Map("a" -> 200L, "b" -> 350L)
+    val kept = CorpusMix.tokenBudgetSample(docs, "src", "id", "toks", budgets, 100L)
+    val bySrc = kept.groupBy("src")
+      .agg(sum(col("toks")).as("tot"), max(col("toks")).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((s, b) <- budgets) {
+      val (tot, mx) = bySrc(s)
+      assert(tot < b + mx, s"stratum $s: total $tot exceeds budget $b by more than one doc")
+      assert(tot >= b.min(150 * 10), s"stratum $s underfilled: $tot vs budget $b")
+    }
+  }
+
+  test("tokenBudgetSample is deterministic under repartitioning") {
+    val docs = (0L until 500L)
+      .map(i => (i, s"s${i % 3}", 5L + (i % 11))).toDF("id", "src", "toks")
+    val a = CorpusMix.tokenBudgetSample(docs, "src", "id", "toks", Map.empty, 300L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = CorpusMix.tokenBudgetSample(docs.repartition(13), "src", "id", "toks",
+        Map.empty, 300L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b, "sample must not depend on physical partitioning")
+    assert(a.nonEmpty)
+  }
+}
