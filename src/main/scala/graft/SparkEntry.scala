@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     q.Relational.queries ++ q.Kitti.queries ++ q.TextQueries.queries ++
       q.DedupQueries.queries ++ q.VectorQueries.queries ++
-      q.EventQueries.queries ++ q.PipelineQueries.queries
+      q.EventQueries.queries ++ q.PipelineQueries.queries ++
+      q.RelationalExt.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     q.Relational.oracle ++ q.Kitti.oracle ++ q.TextQueries.oracle ++
       q.DedupQueries.oracle ++ q.VectorQueries.oracle ++
-      q.EventQueries.oracle ++ q.PipelineQueries.oracle
+      q.EventQueries.oracle ++ q.PipelineQueries.oracle ++
+      q.RelationalExt.oracle
 }

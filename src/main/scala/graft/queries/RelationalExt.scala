@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ql._
+
+/** Relational extension pack (SURVEY §2.2b, r4): the remaining classic
+  * TPC-H shapes, adapted to the driver schema (no partsupp table, no
+  * commit/receipt dates, no phone/container columns — each adaptation
+  * keeps the SHAPE being exercised: multi-way joins with CASE shares,
+  * correlated scalar predicates, EXISTS/NOT-EXISTS chains, scalar
+  * subquery + anti-join).
+  *
+  * Oracle discipline as in Relational: decimal-exact money sums cast
+  * to double at the edge, CASE arms kept NULL (SUM skips them) so no
+  * zero-literal type coercion differs between engines, deterministic
+  * ORDER BY with unique tie-breaks, aliases identical on both sides.
+  */
+object RelationalExt {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q8 national market share: a nation's revenue share of PROMO-part
+    // volume sold into ASIA, per year. Dims broadcast; the only big
+    // shuffles are the lineitem-orders-customer fact joins.
+    "q8_market_share" -> { (s, d) =>
+      val region = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+      val nc = broadcast(t(s, d, "nation"))
+      val ns = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val promo = broadcast(t(s, d, "part").filter(col("p_type") === "PROMO"))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      t(s, d, "lineitem")
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(nc, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(ns, col("s_nationkey") === col("sn_key"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("o_year")
+        .agg((coalesce(sum(when(col("supp_nation") === "NATION_5",
+              revenue(col("l_extendedprice"), col("l_discount")))).cast("double"), lit(0.0)) /
+            sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double"))
+          .as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // Q9 product-type profit (adapted: retailprice*quantity as the cost
+    // term in place of partsupp supplycost): profit per supplier nation
+    // per year, decimal-exact.
+    "q9_product_profit" -> { (s, d) =>
+      val std = broadcast(t(s, d, "part").filter(col("p_type") === "STANDARD"))
+      val ns = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation")))
+      val amount = revenue(col("l_extendedprice"), col("l_discount")) -
+        (dec(col("p_retailprice")) * dec(col("l_quantity"))).cast("decimal(38,4)")
+      t(s, d, "lineitem")
+        .join(std, col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(ns, col("s_nationkey") === col("sn_key"))
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .groupBy("nation", "o_year")
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+
+    // Q12 shape (adapted: no commit/receipt dates — "late" = shipped
+    // more than 90 days after the order date): per lateness bucket,
+    // how many high- vs low-priority lineitems.
+    "q12_late_shipping" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy("late")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_count"))
+        .orderBy("late")
+    },
+
+    // Q14 promo revenue ratio over one shipping month.
+    "q14_promo_revenue" -> { (s, d) =>
+      val parts = broadcast(t(s, d, "part")
+        .select(col("p_partkey"), col("p_type")))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+            coalesce(sum(when(col("p_type") === "PROMO",
+              revenue(col("l_extendedprice"), col("l_discount")))).cast("double"), lit(0.0)) /
+            sum(revenue(col("l_extendedprice"), col("l_discount"))).cast("double"))
+          .as("promo_revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q16 shape (adapted: lineitem plays the part-supplier relation;
+    // "complaint" suppliers = negative account balance, excluded via
+    // anti-join like the NOT IN subquery): distinct suppliers per
+    // (brand, type, size) for non-excluded brands/sizes.
+    "q16_parts_supplier" -> { (s, d) =>
+      val parts = broadcast(t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#9" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)))
+      val complaints = t(s, d, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      t(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    },
+
+    // Q17 small-quantity revenue: lineitems under 20% of their part's
+    // average quantity. The correlated scalar predicate is decimal-
+    // exact: qty < 0.2*avg ⟺ 5*qty*cnt < sum_qty (no engine-specific
+    // decimal-division scale rules on the comparison path).
+    "q17_small_quantity" -> { (s, d) =>
+      val parts = broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey")))
+      val li = t(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cq"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(dec(col("l_quantity")) * lit(5) * col("cq") < col("sq"))
+        .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // Q21 blame chain: for finished orders, returned ('R') lineitems
+    // whose supplier is the ONLY one in a multi-supplier order to have
+    // returns — EXISTS (other supplier in order) + NOT EXISTS (other
+    // supplier with 'R'), both as equi-joins on the order key.
+    "q21_blame_supplier" -> { (s, d) =>
+      val ordF = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val li = t(s, d, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val othersR = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1
+        .join(others, col("ok2") === col("ok") && col("sk2") =!= col("sk"), "left_semi")
+        .join(othersR, col("ok3") === col("ok") && col("sk3") =!= col("sk"), "left_anti")
+        .join(t(s, d, "supplier"), col("sk") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    },
+
+    // Q22 shape: customers above the positive-balance average (exact
+    // decimal sum / count scalar, broadcast) with no RECENT orders
+    // (anti-join; the driver corpus gives every customer some order
+    // ever, so "idle" = nothing since 2000), summarized per nation.
+    "q22_idle_customers" -> { (s, d) =>
+      val cust = t(s, d, "customer")
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg((dsum(col("c_acctbal")) / count(lit(1))).as("thr"))
+      cust.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }
+  )
+
+  private val rev =
+    """CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
+
+  val oracle: Map[String, String] = Map(
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | COALESCE(CAST(SUM(CASE WHEN ns.n_name = 'NATION_5' THEN $rev END) AS DOUBLE), 0.0)
+        |   / CAST(SUM($rev) AS DOUBLE) AS mkt_share
+        |FROM lineitem, part, orders, customer, supplier,
+        |  nation nc, nation ns, region
+        |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_custkey = c_custkey AND c_nationkey = nc.n_nationkey
+        |  AND nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND l_suppkey = s_suppkey AND s_nationkey = ns.n_nationkey
+        |GROUP BY year(o_orderdate) ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""SELECT ns.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(SUM(($rev) - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+        |     * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+        |   AS sum_profit
+        |FROM lineitem, part, orders, supplier, nation ns
+        |WHERE l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+        |  AND s_nationkey = ns.n_nationkey
+        |GROUP BY ns.n_name, year(o_orderdate)
+        |ORDER BY nation ASC, o_year DESC""".stripMargin,
+
+    "q12_late_shipping" ->
+      """SELECT l_shipdate > o_orderdate + INTERVAL 90 DAY AS late,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY late ORDER BY late""".stripMargin,
+
+    "q14_promo_revenue" ->
+      s"""SELECT 100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $rev END)
+        |     AS DOUBLE), 0.0)
+        |   / CAST(SUM($rev) AS DOUBLE) AS promo_revenue,
+        | COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    "q16_parts_supplier" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        | pp AS (SELECT l_partkey AS pk,
+        |   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, COUNT(*) AS cq
+        |  FROM lp GROUP BY l_partkey)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |   AS avg_yearly,
+        | COUNT(*) AS n
+        |FROM lp JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cq < sq""".stripMargin,
+
+    "q21_blame_supplier" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS thr
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, thr
+        |WHERE c_acctbal > thr.thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  )
+}
