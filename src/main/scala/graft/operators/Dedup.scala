@@ -62,10 +62,12 @@ object Dedup {
       j => struct(j.as("band"),
         xxhash64(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
 
-  /** Candidate near-dup pairs via MinHash+LSH: docs sharing ≥1 band
-    * bucket, with the number of colliding bands per pair. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+  /** Banded MinHash LSH index of a corpus: one (doc, band, bucket) row
+    * per band — the PERSISTABLE near-dup index (write it as a parquet
+    * table partitioned/bucketed by (band, bucket) and every future
+    * batch probes it without touching corpus text again). */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val r = numHashes / bands
@@ -74,16 +76,43 @@ object Dedup {
     val sig = spread(df.filter(length(col(textCol)) >= k))
       .select(col(idCol).as("doc"),
         minhashSignature(col(textCol), k, numHashes).as("sig"))
+    sig.select(col("doc"), explode(lshBands(col("sig"), bands, r)).as("b"))
+      .select(col("doc"), col("b.band"), col("b.bucket"))
+  }
+
+  /** Candidate near-dup pairs via MinHash+LSH: docs sharing ≥1 band
+    * bucket, with the number of colliding bands per pair. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
     // localCheckpoint (eager): the self-join would otherwise recompute
     // the signature pipeline once per branch; unlike cache() the blocks
     // are released by the ContextCleaner when the plan is unreachable.
-    val banded = sig.select(col("doc"), explode(lshBands(col("sig"), bands, r)).as("b"))
-      .select(col("doc"), col("b.band"), col("b.bucket"))
+    val banded = minhashIndex(df, idCol, textCol, k, numHashes, bands)
       .localCheckpoint(true)
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("a_id"), col("b.doc").as("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Cross-batch near-dup candidates: NEW documents probed against an
+    * EXISTING corpus index (`minhashIndex` output, typically read back
+    * from its parquet table) — the daily-ingest shape: only the new
+    * batch is shingled/hashed, the corpus is touched only through its
+    * (band, bucket) index join, and within-batch / within-corpus pairs
+    * are not produced (run `minhashLshPairs` on the batch for those).
+    * Returns (corpus_id, batch_id, n_bands). Same hash family as the
+    * self-join path, so an index built by any session matches. */
+  def minhashLshPairsAgainst(corpusIndex: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 3, numHashes: Int = 128,
+                             bands: Int = 16): DataFrame = {
+    val probe = minhashIndex(batch, idCol, textCol, k, numHashes, bands)
+    corpusIndex.alias("c")
+      .join(probe.alias("p"), col("c.band") === col("p.band") &&
+        col("c.bucket") === col("p.bucket"))
+      .groupBy(col("c.doc").as("corpus_id"), col("p.doc").as("batch_id"))
       .agg(count(lit(1)).as("n_bands"))
   }
 

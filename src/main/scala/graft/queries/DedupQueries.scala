@@ -54,6 +54,21 @@ object DedupQueries {
         .orderBy("vec_id")
     },
 
+    // cross-batch dedup: the "new crawl vs existing corpus" shape —
+    // batch (doc_id % 5 == 0) probed against the corpus index; only
+    // the batch is shingled, cross pairs only (hash-family dependent
+    // buckets -> rows-only; CrossDedupSpec pins recall + self-join
+    // equivalence + the persisted-index contract)
+    "d9_cross_dedup" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val idx = Dedup.minhashIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        k = 5, numHashes = 128, bands = 16)
+      Dedup.minhashLshPairsAgainst(idx, docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 5, numHashes = 128, bands = 16)
+        .orderBy("corpus_id", "batch_id")
+    },
+
     // KMV distinct sketch vs exact: bounded-state cardinality per
     // group (hash-family dependent -> rows-only; KmvSketchSpec pins
     // the accuracy and partition-invariance contracts)
