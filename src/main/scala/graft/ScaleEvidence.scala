@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Larger-SF evidence runner (VERDICT r2 item 8): the 100 TB design
+  * claims in SURVEY §5 extrapolate from sf0.1; this main generates
+  * deterministic corpora 10-25× that size UNDER target/ (the driver
+  * testdata stays untouched) and measures the claims directly:
+  *
+  *   1. MinHash-LSH text near-dup: planted-pair recall and the
+  *      candidate-count curve vs the all-pairs n²/2 at 50k docs.
+  *   2. Hyperplane-LSH embedding near-dup (the high-τ 100 TB path):
+  *      recall vs the exact grid join + candidate volume at 20k vecs.
+  *   3. AQE runtime skew-split on a 6M-row hot-key join: skewed
+  *      sort-merge join with/without AQE skew handling.
+  *
+  * Run: sbt 'runMain graft.ScaleEvidence'; numbers are recorded in
+  * SURVEY §5. Not part of the per-round bench or test suite.
+  */
+object ScaleEvidence {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- 1. text near-dup at 50k docs, 500 planted pairs ----------
+    val nDocs = 50000
+    val nPlanted = 500
+    // deterministic "text": 40 pseudo-words from a hash chain; planted
+    // near-dup = same words + a 1-word suffix edit
+    val base = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(i)), lit(9973)))): _*).as("text"))
+    val planted = base.filter(col("doc_id") < nPlanted)
+      .select((col("doc_id") + nDocs).as("doc_id"),
+        concat(col("text"), lit(" tailEdit")).as("text"))
+    val docs = base.union(planted)
+    docs.write.mode("overwrite").parquet("target/scale/docs")
+    val corpus = spark.read.parquet("target/scale/docs")
+    val (pairs, tLsh) = timed {
+      Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          k = 5, numHashes = 128, bands = 16)
+        .select(col("a_id"), col("b_id")).collect()
+    }
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalled = (0L until nPlanted.toLong)
+      .count(i => pairSet.contains((i, i + nDocs)))
+    val n = nDocs + nPlanted
+    println(f"[1] text LSH @ ${n} docs: recall $recalled/$nPlanted, " +
+      f"candidates ${pairSet.size} (all-pairs ${n.toLong * (n - 1) / 2}%,d), ${tLsh}%.1f s")
+
+    // ---- 2. embedding LSH near-dup at 20k vectors -----------------
+    val nVec = 20000
+    val dim = 64
+    val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 500.0 - 1.0))
+        .as("embedding"))
+    // planted near-dups: copy of vec i with one coordinate nudged
+    val vPlant = vecs.filter(col("vec_id") < 300)
+      .select((col("vec_id") + nVec).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(j === 0, x + lit(0.01)).otherwise(x)).as("embedding"))
+    vecs.union(vPlant).write.mode("overwrite").parquet("target/scale/vecs")
+    val emb = spark.read.parquet("target/scale/vecs")
+    val (lshPairs, tVec) = timed {
+      Dedup.embeddingNearDupsLsh(emb, "vec_id", "embedding",
+          threshold = 0.95, nBits = 12, tables = 8)
+        .select("a_id", "b_id").collect()
+    }
+    val lshSet = lshPairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vRecalled = (0L until 300L).count(i => lshSet.contains((i, i + nVec)))
+    println(f"[2] embedding LSH @ ${nVec + 300} vecs (τ=0.95): " +
+      f"recall $vRecalled/300, verified pairs ${lshSet.size}, ${tVec}%.1f s " +
+      f"(exact all-pairs would be ${(nVec + 300).toLong * (nVec + 299) / 2}%,d cosines)")
+
+    // ---- 3. AQE skew-split on a 6M-row hot-key join ---------------
+    val nFact = 6000000L
+    // ~17% of rows on key 0, rest uniform over 40k keys
+    val fact = spark.range(nFact).select(col("id"),
+      when(col("id") % 6 === 0, 0L)
+        .otherwise(pmod(xxhash64(col("id")), lit(40000L))).as("k"))
+    val dim2 = spark.range(40000).select(col("id").as("dk"),
+      concat(lit("d"), col("id")).as("name"))
+    fact.write.mode("overwrite").parquet("target/scale/fact")
+    dim2.write.mode("overwrite").parquet("target/scale/dim")
+    def join0 = {
+      val f = spark.read.parquet("target/scale/fact")
+      val d2 = spark.read.parquet("target/scale/dim")
+      f.join(d2.hint("merge"), col("k") === col("dk"))
+        .agg(count(lit(1)), sum(col("id")))
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    val (_, tNoSkew) = timed(join0.collect())
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8MB")
+    val (_, tSkew) = timed(join0.collect())
+    println(f"[3] 6M-row hot-key sort-merge join: AQE skew OFF ${tNoSkew}%.1f s, " +
+      f"ON ${tSkew}%.1f s")
+
+    spark.stop()
+  }
+}
