@@ -261,8 +261,10 @@ object Dedup {
                         threshold: Double, blocks: Int = 8): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val base = spread(df).select(col(idCol).as("id"),
-      VectorOps.toDouble(col(vecCol)).as("v"))
+    // keep the storage element type (array<float> stays float): the
+    // native dot kernel widens per element — bit-identical to casting
+    // the array up front, and the grid join shuffles half the bytes
+    val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", VectorOps.fastNorm(col("v")))
       .filter(col("nrm") > 0) // zero-norm: no direction (NaN vs NULL divergence)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks.toLong)))

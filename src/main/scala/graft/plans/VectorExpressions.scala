@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over two array<double> columns.
   *
@@ -25,16 +25,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects (array<double>, array<double>), " +
-        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects (array<double>, array<double>) or " +
+          s"(array<float>, array<float>), " +
+          s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  /** Float inputs are widened to double PER ELEMENT before the multiply
+    * (explicit casts in both eval paths), so the result is bit-identical
+    * to casting the whole array to array<double> first — float→double
+    * conversion is exact — while the pair join that feeds this kernel
+    * shuffles half the bytes. */
+  private def isFloat: Boolean = elemType(left.dataType).contains(FloatType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
@@ -59,7 +71,10 @@ case class VecDot(left: Expression, right: Expression)
       }
       var s = 0.0
       i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      if (isFloat)
+        while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      else
+        while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
       s
     }
   }
@@ -83,7 +98,8 @@ case class VecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |    $acc += ${if (isFloat) s"((double) $a.getFloat($i)) * ((double) $b.getFloat($i))"
+                       else s"$a.getDouble($i) * $b.getDouble($i)"};
          |  }
          |  ${ev.value} = $acc;
          |}

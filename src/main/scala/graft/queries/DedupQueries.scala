@@ -45,8 +45,8 @@ object DedupQueries {
     // keeper). Exact oracle via DuckDB recursive CTE.
     "d7_dup_clusters" -> { (s, d) =>
       val e = t(s, d, "embeddings")
-      val nodes = e.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
-        .filter(VectorOps.fastNorm(col("v")) > 0)
+      val nodes = e
+        .filter(VectorOps.fastNorm(col("embedding")) > 0)
         .select("vec_id")
       val pairs = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4)
       Components.connectedComponents(pairs, "a_id", "b_id", nodes = Some(nodes))

@@ -75,4 +75,17 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall below 0.9 (${approx.size}/${exact.size})")
     df.unpersist()
   }
+
+  test("graft_dot on float arrays equals toDouble-then-dot bit-for-bit") {
+    val df = randomCorpus(200, 24, seed = 11)
+    val both = df.select(
+        VectorOps.fastDot(col("v"), col("v")).as("f"),
+        VectorOps.fastDot(VectorOps.toDouble(col("v")), VectorOps.toDouble(col("v"))).as("d"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"float kernel diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
 }
