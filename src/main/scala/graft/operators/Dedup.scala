@@ -296,8 +296,9 @@ object Dedup {
   def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, nBits: Int = 12,
                            tables: Int = 8): DataFrame = {
-    val base = spread(df).select(col(idCol).as("id"),
-      VectorOps.toDouble(col(vecCol)).as("v"))
+    // storage element type preserved (float stays float): bucket and
+    // verify kernels widen per element — see embeddingNearDups
+    val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", VectorOps.fastNorm(col("v")))
       .filter(col("nrm") > 0)
       .localCheckpoint(true) // reused by candidate gen + both verify sides

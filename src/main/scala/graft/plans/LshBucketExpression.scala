@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native random-hyperplane LSH bucket id over an array<double> vector:
   * bit i of the result is the sign of the dot product with a
@@ -33,9 +33,18 @@ case class LshBucketSig(child: Expression, nBits: Int, bitOffset: Int)
   require(bitOffset >= 0, s"bitOffset must be >= 0, got $bitOffset")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_lsh_bucket expects array<double>, got ${other.simpleString}")
+      s"graft_lsh_bucket expects array<double> or array<float>, got ${other.simpleString}")
+  }
+
+  /** Float elements widen to double per element before the multiply —
+    * bit-identical dots (and therefore identical buckets) vs casting
+    * the array to array<double> first; see VecDot. */
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
@@ -56,7 +65,10 @@ case class LshBucketSig(child: Expression, nBits: Int, bitOffset: Int)
       var d = 0.0
       var j = 0
       val base = i * n
-      while (j < n) { d += arr.getDouble(j) * signs(base + j); j += 1 }
+      if (isFloat)
+        while (j < n) { d += arr.getFloat(j).toDouble * signs(base + j); j += 1 }
+      else
+        while (j < n) { d += arr.getDouble(j) * signs(base + j); j += 1 }
       if (d > 0) bucket |= (1L << i)
       i += 1
     }
@@ -84,7 +96,8 @@ case class LshBucketSig(child: Expression, nBits: Int, bitOffset: Int)
          |  for (int $i = 0; $i < $nBits; $i++) {
          |    double $d = 0.0;
          |    for (int $j = 0; $j < $n; $j++) {
-         |      $d += $a.getDouble($j) * $signs[$i * $n + $j];
+         |      $d += ${if (isFloat) s"((double) $a.getFloat($j))"
+                       else s"$a.getDouble($j)"} * $signs[$i * $n + $j];
          |    }
          |    if ($d > 0) $bucket |= (1L << $i);
          |  }
