@@ -35,6 +35,23 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // cohort retention: users bucketed by first-active day; how many
+    // return exactly 7 days later. ONE distinct-activity shuffle + a
+    // per-user min + join back — the standard product-analytics shape.
+    "e4_retention_cohorts" -> { (s, d) =>
+      val act = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = act.groupBy("user_id").agg(min(col("day")).as("cohort"))
+      first.join(act, "user_id")
+        .groupBy("cohort")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(datediff(col("day"), col("cohort")) === 7,
+            col("user_id"))).as("retained_7d"))
+        .withColumn("retention",
+          col("retained_7d").cast("double") / col("n_users"))
+        .orderBy("cohort")
+    },
+
     "m1_binary_meta" -> { (s, d) =>
       Binary.asOpaque(t(s, d, "documents"), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
@@ -77,6 +94,17 @@ object EventQueries {
         |   ELSE CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
         |     / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) END AS purchase_per_click
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e4_retention_cohorts" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        | f AS (SELECT user_id, MIN(day) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort, COUNT(DISTINCT f.user_id) AS n_users,
+        | COUNT(DISTINCT CASE WHEN date_diff('day', cohort, day) = 7
+        |   THEN f.user_id END) AS retained_7d,
+        | CAST(COUNT(DISTINCT CASE WHEN date_diff('day', cohort, day) = 7
+        |   THEN f.user_id END) AS DOUBLE) / COUNT(DISTINCT f.user_id) AS retention
+        |FROM f JOIN act ON f.user_id = act.user_id
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

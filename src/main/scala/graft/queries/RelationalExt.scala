@@ -159,6 +159,27 @@ object RelationalExt {
         .limit(20)
     },
 
+    // Q2 shape (adapted: lineitem unit price in place of partsupp
+    // supplycost): for each mid-size part, the supplier rows achieving
+    // the part's MINIMUM unit price — correlated min-per-group via a
+    // window, filtered back to the argmin rows (ties kept, distinct).
+    "q2_min_cost_supplier" -> { (s, d) =>
+      val parts = broadcast(t(s, d, "part")
+        .filter(col("p_size").between(10, 20))
+        .select(col("p_partkey"), col("p_brand"), col("p_size")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+      t(s, d, "lineitem")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .withColumn("unit", col("l_extendedprice") / col("l_quantity"))
+        .withColumn("mu", min(col("unit")).over(w))
+        .filter(col("unit") === col("mu"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("s_suppkey"), col("s_name"), col("unit").as("unit_price"))
+        .distinct()
+        .orderBy("p_partkey", "s_suppkey")
+    },
+
     // Q22 shape: customers above the positive-balance average (exact
     // decimal sum / count scalar, broadcast) with no RECENT orders
     // (anti-join; the driver corpus gives every customer some order
@@ -262,6 +283,18 @@ object RelationalExt {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH lp AS (SELECT p_partkey, p_brand, p_size, l_suppkey,
+        |   l_extendedprice / l_quantity AS unit
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size BETWEEN 10 AND 20),
+        | m AS (SELECT *, MIN(unit) OVER (PARTITION BY p_partkey) AS mu FROM lp)
+        |SELECT DISTINCT p_partkey, p_brand, p_size, s_suppkey, s_name,
+        | unit AS unit_price
+        |FROM m JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE unit = mu
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
 
     "q22_idle_customers" ->
       """WITH thr AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
