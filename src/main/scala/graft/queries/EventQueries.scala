@@ -57,6 +57,25 @@ object EventQueries {
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           sha2(col("media"), 256).as("sha"))
         .orderBy("media_id")
+    },
+
+    // frame sampling + decode through the REAL mapPartitions plumbing
+    // (per-partition decoder lifecycle), made oracle-exact: the fake
+    // codec's features are k/255 for byte k of a 64-bit polynomial
+    // byte-fold, so round(f*255) recovers the bytes and re-packing them
+    // yields the fold value — pure integer arithmetic DuckDB replays
+    // via hex expansion + HUGEINT mod-2^64 folds. The top byte enters
+    // sign-extended so the packed long never overflows (ANSI-safe).
+    "m2_frame_features" -> { (s, d) =>
+      val media = Binary.asOpaque(t(s, d, "documents"), "doc_id", "text", "text/plain")
+      val frames = Binary.sampleFrames(media, 4)
+      def k(i: Int) =
+        round(element_at(col("features"), i + 1).cast("double") * 255).cast("long")
+      val low = (0 until 7).map(i => k(i) * lit(1L << (8 * i))).reduce(_ + _)
+      val hi = when(k(7) > 127, k(7) - 256).otherwise(k(7)) * lit(1L << 56)
+      frames.select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+          (low + hi).as("fingerprint"))
+        .orderBy("media_id", "frame_no")
     }
   )
 
@@ -109,6 +128,38 @@ object EventQueries {
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // mirrors Binary.sampleFrames(n=4) + FakeHashCodec byte-for-byte:
+    // hex-expand the utf8 payload, slice the same [i*span, min((i+1)*
+    // span, len)) byte ranges, fold signed bytes through a*31+b mod
+    // 2^64 (HUGEINT, positive mod), reinterpret as signed BIGINT
+    "m2_frame_features" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
+        |   octet_length(CAST(text AS BLOB)) AS len,
+        |   GREATEST(1, octet_length(CAST(text AS BLOB)) // 4) AS span
+        |  FROM documents),
+        | f AS (SELECT media_id, hx, len, span,
+        |   unnest(range(0, LEAST(4, len))) AS frame_no FROM m),
+        | c AS (SELECT media_id, frame_no,
+        |   substr(hx, CAST(frame_no*span*2 + 1 AS INT),
+        |     CAST((LEAST((frame_no+1)*span, len) - frame_no*span)*2 AS INT)) AS ch
+        |  FROM f),
+        | b AS (SELECT media_id, frame_no,
+        |   list_transform(range(0, length(ch)//2), j ->
+        |     16*(strpos('0123456789ABCDEF', substr(ch, CAST(2*j+1 AS INT), 1))-1)
+        |      + (strpos('0123456789ABCDEF', substr(ch, CAST(2*j+2 AS INT), 1))-1)) AS bs
+        |  FROM c),
+        | h AS (SELECT media_id, frame_no,
+        |   list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |     list_transform(bs, v ->
+        |       CAST(CASE WHEN v > 127 THEN v - 256 ELSE v END AS HUGEINT))),
+        |     (a, x) -> ((a * 31 + x) % 18446744073709551616
+        |       + 18446744073709551616) % 18446744073709551616) AS hu
+        |  FROM b)
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+        | CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+        |   ELSE hu END AS BIGINT) AS fingerprint
+        |FROM h ORDER BY media_id, frame_no""".stripMargin
   )
 }
