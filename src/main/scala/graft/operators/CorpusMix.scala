@@ -27,7 +27,13 @@ object CorpusMix {
   /** Documents of `df` kept under per-stratum token budgets.
     * `budgets` maps stratum value → token budget; strata not listed get
     * `defaultBudget`. Adds `__rank` (the permutation rank) and
-    * `__cum_before` (tokens admitted before this doc). */
+    * `__cum_before` (tokens admitted before this doc).
+    *
+    * Id-range contract: the rank multiply is plain long arithmetic so
+    * any SQL engine replays it; ids must stay below 2^63/2654435761 ≈
+    * 3.4e9 or the product overflows (errors under ANSI). For larger id
+    * spaces pre-map ids (e.g. xxhash64 into a surrogate column) and
+    * rank on that — the budget-prefix semantics are unchanged. */
   def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
                         tokenCol: String, budgets: Map[String, Long],
                         defaultBudget: Long): DataFrame = {
