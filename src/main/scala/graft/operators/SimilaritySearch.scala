@@ -29,7 +29,10 @@ object SimilaritySearch {
   private def prep(df: DataFrame, idCol: String, vecCol: String, as: String,
                    doSpread: Boolean = true) = {
     val base = if (doSpread) spread(df) else df
-    base.select(col(idCol).as(s"${as}_id"), VectorOps.toDouble(col(vecCol)).as(s"${as}_v"))
+    // storage element type preserved (float stays float): the native
+    // dot/bucket kernels widen per element — bit-identical results,
+    // half the probe-join bytes (see VecDot)
+    base.select(col(idCol).as(s"${as}_id"), col(vecCol).as(s"${as}_v"))
       .withColumn(s"${as}_nrm", VectorOps.fastNorm(col(s"${as}_v")))
       // zero-norm vectors have no direction: cosine would be 0/0, and
       // Spark's NaN (ranks first DESC) vs DuckDB's NULL (ranks last)
@@ -143,15 +146,19 @@ object SimilaritySearch {
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
     val c = spread(candidates).select(col(idCol).as("c_id"),
-        VectorOps.toDouble(col(vecCol)).as("c_v"), col(cellCol).as("cell"))
+        col(vecCol).as("c_v"), col(cellCol).as("cell"))
       .withColumn("c_nrm", VectorOps.fastNorm(col("c_v")))
       .filter(col("c_nrm") > 0)
     // centroid per cell: element-wise decimal mean via posexplode —
     // order-independent like KMeans.fit, so centroids (and therefore
-    // results) are stable under any partitioning
+    // results) are stable under any partitioning. The explicit
+    // double-then-decimal cast keeps the float path bit-identical to
+    // the old array<double> projection (float→decimal directly could
+    // round through the float's shortest decimal representation).
     val cent = c.select(col("cell"), posexplode(col("c_v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
-      .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1))).cast("double").as("m"))
+      .agg((sum(col("x").cast("double").cast("decimal(30,15)")) / count(lit(1)))
+        .cast("double").as("m"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cent_v"))
       .withColumn("cent_nrm", VectorOps.fastNorm(col("cent_v")))

@@ -33,10 +33,9 @@ case class VecDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     (elemType(left.dataType), elemType(right.dataType)) match {
-      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects (array<double>, array<double>) or " +
-          s"(array<float>, array<float>), " +
+        s"graft_dot expects array<double> or array<float> on both sides, " +
           s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
   }
@@ -45,8 +44,11 @@ case class VecDot(left: Expression, right: Expression)
     * (explicit casts in both eval paths), so the result is bit-identical
     * to casting the whole array to array<double> first — float→double
     * conversion is exact — while the pair join that feeds this kernel
-    * shuffles half the bytes. */
-  private def isFloat: Boolean = elemType(left.dataType).contains(FloatType)
+    * shuffles half the bytes. Sides are independent, so a float corpus
+    * column dots against a double centroid literal without widening the
+    * corpus. */
+  private def leftIsFloat: Boolean = elemType(left.dataType).contains(FloatType)
+  private def rightIsFloat: Boolean = elemType(right.dataType).contains(FloatType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
@@ -71,10 +73,12 @@ case class VecDot(left: Expression, right: Expression)
       }
       var s = 0.0
       i = 0
-      if (isFloat)
-        while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-      else
-        while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
       s
     }
   }
@@ -98,8 +102,8 @@ case class VecDot(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += ${if (isFloat) s"((double) $a.getFloat($i)) * ((double) $b.getFloat($i))"
-                       else s"$a.getDouble($i) * $b.getDouble($i)"};
+         |    $acc += ${if (leftIsFloat) s"((double) $a.getFloat($i))" else s"$a.getDouble($i)"}
+         |      * ${if (rightIsFloat) s"((double) $b.getFloat($i))" else s"$b.getDouble($i)"};
          |  }
          |  ${ev.value} = $acc;
          |}
