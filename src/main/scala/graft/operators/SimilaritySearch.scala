@@ -26,13 +26,18 @@ object SimilaritySearch {
 
   /** doSpread only for the corpus side: spreading a query set that is
     * about to be broadcast would add a pointless shuffle stage. */
+  /** `widen=false` keeps the storage element type (float stays float —
+    * the native dot/bucket kernels widen per element, bit-identical
+    * results, half the probe-join bytes; used by the brute-force/LSH
+    * paths where it measures flat-or-faster). The IVF paths widen up
+    * front: their per-invocation centroid-literal codegen measured
+    * ~2× slower against float inputs (mixed-type kernels are fine in
+    * steady state, but these operators re-plan per quantizer). */
   private def prep(df: DataFrame, idCol: String, vecCol: String, as: String,
-                   doSpread: Boolean = true) = {
+                   doSpread: Boolean = true, widen: Boolean = false) = {
     val base = if (doSpread) spread(df) else df
-    // storage element type preserved (float stays float): the native
-    // dot/bucket kernels widen per element — bit-identical results,
-    // half the probe-join bytes (see VecDot)
-    base.select(col(idCol).as(s"${as}_id"), col(vecCol).as(s"${as}_v"))
+    val v = if (widen) VectorOps.toDouble(col(vecCol)) else col(vecCol)
+    base.select(col(idCol).as(s"${as}_id"), v.as(s"${as}_v"))
       .withColumn(s"${as}_nrm", VectorOps.fastNorm(col(s"${as}_v")))
       // zero-norm vectors have no direction: cosine would be 0/0, and
       // Spark's NaN (ranks first DESC) vs DuckDB's NULL (ranks last)
@@ -109,7 +114,7 @@ object SimilaritySearch {
     // corpus assignment: literal-centroid scores → attribute-level
     // argmax CASE (two selects so the k graft_dot calls aren't
     // re-inlined into every CASE branch)
-    val c = prep(candidates, idCol, vecCol, "c")
+    val c = prep(candidates, idCol, vecCol, "c", widen = true)
     val cScores = KMeans.centroidScores(model, col("c_v"), col("c_nrm"))
     val assigned = c.select(Seq(col("c_id"), col("c_v"), col("c_nrm")) ++
         cScores.map { case (cell, cc) => cc.as(s"__cc$cell") }: _*)
@@ -117,7 +122,7 @@ object SimilaritySearch {
         KMeans.argmaxCell(cScores.map { case (cell, _) => cell -> col(s"__cc$cell") })
           .as("cell"))
     // query probes: rank cells by (desc score, asc cell), take nProbe
-    val q = prep(queries, idCol, vecCol, "q", doSpread = false)
+    val q = prep(queries, idCol, vecCol, "q", doSpread = false, widen = true)
     val qScores = KMeans.centroidScores(model, col("q_v"), col("q_nrm"))
     val scoreArr = array(qScores.map { case (cell, cc) =>
       struct(cc.as("cc"), lit(cell).as("cell")) }: _*)
@@ -146,7 +151,7 @@ object SimilaritySearch {
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
               idCol: String, vecCol: String, cellCol: String, k: Int): DataFrame = {
     val c = spread(candidates).select(col(idCol).as("c_id"),
-        col(vecCol).as("c_v"), col(cellCol).as("cell"))
+        VectorOps.toDouble(col(vecCol)).as("c_v"), col(cellCol).as("cell"))
       .withColumn("c_nrm", VectorOps.fastNorm(col("c_v")))
       .filter(col("c_nrm") > 0)
     // centroid per cell: element-wise decimal mean via posexplode —
