@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.concurrent.{Await, Future}
-import scala.concurrent.duration._
 import scala.util.Try
 
 import org.apache.spark.sql.{DataFrame, Observation}
@@ -13,12 +11,12 @@ import org.apache.spark.sql.functions._
   * documents two at a time, but "keep one copy" must hold per
   * transitive CLUSTER (a~b, b~c ⇒ keep exactly one of {a,b,c}).
   *
-  * Algorithm: hash-to-min label propagation (Rastogi et al., ICDE'13).
-  * Every edge-endpoint starts labeled with itself; each round a node
-  * takes the minimum label over its graph neighbors PLUS two "label
-  * edges" per node — (v, c(v)) giving the pointer jump c(c(v)), and
-  * (c(v), v) letting the current root learn labels its members found
-  * elsewhere — folded into ONE equi-join + min-aggregate. Fixpoint =
+  * Algorithm: min-label propagation with pointer jumping (the
+  * hash-to-min family, Rastogi et al., ICDE'13). Every edge-endpoint
+  * starts labeled with itself; each round a node takes the minimum
+  * label over its graph neighbors PLUS one "label edge" per node —
+  * (v, c(v)), giving the pointer jump c(c(v)) — folded into ONE
+  * equi-join + min-aggregate. Fixpoint =
   * every endpoint carries the minimum id of its component: a
   * canonical, deterministic representative independent of partitioning
   * and iteration order.
@@ -34,8 +32,9 @@ import org.apache.spark.sql.functions._
   *   materialization instead of a second aggregation job per round.
   * - Everything is equi-join/aggregate shaped — no driver-side graph;
   *   labels are checkpointed per round to sever the iterative lineage.
-  * `maxIters` guards pathological inputs and the operator fails loudly
-  * rather than return a non-converged (wrong) labeling.
+  * Rounds scale with log(diameter) on label chains via the pointer
+  * jump; `maxIters` guards pathological inputs and the operator fails
+  * loudly rather than return a non-converged (wrong) labeling.
   */
 object Components {
 
@@ -66,13 +65,15 @@ object Components {
     var converged = false
     while (!converged && round < maxIters) {
       round += 1
-      // label edges: (v, c(v)) lets v see c(c(v)) (pointer jump);
-      // (c(v), v) lets the current root see labels its members learned
-      // elsewhere; c(v)=v degenerates to a self-loop, which keeps every
-      // node in the aggregation's key set.
+      // label edges (v, c(v)): v sees labels[c(v)] = c(c(v)) — the
+      // pointer jump that contracts label chains; c(v)=v degenerates
+      // to a self-loop, which keeps every node in the aggregation's
+      // key set. (A reverse (c(v), v) edge would only deliver
+      // labels[v] = c(v) — the recipient's own id — so it is omitted:
+      // min propagation toward the root happens through the mirrored
+      // graph edges in sym.)
       val aug = sym
         .union(labels.select(col("node").as("u"), col("comp").as("v")))
-        .union(labels.select(col("comp").as("u"), col("node").as("v")))
       val obs = Observation()
       val next = aug
         .join(labels.withColumnRenamed("node", "__v"), col("v") === col("__v"))
@@ -84,11 +85,24 @@ object Components {
       // collected the label sum during it. Defensive timeout: if the
       // metric ever failed to fire (obs.get would block forever), fall
       // back to an explicit aggregation over the checkpointed blocks.
-      val labelSum = Try(Await.result(
-          Future(obs.get("s").asInstanceOf[java.math.BigDecimal])(
-            scala.concurrent.ExecutionContext.global), 30.seconds))
-        .getOrElse(next.agg(sum(col("comp").cast("decimal(38,0)")))
-          .head().getDecimal(0))
+      // A dedicated daemon thread is interrupted on timeout — parking
+      // the wait on the shared global pool would leak one blocked
+      // worker per round in exactly the scenario the timeout defends
+      // against.
+      val labelSum = {
+        val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+          val t = new Thread(r, "graft-cc-observe"); t.setDaemon(true); t
+        })
+        try {
+          val fut = exec.submit(new java.util.concurrent.Callable[java.math.BigDecimal] {
+            override def call(): java.math.BigDecimal =
+              obs.get("s").asInstanceOf[java.math.BigDecimal]
+          })
+          Try(fut.get(30, java.util.concurrent.TimeUnit.SECONDS))
+            .getOrElse(next.agg(sum(col("comp").cast("decimal(38,0)")))
+              .head().getDecimal(0))
+        } finally exec.shutdownNow()
+      }
       labels = next
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"connectedComponents round $round labelSum=$labelSum")

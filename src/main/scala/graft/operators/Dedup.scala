@@ -109,9 +109,12 @@ object Dedup {
                              k: Int = 3, numHashes: Int = 128,
                              bands: Int = 16): DataFrame = {
     val probe = minhashIndex(batch, idCol, textCol, k, numHashes, bands)
+    // doc <> doc: a batch whose rows were already appended to the
+    // corpus index (replay after a partial failure, overlapping loads)
+    // must not report every replayed doc as a 16-band dup of itself
     corpusIndex.alias("c")
       .join(probe.alias("p"), col("c.band") === col("p.band") &&
-        col("c.bucket") === col("p.bucket"))
+        col("c.bucket") === col("p.bucket") && col("c.doc") =!= col("p.doc"))
       .groupBy(col("c.doc").as("corpus_id"), col("p.doc").as("batch_id"))
       .agg(count(lit(1)).as("n_bands"))
   }

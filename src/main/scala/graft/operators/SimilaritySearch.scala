@@ -156,13 +156,10 @@ object SimilaritySearch {
       .filter(col("c_nrm") > 0)
     // centroid per cell: element-wise decimal mean via posexplode —
     // order-independent like KMeans.fit, so centroids (and therefore
-    // results) are stable under any partitioning. The explicit
-    // double-then-decimal cast keeps the float path bit-identical to
-    // the old array<double> projection (float→decimal directly could
-    // round through the float's shortest decimal representation).
+    // results) are stable under any partitioning
     val cent = c.select(col("cell"), posexplode(col("c_v")).as(Seq("pos", "x")))
       .groupBy("cell", "pos")
-      .agg((sum(col("x").cast("double").cast("decimal(30,15)")) / count(lit(1)))
+      .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1)))
         .cast("double").as("m"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cent_v"))

@@ -36,12 +36,16 @@ object PipelineQueries {
     "t10_mix_budget" -> { (s, d) =>
       val docs = t(s, d, "documents")
         .withColumn("toks", TextOps.wsTokenCount(col("text")))
+      val budget = mixBudgets.foldRight(lit(500L)) { case ((l, b), els) =>
+        when(col("lang") === l, lit(b)).otherwise(els)
+      }
       CorpusMix.tokenBudgetSample(docs, "lang", "doc_id", "toks",
           mixBudgets, defaultBudget = 500L)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("toks")).cast("long").as("tokens"),
-          max(col("__cum_before") + col("toks")).cast("long").as("used_budget"))
+          sum(col("toks")).cast("long").as("tokens"))
+        .withColumn("budget", budget)
+        .withColumn("utilization", col("tokens").cast("double") / col("budget"))
         .orderBy("lang")
     },
 
@@ -90,11 +94,13 @@ object PipelineQueries {
         | c AS (SELECT *, COALESCE(SUM(toks) OVER (PARTITION BY lang
         |     ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |   0) AS cumb FROM r),
-        | kept AS (SELECT * FROM c WHERE cumb <
-        |   CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500 WHEN 'fr' THEN 1500
-        |             WHEN 'es' THEN 1500 WHEN 'zh' THEN 1000 ELSE 500 END)
+        | b AS (SELECT *, CAST(CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 1500
+        |     WHEN 'fr' THEN 1500 WHEN 'es' THEN 1500 WHEN 'zh' THEN 1000
+        |     ELSE 500 END AS BIGINT) AS budget FROM c),
+        | kept AS (SELECT * FROM b WHERE cumb < budget)
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
-        |  CAST(MAX(cumb + toks) AS BIGINT) AS used_budget
+        |  MAX(budget) AS budget,
+        |  CAST(CAST(SUM(toks) AS BIGINT) AS DOUBLE) / MAX(budget) AS utilization
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p1_corpus_pipeline" ->

@@ -43,6 +43,14 @@ class CrossDedupSpec extends SparkSpec {
       s"cross-probe must match self-join cross edges: $cross vs $self")
   }
 
+  test("replayed batch (ids already in the index) yields no self-pairs") {
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", k = 5)
+    val got = Dedup.minhashLshPairsAgainst(idx, corpus, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!got.exists { case (a, b) => a == b },
+      s"self-pairs leaked: ${got.filter(p => p._1 == p._2).take(5).toSeq}")
+  }
+
   test("index survives a parquet round trip (the persisted-index contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
     Dedup.minhashIndex(corpus, "doc_id", "text", k = 5)
