@@ -40,6 +40,15 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L), s"one component expected: $got")
   }
 
+  test("a 1000-node chain converges within the default round budget") {
+    // worst-case diameter: the pointer jump must give log-ish rounds,
+    // not diameter rounds — maxIters 50 would throw if it regressed
+    val edges = (0L until 999L).map(i => (i, i + 1))
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 1000 && got.values.toSet == Set(0L))
+  }
+
   test("non-convergence fails loudly instead of returning wrong labels") {
     val edges = (0L until 10L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
