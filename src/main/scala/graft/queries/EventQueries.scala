@@ -35,6 +35,20 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // sliding windows: each event lands in 4 overlapping hourly
+    // windows stepped by 15 min (epoch-aligned like the streaming
+    // variant). The oracle replays it as a generated window-start
+    // series joined on containment.
+    "e5_sliding_window" -> { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("ws", "event_type")
+    },
+
     // cohort retention: users bucketed by first-active day; how many
     // return exactly 7 days later. ONE distinct-activity shuffle + a
     // per-user min + join back — the standard product-analytics shape.
@@ -113,6 +127,16 @@ object EventQueries {
         |   ELSE CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
         |     / SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) END AS purchase_per_click
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e5_sliding_window" ->
+      """WITH bounds AS (SELECT date_trunc('day', MIN(ts)) - INTERVAL 45 MINUTE AS lo,
+        |    MAX(ts) AS hi FROM events),
+        | st AS (SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS ws
+        |   FROM bounds)
+        |SELECT ws, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN st ON ws <= ts AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
 
     "e4_retention_cohorts" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -94,6 +94,21 @@ object TextQueries {
         .orderBy("bucket")
     },
 
+    // exact corpus length quantiles per language (the distribution
+    // profile a filtering threshold is tuned against). Spark's exact
+    // `percentile` and DuckDB's quantile_cont share the (n-1)*p
+    // interpolation formula, so the doubles match bit-for-bit.
+    "t11_length_quantiles" -> { (s, d) =>
+      val len = length(col("text")).cast("long")
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          percentile(len, lit(0.5)).as("p50"),
+          percentile(len, lit(0.9)).as("p90"),
+          percentile(len, lit(0.99)).as("p99"))
+        .orderBy("lang")
+    },
+
     // deterministic stratified sample: hash-free modulo stratum so the
     // sample is reproducible and oracle-checkable
     "t6_stratified_sample" -> { (s, d) =>
@@ -137,6 +152,13 @@ object TextQueries {
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
         |FROM documents WHERE doc_id % 7 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t11_length_quantiles" ->
+      """SELECT lang, COUNT(*) AS n,
+        | quantile_cont(CAST(length(text) AS BIGINT), 0.5) AS p50,
+        | quantile_cont(CAST(length(text) AS BIGINT), 0.9) AS p90,
+        | quantile_cont(CAST(length(text) AS BIGINT), 0.99) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // per-row unnest(range(...)) enumerates positions from each row's
     // own length — no fixed series bound a longer document could
