@@ -159,6 +159,59 @@ object RelationalExt {
         .limit(20)
     },
 
+    // Q11 shape (adapted: lineitem revenue in place of partsupp stock
+    // value): parts whose revenue exceeds a fraction of the GLOBAL
+    // total — a correlated HAVING against a broadcast scalar.
+    "q11_important_parts" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("value"))
+      val total = li.agg((sum(revenue(col("l_extendedprice"), col("l_discount")))
+        .cast("double") * lit(0.0007)).as("thr"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") > col("thr"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(desc("value"), asc("l_partkey"))
+    },
+
+    // Q15 shape: suppliers achieving the MAXIMUM windowed revenue —
+    // the "create view + global max + join back" pattern, with the
+    // max as a broadcast scalar and ties kept deterministically.
+    "q15_top_supplier" -> { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // Q20 shape (adapted: "excess share" in place of partsupp
+    // half-year stock): suppliers responsible for more than 20% of
+    // some part's total shipped quantity — correlated per-part share
+    // + semi-join back to the supplier dimension.
+    "q20_excess_suppliers" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val perPartSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("tq"))
+      val excess = perPartSupp.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("sq") * lit(5) > col("tq")) // sq/tq > 0.2, decimal-exact
+        .select(col("l_suppkey")).distinct()
+      t(s, d, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey")
+    },
+
     // Q2 shape (adapted: lineitem unit price in place of partsupp
     // supplycost): for each mid-size part, the supplier rows achieving
     // the part's MINIMUM unit price — correlated min-per-group via a
@@ -283,6 +336,37 @@ object RelationalExt {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      s"""WITH pp AS (SELECT l_partkey, CAST(SUM($rev) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY l_partkey),
+        | thr AS (SELECT CAST(SUM($rev) AS DOUBLE) * 0.0007 AS thr FROM lineitem)
+        |SELECT l_partkey, value FROM pp, thr WHERE value > thr.thr
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey, CAST(SUM($rev) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY l_suppkey),
+        | m AS (SELECT MAX(total_revenue) AS mx FROM r)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r, m, supplier
+        |WHERE total_revenue = m.mx AND l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        | p AS (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (SELECT DISTINCT l_suppkey FROM ps JOIN p
+        |  ON l_partkey = pk WHERE sq * 5 > tq)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q2_min_cost_supplier" ->
       """WITH lp AS (SELECT p_partkey, p_brand, p_size, l_suppkey,
