@@ -26,6 +26,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming sliding windows: each event contributes to 4
+    * overlapping hourly windows stepped by 15 minutes — identical
+    * window boundaries to the batch `e5_sliding_window` query, with
+    * the watermark bounding how long an open window's state lives. */
+  def slidingWindowStreaming(events: DataFrame,
+                             watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
   /** Batch sessionization: gaps-and-islands with a windowed cumulative
     * sum — one shuffle on user_id, linear within partition. */
   def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {

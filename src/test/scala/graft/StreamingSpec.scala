@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingWindowStreaming: events land in 4 overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingWindowStreaming(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("slide")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(30), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts(600), "view", 1.0)) // advance watermark, close windows
+      q.processAllAvailable()
+      val rows = spark.table("slide").select("ws", "n", "sum_value")
+        .as[(Timestamp, Long, Double)].collect()
+      // one event → exactly 4 closed hourly windows stepped 15 min
+      assert(rows.count(_._2 == 1L) >= 4)
+      val clickWs = rows.filter(_._3 == 2.0).map(_._1.getTime).sorted
+      assert(clickWs.length == 4, s"expected 4 windows, got ${clickWs.toSeq}")
+      assert(clickWs.sliding(2).forall { case Array(a, b) => b - a == 15 * 60000L },
+        "windows must be stepped by 15 minutes")
+    } finally q.stop()
+  }
+
   test("sessionizeStreaming emits sessions on gap expiry across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
