@@ -21,7 +21,7 @@ object Bench {
     // catalog queries would otherwise absorb every table's first-read
     // cost and their times would measure run position, not the query.
     for (w <- Seq("q1_pricing_summary", "t2_quality_score",
-        "s1_cosine_topk", "e1_tumbling_window"))
+        "s1_cosine_topk", "e1_tumbling_window", "t7_vocab_topk"))
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case _: Throwable => () }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the catalog (the
