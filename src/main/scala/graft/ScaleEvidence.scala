@@ -61,6 +61,21 @@ object ScaleEvidence {
     println(f"[1] text LSH @ ${n} docs: recall $recalled/$nPlanted, " +
       f"candidates ${pairSet.size} (all-pairs ${n.toLong * (n - 1) / 2}%,d), ${tLsh}%.1f s")
 
+    // ---- 1b. cluster resolution over the 50k-doc corpus -----------
+    // the planted pairs + a synthetic 200-node chain (worst-case
+    // diameter for label propagation) + ~49k isolated nodes that must
+    // NOT ride through the iteration (endpoints-only design)
+    val chain = spark.range(199).select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val pairDf = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        k = 5, numHashes = 128, bands = 16)
+      .select(col("a_id"), col("b_id")).union(chain)
+    val (ccN, tCc) = timed {
+      graft.operators.Components.connectedComponents(pairDf, "a_id", "b_id",
+        nodes = Some(corpus.select("doc_id"))).count()
+    }
+    println(f"[1b] connected components @ ${n} docs (+200-chain): " +
+      f"$ccN labeled, ${tCc}%.1f s")
+
     // ---- 2. embedding LSH near-dup at 20k vectors -----------------
     val nVec = 20000
     val dim = 64
