@@ -57,10 +57,16 @@ object Bench {
       Thread.sleep(50) // let the async ContextCleaner drain its queue
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms-rounded per-query times and a duplicate total at the END of
+    // the object: the driver keeps only the last ~2000 chars of output,
+    // and with a 70+-query catalog the line's head (where "value" sits)
+    // can fall outside that window — the trailing "total_sec" keeps the
+    // headline number visible even if the head is truncated.
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}""")
     spark.stop()
   }
 }

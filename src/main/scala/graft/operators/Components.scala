@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.util.Try
-
 import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +61,12 @@ object Components {
     var prevSum: java.math.BigDecimal = null
     var round = 0
     var converged = false
+    // Observation wiring is dropped for the rest of the run after a
+    // single miss: each .observe registers a QueryExecutionListener
+    // that only unregisters when its metric is consumed, so re-arming
+    // it after a timeout would leak one listener + one 30 s stall per
+    // remaining round (ADVICE r4).
+    var useObserve = true
     while (!converged && round < maxIters) {
       round += 1
       // label edges (v, c(v)): v sees labels[c(v)] = c(c(v)) — the
@@ -74,39 +78,59 @@ object Components {
       // graph edges in sym.)
       val aug = sym
         .union(labels.select(col("node").as("u"), col("comp").as("v")))
-      val obs = Observation()
-      val next = aug
+      val merged = aug
         .join(labels.withColumnRenamed("node", "__v"), col("v") === col("__v"))
         .groupBy("u").agg(min("comp").as("comp"))
         .select(col("u").as("node"), col("comp"))
-        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("s"))
+      val obs = if (useObserve) Some(Observation()) else None
+      val next = obs.fold(merged)(o =>
+          merged.observe(o, sum(col("comp").cast("decimal(38,0)")).as("s")))
         .localCheckpoint(true)
       // the checkpoint materialization IS the round's only job; observe
       // collected the label sum during it. Defensive timeout: if the
       // metric ever failed to fire (obs.get would block forever), fall
-      // back to an explicit aggregation over the checkpointed blocks.
-      // A dedicated daemon thread is interrupted on timeout — parking
-      // the wait on the shared global pool would leak one blocked
-      // worker per round in exactly the scenario the timeout defends
-      // against.
-      val labelSum = {
-        val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-          val t = new Thread(r, "graft-cc-observe"); t.setDaemon(true); t
-        })
-        try {
-          val fut = exec.submit(new java.util.concurrent.Callable[java.math.BigDecimal] {
-            override def call(): java.math.BigDecimal =
-              obs.get("s").asInstanceOf[java.math.BigDecimal]
+      // back to an explicit aggregation over the checkpointed blocks —
+      // and stop observing for the rest of the run (see useObserve).
+      // Only the TIMEOUT falls back: a real failure inside the metric
+      // computation (ExecutionException) propagates rather than being
+      // silently converted into a second job. A dedicated daemon
+      // thread is interrupted on timeout — parking the wait on the
+      // shared global pool would leak one blocked worker per round in
+      // exactly the scenario the timeout defends against.
+      val checkpointSum = () => next.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      val labelSum = obs match {
+        case None => checkpointSum()
+        case Some(o) =>
+          val exec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+            val t = new Thread(r, "graft-cc-observe"); t.setDaemon(true); t
           })
-          Try(fut.get(30, java.util.concurrent.TimeUnit.SECONDS))
-            .getOrElse(next.agg(sum(col("comp").cast("decimal(38,0)")))
-              .head().getDecimal(0))
-        } finally exec.shutdownNow()
+          try {
+            val fut = exec.submit(new java.util.concurrent.Callable[java.math.BigDecimal] {
+              override def call(): java.math.BigDecimal =
+                o.get("s").asInstanceOf[java.math.BigDecimal]
+            })
+            try fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                System.err.println(
+                  s"connectedComponents: observe metric missed in round $round; " +
+                    "falling back to explicit aggregation for remaining rounds")
+                useObserve = false
+                checkpointSum()
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          } finally exec.shutdownNow()
       }
       labels = next
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"connectedComponents round $round labelSum=$labelSum")
-      converged = labelSum == prevSum
+      // value compare, not object equals: BigDecimal.equals is
+      // scale-sensitive (2 != 2.0), and the observe vs fallback paths
+      // could legally disagree on result scale (ADVICE r4)
+      converged = prevSum != null && labelSum != null &&
+        labelSum.compareTo(prevSum) == 0
       prevSum = labelSum
     }
     if (!converged && round == maxIters)

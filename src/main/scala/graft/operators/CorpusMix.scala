@@ -29,15 +29,17 @@ object CorpusMix {
     * `defaultBudget`. Adds `__rank` (the permutation rank) and
     * `__cum_before` (tokens admitted before this doc).
     *
-    * Id-range contract: the rank multiply is plain long arithmetic so
-    * any SQL engine replays it; ids must stay below 2^63/2654435761 ≈
-    * 3.4e9 or the product overflows (errors under ANSI). For larger id
-    * spaces pre-map ids (e.g. xxhash64 into a surrogate column) and
-    * rank on that — the budget-prefix semantics are unchanged. */
+    * Id range: the id is reduced mod 1e9+7 BEFORE the multiply —
+    * mathematically identical to (id·K) mod p by modular arithmetic,
+    * but the intermediate product stays below 2^62 for ANY 64-bit id,
+    * so the rank can never silently wrap under non-ANSI Spark (where
+    * an overflowing plain multiply wraps while ANSI engines error — a
+    * cross-engine divergence). Any SQL engine with C-style `%`
+    * replays it exactly. */
   def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
                         tokenCol: String, budgets: Map[String, Long],
                         defaultBudget: Long): DataFrame = {
-    val rank = (col(idCol) * lit(2654435761L)) % lit(1000000007L)
+    val rank = ((col(idCol) % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
     val w = Window.partitionBy(col(strataCol)).orderBy(rank, col(idCol))
     val budget = budgets.foldRight(lit(defaultBudget): org.apache.spark.sql.Column) {
       case ((s, b), els) => when(col(strataCol) === s, lit(b)).otherwise(els)

@@ -103,16 +103,28 @@ object Dedup {
     * (band, bucket) index join, and within-batch / within-corpus pairs
     * are not produced (run `minhashLshPairs` on the batch for those).
     * Returns (corpus_id, batch_id, n_bands). Same hash family as the
-    * self-join path, so an index built by any session matches. */
+    * self-join path, so an index built by any session matches.
+    *
+    * Replay safety (ADVICE r4): a replayed/duplicated append to the
+    * persisted index would double-count n_bands for pairs against
+    * OTHER docs (self-pairs are already suppressed), inflating
+    * collision counts past `bands`. `dedupIndex=true` (default)
+    * distincts the index on (doc, band, bucket) before the probe —
+    * one extra shuffle over the index; pass false when the index is
+    * known append-once (e.g. freshly built this session). */
   def minhashLshPairsAgainst(corpusIndex: DataFrame, batch: DataFrame,
                              idCol: String, textCol: String,
                              k: Int = 3, numHashes: Int = 128,
-                             bands: Int = 16): DataFrame = {
+                             bands: Int = 16,
+                             dedupIndex: Boolean = true): DataFrame = {
     val probe = minhashIndex(batch, idCol, textCol, k, numHashes, bands)
+    val corpus = if (dedupIndex)
+      corpusIndex.select("doc", "band", "bucket").distinct()
+    else corpusIndex
     // doc <> doc: a batch whose rows were already appended to the
     // corpus index (replay after a partial failure, overlapping loads)
     // must not report every replayed doc as a 16-band dup of itself
-    corpusIndex.alias("c")
+    corpus.alias("c")
       .join(probe.alias("p"), col("c.band") === col("p.band") &&
         col("c.bucket") === col("p.bucket") && col("c.doc") =!= col("p.doc"))
       .groupBy(col("c.doc").as("corpus_id"), col("p.doc").as("batch_id"))

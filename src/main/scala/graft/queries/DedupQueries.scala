@@ -64,8 +64,12 @@ object DedupQueries {
       val idx = Dedup.minhashIndex(
         docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
         k = 5, numHashes = 128, bands = 16)
+      // dedupIndex=false: the index is freshly built this session
+      // (append-once by construction), so the replay-safety distinct
+      // would be a pure extra shuffle here
       Dedup.minhashLshPairsAgainst(idx, docs.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text", k = 5, numHashes = 128, bands = 16)
+          "doc_id", "text", k = 5, numHashes = 128, bands = 16,
+          dedupIndex = false)
         .orderBy("corpus_id", "batch_id")
     },
 

@@ -90,7 +90,7 @@ object PipelineQueries {
       """WITH tok AS (SELECT doc_id, lang,
         |   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks
         |  FROM documents),
-        | r AS (SELECT *, (doc_id * 2654435761) % 1000000007 AS rk FROM tok),
+        | r AS (SELECT *, ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rk FROM tok),
         | c AS (SELECT *, COALESCE(SUM(toks) OVER (PARTITION BY lang
         |     ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |   0) AS cumb FROM r),

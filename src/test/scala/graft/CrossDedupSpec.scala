@@ -51,6 +51,26 @@ class CrossDedupSpec extends SparkSpec {
       s"self-pairs leaked: ${got.filter(p => p._1 == p._2).take(5).toSeq}")
   }
 
+  test("replay-duplicated index rows don't double-count n_bands") {
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text", k = 5)
+    val clean = Dedup.minhashLshPairsAgainst(idx, batch, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a replayed append: every index row present twice
+    val replayed = idx.union(idx)
+    val got = Dedup.minhashLshPairsAgainst(replayed, batch, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == clean,
+      s"dedupIndex must neutralize replayed index rows: $got vs $clean")
+    // and the opt-out really is unsafe on a duplicated index — the
+    // documented hazard, asserted so the contract stays honest
+    val raw = Dedup.minhashLshPairsAgainst(replayed, batch, "doc_id", "text",
+        k = 5, dedupIndex = false)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    clean.foreach { case (c, b, n) =>
+      assert(raw((c, b)) == 2 * n, s"expected doubled bands for ($c,$b)")
+    }
+  }
+
   test("index survives a parquet round trip (the persisted-index contract)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
     Dedup.minhashIndex(corpus, "doc_id", "text", k = 5)

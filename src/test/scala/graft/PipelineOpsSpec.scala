@@ -60,6 +60,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSample rank is exact for any 64-bit id (no overflow wrap)") {
+    // ids near 2^62: the pre-fix (id * K) % p long multiply wrapped
+    // silently here (ADVICE r4); the mod-first form must equal the
+    // exact BigInt value
+    val big = Seq(0L, 1L, 1L << 40, (1L << 62) + 12345L, Long.MaxValue)
+    val docs = big.map(i => (i, "a", 1L)).toDF("id", "src", "toks")
+    val got = CorpusMix.tokenBudgetSample(docs, "src", "id", "toks", Map.empty, 1000L)
+      .select("id", "__rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    big.foreach { i =>
+      val expect = ((BigInt(i) * BigInt(2654435761L)) mod BigInt(1000000007L)).toLong
+      assert(got(i) == expect, s"id $i: rank ${got(i)} != exact $expect")
+    }
+  }
+
   test("tokenBudgetSample is deterministic under repartitioning") {
     val docs = (0L until 500L)
       .map(i => (i, s"s${i % 3}", 5L + (i % 11))).toDF("id", "src", "toks")
