@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ql._
-import graft.operators.{KMeans, SimilaritySearch}
+import graft.operators.{KMeans, ProductQuantizer, SimilaritySearch}
 
 /** Similarity-search suite over `embeddings` (SURVEY §2.4): exact
   * brute-force baseline (oracle-checked) + LSH and IVF scale paths
@@ -49,6 +49,17 @@ object VectorQueries {
     // the partition-column IVF shape stays covered (pre-clustered data)
     "s4_ivf_label" -> { (s, d) =>
       SimilaritySearch.ivfTopK(qs(s, d), emb(s, d), "vec_id", "embedding", "label", 3)
+        .orderBy("q_id", "rk")
+    },
+
+    // product quantization (r5): 8 subspaces × 16 codes — each 64-dim
+    // float vector stored as 8 codes (32× compression); ADC shortlist
+    // (4·k) + exact cosine re-rank. Codebook-dependent scores →
+    // rows-only; PqAnnSpec pins recall vs the exact baseline,
+    // encode determinism, and the fit/encode/query index split.
+    "s6_pq_ann" -> { (s, d) =>
+      ProductQuantizer.pqTopK(qs(s, d), emb(s, d), "vec_id", "embedding",
+          k = 5, m = 8, ks = 16, refine = 4)
         .orderBy("q_id", "rk")
     }
   )
