@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture merge: apply a keyed changelog (upserts +
+  * deletes, each versioned by a timestamp and a tiebreaking sequence)
+  * to a base snapshot — the standard "materialize the current state"
+  * step of any incremental 100 TB ingest (the MERGE INTO shape of
+  * Delta/Iceberg, expressed as plain DataFrame ops).
+  *
+  * Scale shape: `latestState` is ONE hash-partition window per key
+  * (row_number over (ts, seq) desc, keep rank 1) — no join, no
+  * global sort, partitioned by the change key so skew follows the
+  * key distribution. `applyChanges` adds one anti-join of the base
+  * against the (already reduced, one-row-per-key) latest changes; at
+  * scale the reduced changelog of an incremental batch is small
+  * relative to the base, so Spark broadcasts it into the anti-join
+  * and the base is never shuffled.
+  *
+  * Determinism: the (ts, seq) version order must be total per key —
+  * `seq` exists precisely so replays and equal-timestamp changes
+  * resolve identically on any engine.
+  */
+object Cdc {
+
+  /** Reduce a changelog to its latest state: one row per key — the
+    * highest (ts, seq) version — with keys whose latest operation is
+    * `deleteOp` dropped. Output: key column + the changelog's payload
+    * columns of that winning row. */
+  def latestState(changelog: DataFrame, key: String, ts: String,
+                  seq: String, op: String, deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(seq).desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(op) =!= deleteOp)
+      .drop("__rn")
+  }
+
+  /** Merge a changelog into a base snapshot: upserted keys take their
+    * latest changelog values, deleted keys disappear, untouched base
+    * rows pass through. `setCols` maps each base column to the value
+    * it takes for upserted rows (referencing changelog columns); base
+    * rows keep their own values. Deleted-then-reinserted keys resolve
+    * by the latest version like any other. */
+  def applyChanges(base: DataFrame, changelog: DataFrame, key: String,
+                   ts: String, seq: String, op: String,
+                   setCols: Seq[(String, Column)],
+                   deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(seq).desc)
+    val latest = changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    // every touched key (incl. deletes) leaves the base; non-delete
+    // winners re-enter with their new values
+    val touched = latest.select(col(key))
+    val upserts = latest.filter(col(op) =!= deleteOp)
+      .select(col(key) +: setCols.map { case (n, c) => c.as(n) }: _*)
+    val kept = base.join(touched, Seq(key), "left_anti")
+    kept.select(upserts.columns.map(col): _*).unionByName(upserts)
+  }
+}

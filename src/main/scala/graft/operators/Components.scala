@@ -152,6 +152,61 @@ object Components {
 
   /** One row per duplicate cluster: canonical keeper (min id), member
     * count — the "which doc survives dedup" summary. */
+  /** Exact triangle count of an undirected pair graph — the standard
+    * graph-shape statistic of a near-dup pair pipeline (triangles ≈
+    * transitively-consistent duplicate groups; wedges that DON'T close
+    * flag borderline-threshold pairs worth auditing).
+    *
+    * Algorithm: degree-ordered node-iterator (the MapReduce-classic
+    * compact-forward form). Edges are oriented from the (degree, id)-
+    * smaller endpoint to the larger, so every wedge is enumerated at
+    * its lowest-degree vertex: the per-vertex wedge fan-out is bounded
+    * by min-degree and the hub-vertex quadratic blowup of the naive
+    * node-iterator never happens. Wedge generation and wedge closing
+    * are both equi-joins (on the pivot vertex / on the closing pair) —
+    * no cartesian anywhere, scales with Σ_e min-deg(e), the best known
+    * join-based bound.
+    *
+    * Input must be canonical candidate pairs (a < b, distinct — what
+    * every `*Pairs` operator here emits). Output: one row
+    * (n_nodes, n_edges, n_triangles). */
+  def triangleCount(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ed = pairs.select(
+      least(col(aCol), col(bCol)).cast("long").as("u"),
+      greatest(col(aCol), col(bCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    val deg = ed.select(col("u").as("n")).unionAll(ed.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
+    // orient each edge low -> high in the total (degree, id) order
+    val du = deg.select(col("n").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
+    val dir = ed.join(du, "u").join(dv, "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("id"), col("du").as("d")))
+          .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("v").as("id"), col("dv").as("d")))
+          .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("dst"))
+
+    // wedges at the pivot (one equi-join on src), ordered so the
+    // closing edge is oriented x -> y; close with a second equi-join
+    val e1 = dir.select(col("src.id").as("p"), col("dst").as("x"))
+    val e2 = dir.select(col("src.id").as("p"), col("dst").as("y"))
+    val wedges = e1.join(e2, "p")
+      .filter(struct(col("x.d"), col("x.id")) < struct(col("y.d"), col("y.id")))
+      .select(col("x.id").as("wx"), col("y.id").as("wy"))
+    val closing = dir.select(col("src.id").as("wx"), col("dst.id").as("wy"))
+    val nTri = wedges.join(closing, Seq("wx", "wy"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = ed.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
   def clusterSummary(components: DataFrame): DataFrame =
     components.groupBy(col("comp").as("keep_id"))
       .agg(count(lit(1)).as("n_members"))

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed global running sum — the scale-correct form of
+  * `SUM(x) OVER (ORDER BY ...)` with no PARTITION BY. An
+  * un-partitioned Spark window moves the WHOLE dataset into one task
+  * (the classic 100 TB trap); this operator keeps every pass parallel:
+  *
+  *  1. collect a deterministic hash-sample of the order keys and cut
+  *     it into numPartitions literal range boundaries (one small job;
+  *     the only driver-side data is the boundary list);
+  *  2. bucket each row against the literal boundaries and
+  *     hash-repartition on the bucket id — equal buckets land whole in
+  *     one partition — sorting (bucket, orderCols) within partitions;
+  *  3. aggregate per-bucket delta totals (numPartitions tiny rows),
+  *     exclusive-prefix-scan them on the driver, broadcast;
+  *  4. one imperative per-partition pass emits the running sum,
+  *     re-seeding from the bucket offset whenever the bucket changes.
+  *
+  * Why literal boundaries instead of `repartitionByRange`: the range
+  * partitioner re-SAMPLES per query execution (seeded by the fresh
+  * RDD id), so two jobs over the same frame can disagree about which
+  * partition a row lands in — the partial sums of pass 3 would not
+  * line up with the layout of pass 4. Literal boundaries make both
+  * passes bit-identical with nothing persisted.
+  *
+  * Determinism: callers must supply a TOTAL order (include tiebreak
+  * columns); deltas are longs so accumulation is exact in any order.
+  * `sampleMod` trades boundary-sample size for balance: the sample is
+  * ~n/sampleMod keys; raise it for very large inputs. Typical inputs
+  * are already-reduced frames (session boundaries, bucket counts),
+  * orders of magnitude smaller than the raw corpus.
+  */
+object PrefixSum {
+
+  /** Append running-sum column `out` of long column `delta`, ordered
+    * by `orderCols` (ascending, total order). */
+  def runningSumLong(df: DataFrame, orderCols: Seq[String], delta: String,
+                     out: String, sampleMod: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val key = struct(orderCols.map(col): _*)
+
+    // 1. deterministic boundary sample -> nPart-1 literal cut points
+    val sampleRows = df
+      .filter(pmod(xxhash64(key), lit(sampleMod)) === 0)
+      .select(orderCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .collect()
+    val cuts: Seq[Column] =
+      if (sampleRows.isEmpty) Seq.empty
+      else (1 until nPart).flatMap { i =>
+        val idx = (i.toLong * sampleRows.length / nPart).toInt
+        if (idx == 0) None
+        else Some(struct(orderCols.zipWithIndex.map { case (c, j) =>
+          lit(sampleRows(idx).get(j)).as(c)
+        }: _*))
+      }
+
+    // 2. bucket against the literals; whole buckets hash to partitions
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else cuts.map(b => when(key >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucketed = df.withColumn("__b", bucket)
+      .repartition(nPart, col("__b"))
+      .sortWithinPartitions((col("__b") +: orderCols.map(col)): _*)
+
+    // 3. per-bucket totals -> exclusive prefix offsets (driver-tiny)
+    val partials = bucketed.groupBy(col("__b"))
+      .agg(sum(col(delta)).as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val maxB = if (partials.isEmpty) -1 else partials.keys.max
+    val offsets = new Array[Long](maxB + 2)
+    var acc = 0L
+    for (b <- 0 to maxB) {
+      offsets(b) = acc
+      acc += partials.getOrElse(b, 0L)
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    // 4. imperative within-partition pass, re-seeded per bucket
+    val inSchema = bucketed.schema
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == "__b") :+
+        StructField(out, LongType, nullable = false))
+    val deltaIdx = inSchema.fieldIndex(delta)
+    val bIdx = inSchema.fieldIndex("__b")
+    val keepIdx = inSchema.fields.indices.filterNot(_ == bIdx)
+
+    bucketed.mapPartitions { rows =>
+      var curB = -1
+      var run = 0L
+      rows.map { r =>
+        val b = r.getInt(bIdx)
+        if (b != curB) { run = bcOffsets.value(b); curB = b }
+        run += r.getLong(deltaIdx)
+        Row.fromSeq(keepIdx.map(r.get) :+ run)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -199,6 +199,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketch(children.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItemsSketch].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_freq_items k must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_freq_items k must be a literal")
+        }
+        FreqItemsSketch(children.head, k).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchValues].getName, "graft_kmv_sketch"),
       (children: Seq[Expression]) => {

@@ -73,6 +73,17 @@ object DedupQueries {
         .orderBy("corpus_id", "batch_id")
     },
 
+    // triangle census of the near-dup pair graph — transitively-
+    // consistent duplicate groups close into triangles; open wedges
+    // flag borderline pairs. Degree-ordered node-iterator: equi-joins
+    // only, wedge fan-out bounded by min-degree (exact oracle via a
+    // canonical triple self-join).
+    "d10_triangles" -> { (s, d) =>
+      val pairs = Dedup.embeddingNearDups(
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      Components.triangleCount(pairs, "a_id", "b_id")
+    },
+
     // KMV distinct sketch vs exact: bounded-state cardinality per
     // group (hash-family dependent -> rows-only; KmvSketchSpec pins
     // the accuracy and partition-invariance contracts)
@@ -114,6 +125,21 @@ object DedupQueries {
         |FROM nn a JOIN nn b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "d10_triangles" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        |   WHERE list_dot_product(v, v) > 0),
+        | pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |   FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+        |   WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4)
+        |SELECT
+        | (SELECT COUNT(*) FROM
+        |   (SELECT a_id AS n FROM pairs UNION SELECT b_id FROM pairs)) AS n_nodes,
+        | (SELECT COUNT(*) FROM pairs) AS n_edges,
+        | (SELECT COUNT(*) FROM pairs e1
+        |   JOIN pairs e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id
+        |   JOIN pairs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id) AS n_triangles""".stripMargin,
 
     // transitive closure of the d5 pair graph: component = min
     // reachable vec_id (recursive CTE; UNION dedups so it terminates)

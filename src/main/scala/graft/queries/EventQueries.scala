@@ -66,6 +66,30 @@ object EventQueries {
         .orderBy("cohort")
     },
 
+    // peak concurrency: how many sessions were simultaneously open at
+    // the busiest instant — the sweep-line +1/-1 boundary sum. The
+    // running sum uses PrefixSum.runningSumLong (range-repartitioned
+    // two-phase scan), NOT an unpartitioned window: a global window
+    // would drag every boundary row into ONE task at scale.
+    "e6_peak_concurrency" -> { (s, d) =>
+      import graft.operators.PrefixSum
+      val sess = EventStreams.sessionIntervals(events(s, d))
+      val bounds = sess.select(col("st").as("ts"), lit(0).as("ord"),
+          lit(1L).as("delta"), col("user_id"), col("session_id"))
+        .unionAll(sess.select(col("en").as("ts"), lit(1).as("ord"),
+          lit(-1L).as("delta"), col("user_id"), col("session_id")))
+      // total order: (ts, +1-before--1, user, session) — deterministic
+      val run = PrefixSum.runningSumLong(bounds,
+        Seq("ts", "ord", "user_id", "session_id"), "delta", "conc")
+      val mx = run.agg(max(col("conc")).as("peak"))
+      val peakTs = run.join(broadcast(mx), col("conc") === col("peak"))
+        .agg(min(col("ts")).as("peak_ts"))
+      val nSess = sess.agg(count(lit(1)).as("n_sessions"))
+      mx.crossJoin(peakTs).crossJoin(nSess)
+        .select(col("peak").as("peak_concurrency"), col("peak_ts"),
+          col("n_sessions"))
+    },
+
     "m1_binary_meta" -> { (s, d) =>
       Binary.asOpaque(t(s, d, "documents"), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
@@ -148,6 +172,26 @@ object EventQueries {
         |   THEN f.user_id END) AS DOUBLE) / COUNT(DISTINCT f.user_id) AS retention
         |FROM f JOIN act ON f.user_id = act.user_id
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+
+    "e6_peak_concurrency" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        | f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN pts IS NULL OR epoch_ms(ts) - epoch_ms(pts) > 1800000
+        |      THEN 1 ELSE 0 END AS nf FROM l),
+        | s AS (SELECT user_id, ts, SUM(nf) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        | sess AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+        |   FROM s GROUP BY user_id, sid),
+        | b AS (SELECT st AS ts, 0 AS ord, 1 AS delta, user_id, sid FROM sess
+        |   UNION ALL SELECT en, 1, -1, user_id, sid FROM sess),
+        | r AS (SELECT ts, SUM(delta) OVER (ORDER BY ts, ord, user_id, sid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b)
+        |SELECT CAST((SELECT MAX(conc) FROM r) AS BIGINT) AS peak_concurrency,
+        | (SELECT MIN(ts) FROM r WHERE conc = (SELECT MAX(conc) FROM r)) AS peak_ts,
+        | (SELECT COUNT(*) FROM sess) AS n_sessions""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

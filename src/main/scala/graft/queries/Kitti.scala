@@ -131,6 +131,42 @@ object Kitti {
         .limit(20)
     },
 
+    // voxel-grid downsampling — the standard lidar preprocessing step
+    // (reference operates on raw clouds; any 100 TB cloud pipeline
+    // downsamples first): points bucketed into fixed-size voxels, one
+    // centroid row per voxel. ONE groupBy shuffle with map-side
+    // combine; centroids from exact decimal sums so the result is
+    // partitioning-invariant and oracle-exact.
+    "k8_voxel_downsample" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val x = col("l_quantity"); val y = col("l_discount") * 100
+      val z = col("l_tax") * 100
+      li.groupBy(
+          floor(x / 5.0).cast("long").as("vx"),
+          floor(y / 1.0).cast("long").as("vy"),
+          floor(z / 1.0).cast("long").as("vz"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("cx"),
+          (sum(dec(col("l_discount")) * 100).cast("double") / count(lit(1))).as("cy"),
+          (sum(dec(col("l_tax")) * 100).cast("double") / count(lit(1))).as("cz"))
+        .orderBy("vx", "vy", "vz")
+    },
+
+    // bird's-eye-view occupancy grid — the 2D top-down raster AV
+    // stacks feed to detection models: per-cell point count, max
+    // height, exact mean intensity. Same single-shuffle shape as k8.
+    "k9_bev_grid" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      li.groupBy(
+          floor(col("l_quantity") / 2.0).cast("long").as("gx"),
+          floor(col("l_discount") * 100 / 1.0).cast("long").as("gy"))
+        .agg(count(lit(1)).as("n_pts"),
+          max(col("l_tax") * 100).as("max_z"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+            .as("avg_intensity"))
+        .orderBy("gx", "gy")
+    },
+
     // apply_calibration chain: fixed 3x4 transform + axis remap
     "k5_calib_transform" -> { (s, d) =>
       val m = Seq(1.0, 0.02, 0.0, 0.3, 0.0, 0.9, 0.1, -0.2, 0.05, 0.0, 1.1, 0.6)
@@ -241,6 +277,23 @@ object Kitti {
         |       CAST(SUM(n) AS DOUBLE)/COUNT(*) AS avg_pts,
         |       COUNT(*) AS n_frames
         |FROM cnt""".stripMargin,
+
+    "k8_voxel_downsample" ->
+      """SELECT CAST(FLOOR(l_quantity/5.0) AS BIGINT) AS vx,
+        | CAST(FLOOR(l_discount*100/1.0) AS BIGINT) AS vy,
+        | CAST(FLOOR(l_tax*100/1.0) AS BIGINT) AS vz,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS cx,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))*100) AS DOUBLE)/COUNT(*) AS cy,
+        | CAST(SUM(CAST(l_tax AS DECIMAL(18,2))*100) AS DOUBLE)/COUNT(*) AS cz
+        |FROM lineitem GROUP BY vx, vy, vz ORDER BY vx, vy, vz""".stripMargin,
+
+    "k9_bev_grid" ->
+      """SELECT CAST(FLOOR(l_quantity/2.0) AS BIGINT) AS gx,
+        | CAST(FLOOR(l_discount*100/1.0) AS BIGINT) AS gy,
+        | COUNT(*) AS n_pts, MAX(l_tax*100) AS max_z,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_intensity
+        |FROM lineitem GROUP BY gx, gy ORDER BY gx, gy""".stripMargin,
 
     "k5_calib_transform" ->
       """SELECT l_orderkey,

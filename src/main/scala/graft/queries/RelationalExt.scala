@@ -19,6 +19,24 @@ import graft.ql._
 object RelationalExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CDC merge (the Delta/Iceberg MERGE INTO shape as plain ops):
+    // events replay as a changelog against the customer snapshot —
+    // purchases upsert the account balance, errors delete the account,
+    // latest (ts, event_id) version wins. One keyed window over the
+    // changelog + one anti-join; the reduced changelog broadcasts.
+    "q_cdc_upsert" -> { (s, d) =>
+      import graft.operators.Cdc
+      val base = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val ch = events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id").as("c_custkey"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("value"))
+      Cdc.applyChanges(base, ch, "c_custkey", "ts", "event_id", "op",
+          Seq("c_acctbal" -> col("value")))
+        .orderBy("c_custkey")
+    },
+
     // Q8 national market share: a nation's revenue share of PROMO-part
     // volume sold into ASIA, per year. Dims broadcast; the only big
     // shuffles are the lineitem-orders-customer fact joins.
@@ -257,6 +275,18 @@ object RelationalExt {
     """CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_upsert" ->
+      """WITH ch AS (SELECT user_id AS c_custkey, ts, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        | rn AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM ch),
+        | latest AS (SELECT c_custkey, op, value FROM rn WHERE rn = 1),
+        | kept AS (SELECT c.c_custkey, c.c_acctbal FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.c_custkey = c.c_custkey)),
+        | ups AS (SELECT c_custkey, value AS c_acctbal FROM latest WHERE op <> 'D')
+        |SELECT * FROM kept UNION ALL SELECT * FROM ups ORDER BY c_custkey""".stripMargin,
+
     "q8_market_share" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         | COALESCE(CAST(SUM(CASE WHEN ns.n_name = 'NATION_5' THEN $rev END) AS DOUBLE), 0.0)

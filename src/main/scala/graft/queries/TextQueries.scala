@@ -32,6 +32,29 @@ object TextQueries {
       |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact heavy hitters from a bounded-state sketch: pass 1 runs the
+    // native Misra-Gries aggregate (k counters TOTAL, map-side
+    // combining — guaranteed superset of every token with count >
+    // n/(k+1) under any partitioning); pass 2 re-counts JUST the ≤k
+    // candidates behind a broadcast join and applies the exact
+    // threshold. Output is therefore the exact heavy-hitter set —
+    // deterministic even though the sketch itself is order-sensitive.
+    "t12_heavy_hitters" -> { (s, d) =>
+      val K = 32
+      def toks = spread(t(s, d, "documents"))
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val sk = toks.agg(
+        call_function("graft_freq_items", col("token"), lit(K)).as("cand"),
+        count(lit(1)).as("n_total"))
+      val cand = sk.select(explode(col("cand")).as("token"), col("n_total"))
+      toks.join(broadcast(cand), "token")
+        .groupBy("token", "n_total").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (K + 1) > col("n_total"))
+        .select(col("token"), col("cnt"))
+        .orderBy(desc("cnt"), col("token"))
+    },
+
     "t1_langid" -> { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
@@ -122,6 +145,15 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t12_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |  FROM documents),
+        | t2 AS (SELECT token FROM t WHERE length(token) > 0),
+        | n AS (SELECT COUNT(*) AS n_total FROM t2)
+        |SELECT token, COUNT(*) AS cnt FROM t2, n GROUP BY token, n_total
+        |HAVING COUNT(*) * 33 > n_total
+        |ORDER BY cnt DESC, token""".stripMargin,
+
     "t1_langid" ->
       s"""WITH c AS (SELECT doc_id, lang, $nEn AS n_en, $nDe AS n_de,
         |    $nFr AS n_fr, $nEs AS n_es FROM documents),

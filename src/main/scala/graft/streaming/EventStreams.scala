@@ -37,18 +37,29 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Batch sessionization: gaps-and-islands with a windowed cumulative
-    * sum — one shuffle on user_id, linear within partition. */
-  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+  /** Events labeled with their gaps-and-islands session id — one
+    * shuffle on user_id, linear within partition. */
+  private def sessionLabeled(events: DataFrame, gapMs: Long): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val flagged = events
+    events
       .withColumn("__prev", lag(col("ts"), 1).over(w))
       .withColumn("__new", when(col("__prev").isNull ||
         unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs, 1).otherwise(0))
       .withColumn("session_id", sum(col("__new")).over(run))
-    flagged.groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
   }
+
+  /** Batch sessionization: per-session event counts. */
+  def sessionize(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    sessionLabeled(events, gapMs)
+      .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+
+  /** Session time intervals (user_id, session_id, st, en) — the input
+    * to interval analytics like peak concurrency (e6). */
+  def sessionIntervals(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
+    sessionLabeled(events, gapMs)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
 
   /** Per-user session rollup (query shape for e2). */
   def sessionStats(events: DataFrame, gapMs: Long = 1800000L): DataFrame =
