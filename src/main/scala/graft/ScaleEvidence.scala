@@ -101,6 +101,77 @@ object ScaleEvidence {
       f"recall $vRecalled/300, verified pairs ${lshSet.size}, ${tVec}%.1f s " +
       f"(exact all-pairs would be ${(nVec + 300).toLong * (nVec + 299) / 2}%,d cosines)")
 
+    // ---- 2b. PQ ANN on the 20k-vector corpus ----------------------
+    // fit/encode once (the index-build side), then ADC + exact
+    // re-rank; recall@10 vs the exact brute-force baseline
+    val pqQueries = emb.filter(col("vec_id") < 20)
+    val (pqModel, tFit) = timed {
+      graft.operators.ProductQuantizer.fit(emb, "vec_id", "embedding",
+        m = 8, ks = 16)
+    }
+    val pqIndex = graft.operators.ProductQuantizer
+      .encode(emb, "vec_id", "embedding", pqModel)
+    pqIndex.write.mode("overwrite").parquet("target/scale/pq_index")
+    val idx = spark.read.parquet("target/scale/pq_index")
+    // refine=16: ADC shortlist of 160 (0.8% of the corpus) exact
+    // re-ranked — uniform-random vectors are PQ's worst case (no
+    // cluster structure to quantize), so the shortlist does the work
+    val (pqTop, tPq) = timed {
+      graft.operators.ProductQuantizer.pqTopK(pqQueries, emb, "vec_id",
+          "embedding", k = 10, refine = 16, model = Some(pqModel),
+          index = Some(idx))
+        .select("q_id", "c_id").collect()
+    }
+    val exactTop = graft.operators.SimilaritySearch.bruteForceTopK(
+        pqQueries, emb, "vec_id", "embedding", k = 10)
+      .select("q_id", "c_id").collect()
+    val pqSet = pqTop.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exSet = exactTop.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pqRecall = exSet.count(pqSet.contains).toDouble / exSet.size
+    // the retrieval-relevant metric: a query that HAS a true near
+    // neighbor (its planted twin, cos ≈ 1) must surface it at rank 1;
+    // uniform-random top-10 beyond that is noise ranking (all cosines
+    // ≈ 0) and is reported as the honest worst case
+    val twinQ = emb.filter(col("vec_id") >= nVec)
+    val twinTop = graft.operators.ProductQuantizer.pqTopK(twinQ, emb,
+        "vec_id", "embedding", k = 2, refine = 16, model = Some(pqModel),
+        index = Some(idx))
+      .filter(col("c_id") =!= col("q_id") && col("c_id") === col("q_id") - nVec)
+      .count()
+    println(f"[2b] PQ ANN @ ${nVec + 300} vecs: planted-twin recall " +
+      f"$twinTop/300, uniform-noise recall@10 ${pqRecall}%.3f " +
+      f"(fit ${tFit}%.1f s, query ${tPq}%.1f s, index 8 codes/vec vs 64 floats)")
+
+    // ---- 2c. heavy hitters on the 50.5k-doc corpus ----------------
+    // one-pass MG sketch (k=64 counters TOTAL) + candidate re-count
+    // vs the exact full groupBy — sets must be IDENTICAL
+    // corpus tokens (uniform 9973-word vocab — nothing heavy) plus a
+    // planted hot stream: 5 tokens at ~40k occurrences each, well over
+    // the n/(k+1) threshold
+    val hhToks = corpus
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .union(spark.range(200000).select(
+        concat(lit("hot"), pmod(col("id"), lit(5))).as("token")))
+    val (hh, tHh) = timed {
+      val kCtr = 64
+      val sk = hhToks.agg(
+        call_function("graft_freq_items", col("token"), lit(kCtr)).as("cand"),
+        count(lit(1)).as("nt"))
+      val cand = sk.select(explode(col("cand")).as("token"), col("nt"))
+      hhToks.join(broadcast(cand), "token")
+        .groupBy("token", "nt").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (kCtr + 1) > col("nt"))
+        .select("token", "cnt").collect()
+    }
+    val nToks = hhToks.count()
+    val exactHh = hhToks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 65 > nToks).select("token", "cnt").collect()
+    val hhSet = hh.map(r => (r.getString(0), r.getLong(1))).toSet
+    val exHhSet = exactHh.map(r => (r.getString(0), r.getLong(1))).toSet
+    println(f"[2c] MG heavy hitters @ ${nToks}%,d tokens: sketch+recount " +
+      f"${hhSet.size} hitters in ${tHh}%.1f s, exact-set match: ${hhSet == exHhSet}")
+
     // ---- 3. AQE skew-split on a 6M-row hot-key join ---------------
     val nFact = 6000000L
     // ~17% of rows on key 0, rest uniform over 40k keys

@@ -81,12 +81,15 @@ object EventQueries {
       // total order: (ts, +1-before--1, user, session) — deterministic
       val run = PrefixSum.runningSumLong(bounds,
         Seq("ts", "ord", "user_id", "session_id"), "delta", "conc")
-      val mx = run.agg(max(col("conc")).as("peak"))
-      val peakTs = run.join(broadcast(mx), col("conc") === col("peak"))
-        .agg(min(col("ts")).as("peak_ts"))
-      val nSess = sess.agg(count(lit(1)).as("n_sessions"))
-      mx.crossJoin(peakTs).crossJoin(nSess)
-        .select(col("peak").as("peak_concurrency"), col("peak_ts"),
+      // ONE pass over the running frame: argmax via max-of-struct
+      // (peak conc, then earliest ts at that conc via negated micros);
+      // n_sessions rides along as count(boundaries)/2
+      run.agg(
+          max(struct(col("conc"),
+            (-unix_micros(col("ts"))).as("nts"))).as("pk"),
+          (count(lit(1)) / 2).cast("long").as("n_sessions"))
+        .select(col("pk.conc").as("peak_concurrency"),
+          timestamp_micros(-col("pk.nts")).as("peak_ts"),
           col("n_sessions"))
     },
 
