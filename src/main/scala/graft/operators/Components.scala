@@ -171,10 +171,15 @@ object Components {
     * every `*Pairs` operator here emits). Output: one row
     * (n_nodes, n_edges, n_triangles). */
   def triangleCount(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // eager localCheckpoint: the edge list feeds degree counting, both
+    // wedge sides, the closing join AND the edge count — without it a
+    // costly upstream pair pipeline (e.g. the d5 grid join) re-executes
+    // once per reference; blocks free when the plan drops out of scope
     val ed = pairs.select(
       least(col(aCol), col(bCol)).cast("long").as("u"),
       greatest(col(aCol), col(bCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
 
     val deg = ed.select(col("u").as("n")).unionAll(ed.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))

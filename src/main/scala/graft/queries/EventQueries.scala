@@ -73,7 +73,11 @@ object EventQueries {
     // would drag every boundary row into ONE task at scale.
     "e6_peak_concurrency" -> { (s, d) =>
       import graft.operators.PrefixSum
+      // eager localCheckpoint: the boundary frame is consumed by three
+      // PrefixSum passes (sample, partials, final) + the peak agg —
+      // without it the sessionization window re-executes per pass
       val sess = EventStreams.sessionIntervals(events(s, d))
+        .localCheckpoint(true)
       val bounds = sess.select(col("st").as("ts"), lit(0).as("ord"),
           lit(1L).as("delta"), col("user_id"), col("session_id"))
         .unionAll(sess.select(col("en").as("ts"), lit(1).as("ord"),
@@ -91,6 +95,28 @@ object EventQueries {
         .select(col("pk.conc").as("peak_concurrency"),
           timestamp_micros(-col("pk.nts")).as("peak_ts"),
           col("n_sessions"))
+    },
+
+    // ORDER-aware funnel (e3 counts events; this one requires the
+    // sequence): a user converts iff a purchase happens strictly
+    // AFTER their first view. Two per-user aggregations, one shuffle:
+    // min view ts rides along, the purchase probe is a conditional
+    // min over the same grouped pass via a self-join-free two-step.
+    "e7_funnel_sequence" -> { (s, d) =>
+      val ev = events(s, d)
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("ts") > col("first_view"))
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts")) - unix_micros(col("first_view")))
+          .as("us_to_convert"))
+      firstView.join(conv, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_viewers"),
+          count(col("us_to_convert")).as("n_converted"),
+          (sum(col("us_to_convert")).cast("double") /
+            count(col("us_to_convert"))).as("avg_us_to_convert"))
     },
 
     "m1_binary_meta" -> { (s, d) =>
@@ -195,6 +221,19 @@ object EventQueries {
         |SELECT CAST((SELECT MAX(conc) FROM r) AS BIGINT) AS peak_concurrency,
         | (SELECT MIN(ts) FROM r WHERE conc = (SELECT MAX(conc) FROM r)) AS peak_ts,
         | (SELECT COUNT(*) FROM sess) AS n_sessions""".stripMargin,
+
+    "e7_funnel_sequence" ->
+      """WITH fv AS (SELECT user_id, MIN(ts) AS first_view FROM events
+        |   WHERE event_type = 'view' GROUP BY user_id),
+        | cv AS (SELECT e.user_id,
+        |    MIN(epoch_us(e.ts) - epoch_us(fv.first_view)) AS us_to_convert
+        |   FROM events e JOIN fv USING (user_id)
+        |   WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+        |   GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_viewers, COUNT(us_to_convert) AS n_converted,
+        | CAST(SUM(us_to_convert) AS DOUBLE) / COUNT(us_to_convert)
+        |   AS avg_us_to_convert
+        |FROM fv LEFT JOIN cv USING (user_id)""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -37,6 +37,26 @@ object RelationalExt {
         .orderBy("c_custkey")
     },
 
+    // decile bucketing the scale-correct way: exact percentile
+    // boundaries in ONE aggregation, broadcast back, bucket by
+    // comparison — NOT ntile()/percent_rank() over an unpartitioned
+    // window, which drags the whole table into one task. Spark
+    // percentile ≡ DuckDB quantile_cont bit-for-bit (t11 precedent).
+    "q_decile_bucket" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      val bs = c.agg(expr(
+        "percentile(c_acctbal, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("bs"))
+      c.crossJoin(broadcast(bs))
+        .select(col("c_acctbal"),
+          size(filter(col("bs"), b => col("c_acctbal") > b))
+            .cast("long").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"))
+        .orderBy("decile")
+    },
+
     // Q8 national market share: a nation's revenue share of PROMO-part
     // volume sold into ASIA, per year. Dims broadcast; the only big
     // shuffles are the lineitem-orders-customer fact joins.
@@ -275,6 +295,15 @@ object RelationalExt {
     """CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
 
   val oracle: Map[String, String] = Map(
+    "q_decile_bucket" ->
+      """WITH bs AS (SELECT quantile_cont(c_acctbal,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b FROM customer),
+        | d AS (SELECT c_acctbal,
+        |    len(list_filter(b, x -> c_acctbal > x)) AS decile
+        |   FROM customer, bs)
+        |SELECT decile, COUNT(*) AS n, MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+
     "q_cdc_upsert" ->
       """WITH ch AS (SELECT user_id AS c_custkey, ts, event_id,
         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
