@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 import java.util.{HashMap => JHashMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -38,6 +39,13 @@ case class FreqItemsSketch(child: Expression, k: Int,
                            inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[JHashMap[UTF8String, java.lang.Long]] {
   require(k >= 2, s"graft_freq_items needs k >= 2 counters, got $k")
+
+  // analysis-time type guard (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the check is spelled out)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_freq_items needs a STRING column, got ${child.dataType.sql}")
 
   override def createAggregationBuffer(): JHashMap[UTF8String, java.lang.Long] =
     new JHashMap[UTF8String, java.lang.Long]()

@@ -134,17 +134,37 @@ object EventQueries {
     // via hex expansion + HUGEINT mod-2^64 folds. The top byte enters
     // sign-extended so the packed long never overflows (ANSI-safe).
     "m2_frame_features" -> { (s, d) =>
-      val media = Binary.asOpaque(t(s, d, "documents"), "doc_id", "text", "text/plain")
-      val frames = Binary.sampleFrames(media, 4)
-      def k(i: Int) =
-        round(element_at(col("features"), i + 1).cast("double") * 255).cast("long")
-      val low = (0 until 7).map(i => k(i) * lit(1L << (8 * i))).reduce(_ + _)
-      val hi = when(k(7) > 127, k(7) - 256).otherwise(k(7)) * lit(1L << 56)
-      frames.select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
-          (low + hi).as("fingerprint"))
-        .orderBy("media_id", "frame_no")
+      frameFingerprints(s, d).orderBy("media_id", "frame_no")
+    },
+
+    // frame-level exact dedup: the m2 fingerprints collapsed by value —
+    // the multimodal analogue of d1 (dedup the decoded FRAMES, not the
+    // raw bytes: re-encoded copies of the same content share frame
+    // fingerprints even when container bytes differ). One groupBy
+    // shuffle over the mapPartitions decode output.
+    "m3_frame_dedup" -> { (s, d) =>
+      frameFingerprints(s, d)
+        .groupBy("fingerprint")
+        .agg(min(col("media_id")).as("keep_media"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("fingerprint")
     }
   )
+
+  /** Shared m2/m3 pipeline: sample 4 frames per document through the
+    * real mapPartitions decode path and pack the fake codec's features
+    * back into its 64-bit byte-fold (integer-exact, DuckDB-replayable;
+    * see m2 scaladoc in the oracle below). */
+  private def frameFingerprints(s: SparkSession, d: String): DataFrame = {
+    val media = Binary.asOpaque(t(s, d, "documents"), "doc_id", "text", "text/plain")
+    val frames = Binary.sampleFrames(media, 4)
+    def k(i: Int) =
+      round(element_at(col("features"), i + 1).cast("double") * 255).cast("long")
+    val low = (0 until 7).map(i => k(i) * lit(1L << (8 * i))).reduce(_ + _)
+    val hi = when(k(7) > 127, k(7) - 256).otherwise(k(7)) * lit(1L << 56)
+    frames.select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+      (low + hi).as("fingerprint"))
+  }
 
   val oracle: Map[String, String] = Map(
     "e1_tumbling_window" ->
@@ -245,31 +265,43 @@ object EventQueries {
     // span, len)) byte ranges, fold signed bytes through a*31+b mod
     // 2^64 (HUGEINT, positive mod), reinterpret as signed BIGINT
     "m2_frame_features" ->
-      """WITH m AS (SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
-        |   octet_length(CAST(text AS BLOB)) AS len,
-        |   GREATEST(1, octet_length(CAST(text AS BLOB)) // 4) AS span
-        |  FROM documents),
-        | f AS (SELECT media_id, hx, len, span,
-        |   unnest(range(0, LEAST(4, len))) AS frame_no FROM m),
-        | c AS (SELECT media_id, frame_no,
-        |   substr(hx, CAST(frame_no*span*2 + 1 AS INT),
-        |     CAST((LEAST((frame_no+1)*span, len) - frame_no*span)*2 AS INT)) AS ch
-        |  FROM f),
-        | b AS (SELECT media_id, frame_no,
-        |   list_transform(range(0, length(ch)//2), j ->
-        |     16*(strpos('0123456789ABCDEF', substr(ch, CAST(2*j+1 AS INT), 1))-1)
-        |      + (strpos('0123456789ABCDEF', substr(ch, CAST(2*j+2 AS INT), 1))-1)) AS bs
-        |  FROM c),
-        | h AS (SELECT media_id, frame_no,
-        |   list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
-        |     list_transform(bs, v ->
-        |       CAST(CASE WHEN v > 127 THEN v - 256 ELSE v END AS HUGEINT))),
-        |     (a, x) -> ((a * 31 + x) % 18446744073709551616
-        |       + 18446744073709551616) % 18446744073709551616) AS hu
-        |  FROM b)
-        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
-        | CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
-        |   ELSE hu END AS BIGINT) AS fingerprint
-        |FROM h ORDER BY media_id, frame_no""".stripMargin
+      s"""$frameCte
+        |SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no, fingerprint
+        |FROM fp ORDER BY media_id, frame_no""".stripMargin,
+
+    "m3_frame_dedup" ->
+      s"""$frameCte
+        |SELECT fingerprint, MIN(media_id) AS keep_media,
+        | COUNT(*) AS n_frames
+        |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
   )
+
+  /** Shared m2/m3 oracle fragment: per-frame signed 64-bit fold. */
+  private lazy val frameCte: String =
+    """WITH m AS (SELECT doc_id AS media_id, hex(CAST(text AS BLOB)) AS hx,
+      |   octet_length(CAST(text AS BLOB)) AS len,
+      |   GREATEST(1, octet_length(CAST(text AS BLOB)) // 4) AS span
+      |  FROM documents),
+      | f AS (SELECT media_id, hx, len, span,
+      |   unnest(range(0, LEAST(4, len))) AS frame_no FROM m),
+      | c AS (SELECT media_id, frame_no,
+      |   substr(hx, CAST(frame_no*span*2 + 1 AS INT),
+      |     CAST((LEAST((frame_no+1)*span, len) - frame_no*span)*2 AS INT)) AS ch
+      |  FROM f),
+      | b AS (SELECT media_id, frame_no,
+      |   list_transform(range(0, length(ch)//2), j ->
+      |     16*(strpos('0123456789ABCDEF', substr(ch, CAST(2*j+1 AS INT), 1))-1)
+      |      + (strpos('0123456789ABCDEF', substr(ch, CAST(2*j+2 AS INT), 1))-1)) AS bs
+      |  FROM c),
+      | h AS (SELECT media_id, frame_no,
+      |   list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |     list_transform(bs, v ->
+      |       CAST(CASE WHEN v > 127 THEN v - 256 ELSE v END AS HUGEINT))),
+      |     (a, x) -> ((a * 31 + x) % 18446744073709551616
+      |       + 18446744073709551616) % 18446744073709551616) AS hu
+      |  FROM b),
+      | fp AS (SELECT media_id, frame_no,
+      |   CAST(CASE WHEN hu >= 9223372036854775808 THEN hu - 18446744073709551616
+      |     ELSE hu END AS BIGINT) AS fingerprint
+      |  FROM h)""".stripMargin
 }

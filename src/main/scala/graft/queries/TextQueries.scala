@@ -55,6 +55,28 @@ object TextQueries {
         .orderBy(desc("cnt"), col("token"))
     },
 
+    // keyword extraction, integer-exact: rank each doc's tokens by
+    // (rarest df, then highest tf) — the tf-idf ORDERING without the
+    // engine-varying log arithmetic, so the oracle is bit-trivial.
+    // Two count aggregations + a per-doc window (partitioned — no
+    // global-window trap).
+    "t13_keywords" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(split(col("text"), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("df"), desc("tf"), col("token"))
+      tf.join(dfreq, "token")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rk"))
+        .orderBy("doc_id", "rk")
+    },
+
     "t1_langid" -> { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"),
@@ -153,6 +175,19 @@ object TextQueries {
         |SELECT token, COUNT(*) AS cnt FROM t2, n GROUP BY token, n_total
         |HAVING COUNT(*) * 33 > n_total
         |ORDER BY cnt DESC, token""".stripMargin,
+
+    "t13_keywords" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        | t2 AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+        | tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+        | dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        | r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY dfq.df, tf.tf DESC, tf.token) AS rk
+        |   FROM tf JOIN dfq USING (token))
+        |SELECT doc_id, token, tf, df, rk FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "t1_langid" ->
       s"""WITH c AS (SELECT doc_id, lang, $nEn AS n_en, $nDe AS n_de,

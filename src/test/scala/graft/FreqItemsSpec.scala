@@ -74,6 +74,12 @@ class FreqItemsSpec extends SparkSpec {
     assert(cand.contains("a"))
   }
 
+  test("non-string input fails at analysis, not at runtime") {
+    val df = Seq(1L, 2L).toDF("v")
+    val e = intercept[Exception] { df.agg(mg($"v", 4)).collect() }
+    assert(e.getMessage.toLowerCase.contains("string"), e.getMessage)
+  }
+
   test("callable from SQL text") {
     Seq("x", "x", "y").toDF("t").createOrReplaceTempView("mg_in")
     val got = spark.sql("SELECT graft_freq_items(t, 4) FROM mg_in")
