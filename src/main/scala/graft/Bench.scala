@@ -62,7 +62,11 @@ object Bench {
     // and with a 70+-query catalog the line's head (where "value" sits)
     // can fall outside that window — the trailing "total_sec" keeps the
     // headline number visible even if the head is truncated.
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale would emit invalid JSON ("value":1,234)
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -12,7 +12,11 @@ import graft.operators.Dedup
   *   1. MinHash-LSH text near-dup: planted-pair recall and the
   *      candidate-count curve vs the all-pairs n²/2 at 50k docs.
   *   2. Hyperplane-LSH embedding near-dup (the high-τ 100 TB path):
-  *      recall vs the exact grid join + candidate volume at 20k vecs.
+  *      recall vs the exact grid join + candidate volume at 20k vecs;
+  *      2b: PQ ANN planted-twin recall off a persisted codes index;
+  *      2c: Misra-Gries heavy hitters vs exact at 2.2M tokens;
+  *      2d: distributed prefix sum vs the single-task window at 30M
+  *      rows; 2e: triangle census on a 100k-edge planted graph.
   *   3. AQE runtime skew-split on a 6M-row hot-key join: skewed
   *      sort-merge join with/without AQE skew handling.
   *
@@ -148,11 +152,14 @@ object ScaleEvidence {
     // corpus tokens (uniform 9973-word vocab — nothing heavy) plus a
     // planted hot stream: 5 tokens at ~40k occurrences each, well over
     // the n/(k+1) threshold
+    // checkpointed: consumed by the sketch pass, the re-count probe,
+    // the token count and the exact groupBy — four scans otherwise
     val hhToks = corpus
       .select(explode(split(col("text"), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
       .union(spark.range(200000).select(
         concat(lit("hot"), pmod(col("id"), lit(5))).as("token")))
+      .localCheckpoint(true)
     val (hh, tHh) = timed {
       val kCtr = 64
       val sk = hhToks.agg(
@@ -171,6 +178,47 @@ object ScaleEvidence {
     val exHhSet = exactHh.map(r => (r.getString(0), r.getLong(1))).toSet
     println(f"[2c] MG heavy hitters @ ${nToks}%,d tokens: sketch+recount " +
       f"${hhSet.size} hitters in ${tHh}%.1f s, exact-set match: ${hhSet == exHhSet}")
+
+    // ---- 2d. distributed prefix sum at 6M rows --------------------
+    // the operator behind e6: global running sum WITHOUT collapsing
+    // into one task — vs the unpartitioned-window formulation, which
+    // Spark executes as a single-partition sort (the trap at scale)
+    val pfx = spark.range(30000000L).select(
+      xxhash64(col("id")).as("k"), (col("id") % 7 - 3).as("d"))
+    pfx.write.mode("overwrite").parquet("target/scale/pfx")
+    val pfxIn = spark.read.parquet("target/scale/pfx")
+    val (pfxLast, tPfx) = timed {
+      graft.operators.PrefixSum.runningSumLong(pfxIn, Seq("k"), "d", "run")
+        .agg(max(abs(col("run")))).head().getLong(0)
+    }
+    val (winLast, tWin) = timed {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      pfxIn.withColumn("run", sum(col("d")).over(w))
+        .agg(max(abs(col("run")))).head().getLong(0)
+    }
+    println(f"[2d] 30M-row global running sum: distributed ${tPfx}%.1f s, " +
+      f"single-task window ${tWin}%.1f s (results equal: ${pfxLast == winLast})")
+
+    // ---- 2e. triangle census on a 100k-edge planted-community graph
+    val nCommunities = 2000
+    // 2000 communities of 5 nodes each, complete (10 edges -> C(5,3)=10
+    // triangles each), plus 80k random cross edges (triangle-sparse)
+    val commEdges = spark.range(nCommunities).select(col("id"))
+      .crossJoin(spark.range(5).select(col("id").as("i")))
+      .crossJoin(spark.range(5).select(col("id").as("j")))
+      .filter(col("i") < col("j"))
+      .select((col("id") * 5 + col("i")).as("a"), (col("id") * 5 + col("j")).as("b"))
+    val randEdges = spark.range(80000).select(
+      pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).as("a"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(1000000L)) + 1000000L).as("b"))
+    val (triRow, tTri) = timed {
+      graft.operators.Components.triangleCount(
+        commEdges.unionAll(randEdges), "a", "b").head()
+    }
+    println(f"[2e] triangle census @ ${triRow.getLong(1)}%,d edges: " +
+      f"${triRow.getLong(2)}%,d triangles (expect ≥ ${nCommunities * 10}%,d " +
+      f"planted), ${tTri}%.1f s")
 
     // ---- 3. AQE skew-split on a 6M-row hot-key join ---------------
     val nFact = 6000000L

@@ -25,18 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** THE version-ordering contract, in one place: the winning change
+    * per key is the (ts, seq)-greatest row. Both public entry points
+    * derive from this so they cannot drift. */
+  private def latestVersions(changelog: DataFrame, key: String, ts: String,
+                             seq: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(seq).desc)
+    changelog
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Reduce a changelog to its latest state: one row per key — the
     * highest (ts, seq) version — with keys whose latest operation is
     * `deleteOp` dropped. Output: key column + the changelog's payload
     * columns of that winning row. */
   def latestState(changelog: DataFrame, key: String, ts: String,
-                  seq: String, op: String, deleteOp: String = "D"): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(seq).desc)
-    changelog
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && col(op) =!= deleteOp)
-      .drop("__rn")
-  }
+                  seq: String, op: String, deleteOp: String = "D"): DataFrame =
+    latestVersions(changelog, key, ts, seq).filter(col(op) =!= deleteOp)
 
   /** Merge a changelog into a base snapshot: upserted keys take their
     * latest changelog values, deleted keys disappear, untouched base
@@ -48,10 +55,7 @@ object Cdc {
                    ts: String, seq: String, op: String,
                    setCols: Seq[(String, Column)],
                    deleteOp: String = "D"): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(seq).desc)
-    val latest = changelog
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    val latest = latestVersions(changelog, key, ts, seq)
     // every touched key (incl. deletes) leaves the base; non-delete
     // winners re-enter with their new values
     val touched = latest.select(col(key))

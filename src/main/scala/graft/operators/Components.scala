@@ -60,7 +60,12 @@ object Components {
       .localCheckpoint(true)
     var prevSum: java.math.BigDecimal = null
     var round = 0
-    var converged = false
+    // empty edge set: nothing to propagate (the convergence probe sums
+    // labels, and a sum over zero rows is null every round — without
+    // this short-circuit an all-singleton corpus would spin maxIters
+    // empty jobs and then throw). isEmpty is one cheap action on the
+    // checkpointed label frame.
+    var converged = labels.isEmpty
     // Observation wiring is dropped for the rest of the run after a
     // single miss: each .observe registers a QueryExecutionListener
     // that only unregisters when its metric is consumed, so re-arming

@@ -60,13 +60,19 @@ object PrefixSum {
         }: _*))
       }
 
-    // 2. bucket against the literals; whole buckets hash to partitions
+    // 2. bucket against the literals; whole buckets hash to partitions.
+    // Eager localCheckpoint: the partials job (step 3) and the final
+    // pass (step 4) both consume this layout — without it the input
+    // scan + shuffle + sort would execute twice (blocks free when the
+    // plan drops out of scope; the literal boundaries additionally
+    // guarantee both passes agree even if a caller re-executes).
     val bucket =
       if (cuts.isEmpty) lit(0)
       else cuts.map(b => when(key >= b, 1).otherwise(0)).reduce(_ + _)
     val bucketed = df.withColumn("__b", bucket)
       .repartition(nPart, col("__b"))
       .sortWithinPartitions((col("__b") +: orderCols.map(col)): _*)
+      .localCheckpoint(true)
 
     // 3. per-bucket totals -> exclusive prefix offsets (driver-tiny)
     val partials = bucketed.groupBy(col("__b"))

@@ -49,6 +49,15 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 1000 && got.values.toSet == Set(0L))
   }
 
+  test("empty edge set: singleton components, no convergence spin") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val got = Components.connectedComponents(noEdges, "a", "b",
+        nodes = Some(nodes))
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("non-convergence fails loudly instead of returning wrong labels") {
     val edges = (0L until 10L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
