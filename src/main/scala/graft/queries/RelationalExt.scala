@@ -57,6 +57,35 @@ object RelationalExt {
         .orderBy("decile")
     },
 
+    // rolling 7-day spend per customer — a RANGE window frame (value-
+    // based, ties-inclusive: every order on the same day joins the
+    // frame regardless of sort position, so no tiebreak ambiguity),
+    // keyed by day number for engine-portable frame bounds. Partitioned
+    // by customer — parallel, no global window.
+    "q_rolling_7d" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, d, "orders")
+        .withColumn("day", datediff(col("o_orderdate"),
+          lit("1970-01-01").cast("timestamp")))
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+      o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("spend_7d"))
+        .orderBy("o_custkey", "day", "o_orderkey")
+    },
+
+    // CUBE over (returnflag, linestatus): all four grouping levels in
+    // one pass (partial-aggregation friendly). Grouping-null markers
+    // coalesced to 'ALL' so both engines compare cleanly.
+    "q_cube" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_price"))
+        .orderBy("rf", "ls")
+    },
+
     // Q8 national market share: a nation's revenue share of PROMO-part
     // volume sold into ASIA, per year. Dims broadcast; the only big
     // shuffles are the lineitem-orders-customer fact joins.
@@ -295,6 +324,24 @@ object RelationalExt {
     """CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"""
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_7d" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS day
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, CAST(day AS INT) AS day,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY day
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+        |FROM o ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        | COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
     "q_decile_bucket" ->
       """WITH bs AS (SELECT quantile_cont(c_acctbal,
         |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b FROM customer),

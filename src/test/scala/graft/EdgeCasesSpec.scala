@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cdc, Components, Dedup}
+
+/** Degenerate inputs: empty frames and no-op changelogs must produce
+  * empty/identity results, never exceptions — a library dies in
+  * production on the empty partition of a partitioned run, not on the
+  * happy path. */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("dedup operators on an empty corpus return empty") {
+    assert(Dedup.exactDedup(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLshPairs(noDocs, "doc_id", "text",
+      k = 5, numHashes = 128, bands = 16).count() == 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text",
+      k = 5, threshold = 0.5, maxDf = 10L, minCommon = 1L).count() == 0)
+  }
+
+  test("triangle count of an empty graph is a zero row, not a crash") {
+    val r = Components.triangleCount(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
+  test("CDC with an empty changelog is the identity on the base") {
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("k", "ts", "seq", "op", "value")
+    val got = Cdc.applyChanges(base, empty, "k", "ts", "seq", "op",
+        Seq("bal" -> col("value")))
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got == Seq(1L -> 10.0, 2L -> 20.0))
+  }
+
+  test("freq-items over an empty stream yields an empty candidate array") {
+    val got = Seq.empty[String].toDF("t")
+      .agg(call_function("graft_freq_items", col("t"), lit(8)))
+      .head().getSeq[String](0)
+    assert(got.isEmpty)
+  }
+
+  test("docs shorter than the shingle length are excluded, not crashed on") {
+    val tiny = Seq((1L, "ab"), (2L, "abcdefghij"), (3L, "abcdefghij"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(tiny, "doc_id", "text",
+        k = 5, numHashes = 128, bands = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L)))
+  }
+}
