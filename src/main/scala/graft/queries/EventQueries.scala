@@ -119,6 +119,19 @@ object EventQueries {
             count(col("us_to_convert"))).as("avg_us_to_convert"))
     },
 
+    // semi-structured payloads: the JSON props column parsed in-flight
+    // (schema-on-read — the raw string stays in the lake, the engine
+    // projects typed fields at scan time; codegen'd JSON path, no UDF)
+    "e8_props_json" -> { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      events(s, d)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("distinct_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
     "m1_binary_meta" -> { (s, d) =>
       Binary.asOpaque(t(s, d, "documents"), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
@@ -254,6 +267,13 @@ object EventQueries {
         | CAST(SUM(us_to_convert) AS DOUBLE) / COUNT(us_to_convert)
         |   AS avg_us_to_convert
         |FROM fv LEFT JOIN cv USING (user_id)""".stripMargin,
+
+    "e8_props_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m1_binary_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
