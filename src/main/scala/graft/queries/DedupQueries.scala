@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ql._
 import graft.functions.VectorOps
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, SemDedup}
 
 /** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). d2/d3 are
   * hash-family-dependent (xxhash64) so they get rows-only checks; d1
@@ -82,6 +82,21 @@ object DedupQueries {
       val pairs = Dedup.embeddingNearDups(
         t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
       Components.triangleCount(pairs, "a_id", "b_id")
+    },
+
+    // semantic dedup (SemDeDup, arXiv:2303.09540): k-means cells
+    // confine the near-dup cosine search to within-cluster blocks —
+    // the linear-cost semantic twin of d5's exact pair search. Keep
+    // policy: min id per dup set survives. Quantizer is
+    // hash-seeded (deterministic but hash-family dependent) ->
+    // rows-only; SemDedupSpec pins the same-cell differential vs d5,
+    // planted-dup recall, and bit-identical reruns.
+    "d11_semantic_dedup" -> { (s, d) =>
+      SemDedup.dedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4, nCells = 8, iters = 2, blocks = 4)
+        .select(col("id").as("vec_id"), col("cell"), col("keep"),
+          col("n_dup_pairs"))
+        .orderBy("vec_id")
     },
 
     // KMV distinct sketch vs exact: bounded-state cardinality per

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
 import graft.functions.TextOps
-import graft.operators.{CorpusMix, Decontaminate}
+import graft.operators.{CorpusMix, Decontaminate, PrefixSum}
 
 /** LLM-training-data pipeline compositions over `documents`
   * (SURVEY §2.8): benchmark decontamination, token-budget corpus
@@ -68,6 +68,32 @@ object PipelineQueries {
           (sum(col("q").cast("decimal(10,6)")).cast("double") / count(lit(1)))
             .as("avg_q"))
         .orderBy("lang_pred")
+    },
+
+    // sequence packing for pretraining (GPT-style concat-and-split):
+    // documents concatenated in doc_id order and cut into fixed
+    // 2048-token training sequences; a doc whose tokens straddle a cut
+    // spans two sequences. The global token offset is the scale-correct
+    // PrefixSum.runningSumLong — NOT an unpartitioned window (which
+    // would drag the corpus through one task); everything after the
+    // offset is integer arithmetic + one groupBy. Reported per
+    // sequence: docs starting in it, their token mass, boundary
+    // spans, and the head doc.
+    "p4_pack_sequences" -> { (s, d) =>
+      val budget = 2048L
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("toks"))
+      PrefixSum.runningSumLong(docs, Seq("doc_id"), "toks", "cum")
+        .withColumn("cum_before", col("cum") - col("toks"))
+        .withColumn("seq_id", expr(s"cum_before DIV $budget"))
+        .withColumn("offset", pmod(col("cum_before"), lit(budget)))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("tokens"),
+          sum((col("offset") + col("toks") > budget).cast("long")).as("n_spanning"),
+          min(col("doc_id")).as("head_doc"))
+        .orderBy("seq_id")
     }
   )
 
@@ -115,6 +141,22 @@ object PipelineQueries {
         |  FROM samp)
         |SELECT lang_pred, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
         |  CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE)/COUNT(*) AS avg_q
-        |FROM l GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+        |FROM l GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    // the oracle may use the plain window cumsum — it runs at oracle
+    // scale; the Spark side must not (see the query comment)
+    "p4_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks
+        |  FROM documents),
+        | c AS (SELECT *, COALESCE(SUM(toks) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |   FROM tok)
+        |SELECT CAST(cum_before // 2048 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens,
+        |  CAST(SUM(CASE WHEN cum_before % 2048 + toks > 2048 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_spanning,
+        |  MIN(doc_id) AS head_doc
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin
   )
 }

@@ -163,6 +163,26 @@ object TextQueries {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"),
           max(col("doc_id")).as("last_id"))
         .orderBy("lang")
+    },
+
+    // fixed-size overlapping chunking (RAG / context-window prep):
+    // 200-char chunks stepped 150 (50 overlap). One codegen'd pass —
+    // sequence() builds the start offsets, explode + substr cut the
+    // chunks; no UDF, no shuffle until the final sort. Map-side only
+    // at any corpus size (chunks inherit the scan's partitioning).
+    "t14_doc_chunks" -> { (s, d) =>
+      val size = 200; val step = 150
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")), lit(1)),
+            lit(step))).as("start"))
+        .select(col("doc_id"),
+          expr(s"(start - 1) DIV $step").cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start"),
+          length(col("text").substr(col("start"), lit(size)))
+            .cast("long").as("chunk_chars"),
+          md5(col("text").substr(col("start"), lit(size))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 
@@ -259,6 +279,19 @@ object TextQueries {
         | CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS ws_tokens,
         | CAST(CEIL(length(text)/4.0) AS BIGINT) AS bpe_est,
         | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // starts 1, 151, 301, ... <= max(len, 1); substr clamps the tail
+    // chunk; generate_series is inclusive like Spark's sequence()
+    "t14_doc_chunks" ->
+      """SELECT doc_id,
+        | (i - 1) // 150 AS chunk_idx,
+        | i AS start,
+        | CAST(length(substr(text, CAST(i AS INT), 200)) AS BIGINT) AS chunk_chars,
+        | md5(substr(text, CAST(i AS INT), 200)) AS chunk_hash
+        |FROM documents
+        |CROSS JOIN generate_series(1, 50000, 150) AS g(i)
+        |WHERE i <= GREATEST(length(text), 1)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }
