@@ -92,8 +92,14 @@ object DedupQueries {
     // rows-only; SemDedupSpec pins the same-cell differential vs d5,
     // planted-dup recall, and bit-identical reruns.
     "d11_semantic_dedup" -> { (s, d) =>
-      SemDedup.dedup(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.4, nCells = 8, iters = 2, blocks = 4)
+      val emb = t(s, d, "embeddings")
+      // fit/apply split: the quantizer is an index-build artifact
+      // (bounded-sample fitLocal — one job), reused by the dedup pass;
+      // the production shape per VERDICT r2's s3 lesson
+      val quant = graft.operators.KMeans.fitLocal(
+        emb, "vec_id", "embedding", k = 8, iters = 2)
+      SemDedup.dedup(emb, "vec_id", "embedding",
+          threshold = 0.4, blocks = 4, quantizer = Some(quant))
         .select(col("id").as("vec_id"), col("cell"), col("keep"),
           col("n_dup_pairs"))
         .orderBy("vec_id")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
 import graft.functions.TextOps
-import graft.operators.{CorpusMix, Decontaminate, PrefixSum}
+import graft.operators.{CorpusMix, Decontaminate, Packing, PrefixSum}
 
 /** LLM-training-data pipeline compositions over `documents`
   * (SURVEY §2.8): benchmark decontamination, token-budget corpus
@@ -94,6 +94,24 @@ object PipelineQueries {
           sum((col("offset") + col("toks") > budget).cast("long")).as("n_spanning"),
           min(col("doc_id")).as("head_doc"))
         .orderBy("seq_id")
+    },
+
+    // whole-document training-shard packing (no document splits —
+    // instruction-tuning corpora): deterministic per-shard next-fit
+    // via Packing.packNextFit — one hash-partition shuffle + one
+    // imperative pass, shards pack in parallel. Shard here is
+    // doc_id % 8 so the oracle (a per-shard recursive CTE replaying
+    // the same next-fit scan) is hash-free; production uses
+    // xxhash64 % S, same operator.
+    "p5_pack_bins" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("toks"))
+      Packing.packNextFit(docs, "shard", Seq("doc_id"), "toks", budget = 2048L)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("fill"),
+          min(col("doc_id")).as("head_doc"))
+        .orderBy("shard", "bin")
     }
   )
 
@@ -157,6 +175,29 @@ object PipelineQueries {
         |  CAST(SUM(CASE WHEN cum_before % 2048 + toks > 2048 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_spanning,
         |  MIN(doc_id) AS head_doc
-        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
+    // the recursive CTE replays packNextFit's per-shard scan: one row
+    // per document, stepping rn -> rn+1 within each shard
+    "p5_pack_bins" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, doc_id % 8 AS shard,
+        |   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks
+        |  FROM documents),
+        | ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+        |     ORDER BY doc_id) AS rn FROM tok),
+        | st AS (
+        |   SELECT shard, rn, doc_id, toks, CAST(0 AS BIGINT) AS bin,
+        |     toks AS fill
+        |   FROM ord WHERE rn = 1
+        |   UNION ALL
+        |   SELECT o.shard, o.rn, o.doc_id, o.toks,
+        |     CASE WHEN s.fill > 0 AND s.fill + o.toks > 2048
+        |       THEN s.bin + 1 ELSE s.bin END,
+        |     CASE WHEN s.fill > 0 AND s.fill + o.toks > 2048
+        |       THEN o.toks ELSE s.fill + o.toks END
+        |   FROM st s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1)
+        |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS fill,
+        |  MIN(doc_id) AS head_doc
+        |FROM st GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
   )
 }

@@ -165,6 +165,29 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // bigram language-model table (the n-gram LM used for perplexity
+    // quality filters, CCNet-style): adjacent-token pairs counted,
+    // conditional probability cnt / count(w1 ·), top 20. Token stream
+    // stays partitioned by doc (per-doc windows are tiny); the
+    // (w1, w2) count is the word-count shape — map-side combine, one
+    // vocab-sized shuffle; integer counts → the double division is
+    // bit-exact in any engine.
+    "t15_bigram_lm" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), " +")).as(Seq("pos", "w")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("w").as("w1"), col("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+        .withColumn("p_cond", col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy("w1")))
+        .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+        .limit(20)
+    },
+
     // fixed-size overlapping chunking (RAG / context-window prep):
     // 200-char chunks stepped 150 (50 overlap). One codegen'd pass —
     // sequence() builds the start offsets, explode + substr cut the
@@ -280,6 +303,20 @@ object TextQueries {
         | CAST(CEIL(length(text)/4.0) AS BIGINT) AS bpe_est,
         | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // array adjacency a[i], a[i+1] ≡ Spark's per-doc lead(w) over pos
+    "t15_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS a
+        |  FROM documents),
+        | b AS (SELECT a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+        |  FROM t CROSS JOIN generate_series(1, 50000) AS g(i)
+        |  WHERE i <= len(a) - 1),
+        | c AS (SELECT w1, w2, COUNT(*) AS cnt FROM b GROUP BY w1, w2),
+        | tot AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS w1_total
+        |  FROM c GROUP BY w1)
+        |SELECT c.w1, c.w2, c.cnt, CAST(c.cnt AS DOUBLE)/w1_total AS p_cond
+        |FROM c JOIN tot USING (w1)
+        |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // starts 1, 151, 301, ... <= max(len, 1); substr clamps the tail
     // chunk; generate_series is inclusive like Spark's sequence()
