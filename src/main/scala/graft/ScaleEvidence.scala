@@ -220,6 +220,60 @@ object ScaleEvidence {
       f"${triRow.getLong(2)}%,d triangles (expect ≥ ${nCommunities * 10}%,d " +
       f"planted), ${tTri}%.1f s")
 
+    // ---- 2f. SemDeDup on the 20.3k-vector planted-twin corpus -----
+    // quantizer built once on a bounded sample (the index-build side),
+    // dedup confined to within-cell grid blocks. Twins score ~equally
+    // against every centroid so they share a cell — except the rare
+    // twin sitting exactly on a cell boundary, the paper's known
+    // recall tradeoff; report the honest count
+    val (semQuant, tSemFit) = timed {
+      graft.operators.KMeans.fitLocal(emb, "vec_id", "embedding",
+        k = 32, iters = 3, maxSample = 4096)
+    }
+    val (semDrop, tSem) = timed {
+      graft.operators.SemDedup.dedup(emb, "vec_id", "embedding",
+          threshold = 0.95, blocks = 8, quantizer = Some(semQuant))
+        .filter(!col("keep")).select("id").collect()
+    }
+    val semSet = semDrop.map(_.getLong(0)).toSet
+    val twinsCaught = (0L until 300L).count(i => semSet.contains(i + nVec))
+    println(f"[2f] SemDeDup @ ${nVec + 300} vecs (τ=0.95, 32 cells): " +
+      f"planted twins dropped $twinsCaught/300, total dropped ${semSet.size}, " +
+      f"fit ${tSemFit}%.1f s + dedup ${tSem}%.1f s " +
+      f"(within-cell pairs ≈ n²/cells vs n² global)")
+
+    // ---- 2g. whole-doc packing at 5M docs -------------------------
+    // next-fit into 2048-token bins across 256 hash shards — one
+    // shuffle + one imperative pass; bin count must sit within the
+    // next-fit guarantee [total/2048, 2·total/2048 + shards]
+    val packDocs = spark.range(5000000L).select(col("id"),
+      pmod(xxhash64(col("id")), lit(256L)).as("shard"),
+      (pmod(xxhash64(col("id"), lit(3)), lit(900L)) + 50L).as("toks"))
+    packDocs.write.mode("overwrite").parquet("target/scale/packdocs")
+    val packIn = spark.read.parquet("target/scale/packdocs")
+    val (packStats, tPack) = timed {
+      graft.operators.Packing.packNextFit(packIn, "shard", Seq("id"),
+          "toks", budget = 2048L)
+        .groupBy("shard", "bin").agg(sum(col("toks")).as("fill"))
+        .agg(count(lit(1)), sum(col("fill"))).head()
+    }
+    val nBins = packStats.getLong(0); val totToks = packStats.getLong(1)
+    val lo = totToks / 2048L; val hi = 2L * totToks / 2048L + 256L
+    println(f"[2g] whole-doc packing @ 5M docs, 256 shards: $nBins%,d bins " +
+      f"for $totToks%,d tokens (optimal ≥ $lo%,d, next-fit bound ≤ $hi%,d), " +
+      f"${tPack}%.1f s")
+
+    // ---- 2h. weighted priority sample at 5M docs ------------------
+    // distributed TakeOrdered: per-partition top-k + a k-row driver
+    // merge — no shuffle; the heaviest-weight rows must dominate
+    val (wsRows, tWs) = timed {
+      graft.operators.Sampling.weightedSample(
+        packIn, "id", "toks", k = 1000, salt = 5L).select("toks").collect()
+    }
+    val wsMean = wsRows.map(_.getLong(0)).sum.toDouble / wsRows.length
+    println(f"[2h] weighted sample @ 5M docs, k=1000: mean sampled weight " +
+      f"${wsMean}%.0f vs corpus mean ~499 (must skew high), ${tWs}%.1f s")
+
     // ---- 3. AQE skew-split on a 6M-row hot-key join ---------------
     val nFact = 6000000L
     // ~17% of rows on key 0, rest uniform over 40k keys
