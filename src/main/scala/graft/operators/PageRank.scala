@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an undirected edge list — the link-centrality
+  * quality signal crawl pipelines attach to documents (CommonCrawl
+  * publishes exactly this as its page/host ranks; harmonic/PageRank
+  * centrality is the standard "how linked is this page" feature for
+  * corpus filtering).
+  *
+  * Spark-first iteration: ranks live in a (node, rank) frame; one
+  * Lloyd-style round = equi-join ranks→edges on the source endpoint,
+  * groupBy destination with map-side combine, left-join back onto the
+  * node set (teleport-only for nodes nothing points at this round).
+  * Undirected edges are symmetrized, so there are no dangling nodes
+  * by construction (every node in the edge list has degree ≥ 1);
+  * isolated nodes never enter the iteration (same endpoints-only
+  * discipline as [[Components.connectedComponents]]) — the caller
+  * attaches them at the teleport floor if it wants them labeled.
+  *
+  * Determinism (the property every other float PageRank lacks): ranks
+  * are `decimal(38,18)` end to end — contributions divide and sum as
+  * decimals, so per-iteration results are EXACTLY order- and
+  * partition-invariant, and two runs of the same graph are
+  * bit-identical (spec-asserted at different parallelism). Per
+  * iteration the rank frame is eagerly localCheckpointed to truncate
+  * lineage (iters are sequential; each is one shuffle round).
+  *
+  * 100 TB lens: per round, the only movement is edges ⋈ ranks (hash
+  * equi-join on node id — AQE-skew-splittable for hub nodes) and a
+  * node-keyed aggregation; state is one row per node. Fixed `iters`
+  * (power iteration converges geometrically at rate ~damping). */
+object PageRank {
+
+  private val RankType = "decimal(38,18)"
+
+  /** Ranks for every edge-incident node after `iters` rounds:
+    * (node, rank) with Σ rank = 1 over the edge-incident node set
+    * (decimal-exact up to the per-node rounding ulp). */
+  def run(edges: DataFrame, aCol: String, bCol: String,
+          iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // symmetrize + dedup; eager checkpoint: feeds degree count + every round
+    val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .unionAll(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val n = deg.count() // edge-incident node count (one tiny job)
+    require(n > 0, "PageRank needs at least one edge")
+    val dampDec = lit(damping).cast("decimal(20,18)")
+    val teleport = (lit(1).cast(RankType) / lit(n))
+      .multiply(lit(1) - dampDec).cast(RankType)
+    // out-edges annotated with the source degree, reused every round
+    val out = sym.join(deg, "u")
+      .select(col("u"), col("v"), col("deg"))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("u").as("node"),
+        (lit(1).cast(RankType) / lit(n)).cast(RankType).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = out.join(ranks, col("u") === col("node"))
+        .select(col("v"), (col("rank") / col("deg")).as("c"))
+        .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      ranks = ranks.select(col("node"))
+        .join(contrib, col("node") === col("v"), "left")
+        .select(col("node"),
+          (teleport + dampDec * coalesce(col("in_mass"), lit(0).cast(RankType)))
+            .cast(RankType).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ql._
 import graft.functions.VectorOps
-import graft.operators.{Components, Dedup, SemDedup}
+import graft.operators.{Components, Dedup, PageRank, SemDedup}
 
 /** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). d2/d3 are
   * hash-family-dependent (xxhash64) so they get rows-only checks; d1
@@ -82,6 +82,21 @@ object DedupQueries {
       val pairs = Dedup.embeddingNearDups(
         t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
       Components.triangleCount(pairs, "a_id", "b_id")
+    },
+
+    // link-centrality quality signal (the CommonCrawl-style page rank
+    // a crawl pipeline attaches to documents): PageRank over the
+    // near-dup pair graph. Decimal-exact iteration -> deterministic,
+    // but not SQL-expressible (fixpoint) -> rows-only; PageRankSpec
+    // pins mass conservation, bit-identical reruns and a
+    // double-precision reference
+    "d12_pagerank" -> { (s, d) =>
+      val pairs = Dedup.embeddingNearDups(
+        t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      PageRank.run(pairs, "a_id", "b_id", iters = 10)
+        .select(col("node").as("vec_id"),
+          round(col("rank").cast("double"), 12).as("rank"))
+        .orderBy("vec_id")
     },
 
     // semantic dedup (SemDeDup, arXiv:2303.09540): k-means cells

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** PageRank contracts: probability mass conservation, exact decimal
+  * determinism (bit-identical under different input partitioning;
+  * symmetric nodes get EXACTLY equal ranks), agreement with a
+  * driver-side double-precision reference on a fixture graph, and
+  * centrality ordering on a star. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ranks sum to 1 and symmetric nodes tie exactly") {
+    // path graph 1-2-3-4-5: (1,5) and (2,4) are symmetric pairs
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r = PageRank.run(edges, "a", "b", iters = 12)
+      .select(col("node"), col("rank"))
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1)).toMap
+    val total = r.values.map(BigDecimal(_)).sum
+    assert((total - 1).abs < BigDecimal("1e-12"), s"mass sum $total")
+    assert(r(1L) === r(5L)) // exact decimal equality, not within-epsilon
+    assert(r(2L) === r(4L))
+    assert(BigDecimal(r(3L)) > BigDecimal(r(1L)))
+  }
+
+  test("star center dominates and leaves tie exactly") {
+    val edges = (1L to 8L).map(i => (0L, i)).toDF("a", "b")
+    val r = PageRank.run(edges, "a", "b", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1)).toMap
+    assert((1L to 8L).map(r).toSet.size === 1, "leaves must tie exactly")
+    assert(BigDecimal(r(0L)) > 4 * BigDecimal(r(1L)))
+  }
+
+  test("bit-identical under input partitioning") {
+    val edges = (0L until 60L).map(i => (i % 17, (i * 7 + 3) % 17))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    def run(parts: Int) = PageRank.run(edges.repartition(parts), "a", "b", iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1)).toMap
+    assert(run(1) === run(7))
+  }
+
+  test("matches a double-precision reference within 1e-9") {
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val d = 0.85; val iters = 15
+    // driver reference on the symmetrized graph
+    val adj = (raw ++ raw.map(_.swap)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    var ref = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      // .keys yields a Set — map over an iterator so equal
+      // contributions from different sources don't collapse
+      val in = nodes.map { v =>
+        v -> adj.filter(_._2.contains(v)).keysIterator
+          .map(u => ref(u) / adj(u).size).sum
+      }.toMap
+      ref = nodes.map(v => v -> ((1 - d) / n + d * in(v))).toMap
+    }
+    val got = PageRank.run(raw.toDF("a", "b"), "a", "b", iters, d)
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1).doubleValue()).toMap
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - ref(v)) < 1e-9, s"node $v: ${got(v)} vs ${ref(v)}")
+    }
+  }
+}
