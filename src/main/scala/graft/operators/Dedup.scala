@@ -274,30 +274,46 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, blocks: Int = 8): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
     // keep the storage element type (array<float> stays float): the
     // native dot kernel widens per element — bit-identical to casting
     // the array up front, and the grid join shuffles half the bytes
     val base = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", VectorOps.fastNorm(col("v")))
       .filter(col("nrm") > 0) // zero-norm: no direction (NaN vs NULL divergence)
-      .withColumn("blk", pmod(xxhash64(col("id")), lit(blocks.toLong)))
+    gridCosinePairs(base, Nil, threshold, blocks)
+  }
+
+  /** The grid-blocked exact-cosine pair join shared by
+    * [[embeddingNearDups]] (no extra keys) and `SemDedup.pairs`
+    * (cell-confined: `extraKeys = Seq("cell")`). `base` must carry
+    * (id, v, nrm) plus `extraKeys`; pairs are produced only between
+    * rows agreeing on every extra key, each unordered pair exactly
+    * once (see the uniqueness argument in [[embeddingNearDups]]'s
+    * scaladoc), output = extraKeys ++ (a_id, b_id, cos). */
+  private[operators] def gridCosinePairs(base: DataFrame, extraKeys: Seq[String],
+                                         threshold: Double, blocks: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    val blked = base.withColumn("blk", pmod(xxhash64(col("id")), lit(blocks.toLong)))
     val bp = (for { i <- 0L until blocks; j <- i until blocks } yield (i, j))
       .toDF("bi", "bj")
-    val a = base.join(broadcast(bp), col("blk") === col("bi"))
-      .select(col("bi"), col("bj"), col("blk").as("blka"),
-        col("id").as("ida"), col("v").as("va"), col("nrm").as("nrma"))
-    val b = base.join(broadcast(bp), col("blk") === col("bj"))
-      .select(col("bi").as("bi2"), col("bj").as("bj2"), col("blk").as("blkb"),
-        col("id").as("idb"), col("v").as("vb"), col("nrm").as("nrmb"))
-    a.join(b, col("bi") === col("bi2") && col("bj") === col("bj2") &&
-        (col("blka") < col("blkb") || col("ida") < col("idb")))
+    val a = blked.join(broadcast(bp), col("blk") === col("bi"))
+      .select(extraKeys.map(col) ++ Seq(col("bi"), col("bj"),
+        col("blk").as("blka"), col("id").as("ida"),
+        col("v").as("va"), col("nrm").as("nrma")): _*)
+    val b = blked.join(broadcast(bp), col("blk") === col("bj"))
+      .select(extraKeys.map(k => col(k).as(s"__b_$k")) ++ Seq(
+        col("bi").as("bi2"), col("bj").as("bj2"), col("blk").as("blkb"),
+        col("id").as("idb"), col("v").as("vb"), col("nrm").as("nrmb")): _*)
+    val keyEq = (extraKeys.map(k => col(k) === col(s"__b_$k")) ++
+      Seq(col("bi") === col("bi2"), col("bj") === col("bj2"))).reduce(_ && _)
+    a.join(b, keyEq && (col("blka") < col("blkb") || col("ida") < col("idb")))
       .withColumn("cos", VectorOps.cosinePre(col("va"), col("vb"), col("nrma"), col("nrmb")))
       .filter(col("cos") >= threshold)
-      .select(least(col("ida"), col("idb")).as("a_id"),
+      .select(extraKeys.map(col) ++ Seq(
+        least(col("ida"), col("idb")).as("a_id"),
         greatest(col("ida"), col("idb")).as("b_id"),
-        round(col("cos"), 6).as("cos"))
+        round(col("cos"), 6).as("cos")): _*)
   }
 
   /** Approximate embedding near-dup pairs: multi-table random-

@@ -57,7 +57,15 @@ object Packing {
         if (!started || s != curShard) {
           curShard = s; started = true; bin = 0L; fill = 0L
         }
+        // fail fast with a diagnosable error instead of an executor
+        // NPE / silently-corrupt fill accounting
+        if (r.isNullAt(tokIdx))
+          throw new IllegalArgumentException(
+            s"packNextFit: null token count (row ${r.toSeq.take(4)})")
         val toks = r.getLong(tokIdx)
+        if (toks < 0L)
+          throw new IllegalArgumentException(
+            s"packNextFit: negative token count $toks (row ${r.toSeq.take(4)})")
         if (fill > 0L && fill + toks > budget) { bin += 1L; fill = 0L }
         fill += toks
         Row.fromSeq(r.toSeq :+ bin)

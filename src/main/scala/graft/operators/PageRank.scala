@@ -37,20 +37,33 @@ object PageRank {
 
   /** Ranks for every edge-incident node after `iters` rounds:
     * (node, rank) with Σ rank = 1 over the edge-incident node set
-    * (decimal-exact up to the per-node rounding ulp). */
+    * (decimal-exact up to the per-node rounding ulp). Self-loops and
+    * null endpoints are dropped; an empty (or all-self-loop) edge
+    * list yields an empty frame, not an error. */
   def run(edges: DataFrame, aCol: String, bCol: String,
           iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    // symmetrize + dedup; eager checkpoint: feeds degree count + every round
+    // symmetrize + dedup; mirroring via explode runs the (possibly
+    // expensive) upstream edge pipeline ONCE, not once per union leg
+    // (same pattern as Components.connectedComponents), and the
+    // self-loop/null filter sits before the mirror so neither leg
+    // can re-admit a dropped edge. Eager checkpoint: feeds the degree
+    // count + every round.
     val sym = edges.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .unionAll(edges.select(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v")))
+      .filter(col("u") =!= col("v")) // null-safe: null endpoints fail too
+      .select(explode(array(struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .localCheckpoint(true)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val n = deg.count() // edge-incident node count (one tiny job)
-    require(n > 0, "PageRank needs at least one edge")
+    if (n == 0) {
+      // degenerate input: no usable edges -> empty result, same schema
+      return deg.select(col("u").as("node"),
+        lit(null).cast(RankType).as("rank"))
+    }
     val dampDec = lit(damping).cast("decimal(20,18)")
     val teleport = (lit(1).cast(RankType) / lit(n))
       .multiply(lit(1) - dampDec).cast(RankType)

@@ -63,30 +63,11 @@ object SemDedup {
     * (cell, a_id, b_id, cos), each unordered pair exactly once,
     * a_id < b_id. Exactly [[Dedup.embeddingNearDups]] restricted to
     * same-cell pairs (the differential spec asserts this), computed
-    * without ever joining across cells. */
-  def pairs(assigned: DataFrame, threshold: Double, blocks: Int = 4): DataFrame = {
-    val s = assigned.sparkSession
-    import s.implicits._
-    val base = assigned.withColumn("blk", pmod(xxhash64(col("id")), lit(blocks.toLong)))
-    val bp = (for { i <- 0L until blocks; j <- i until blocks } yield (i, j))
-      .toDF("bi", "bj")
-    val a = base.join(broadcast(bp), col("blk") === col("bi"))
-      .select(col("cell").as("cella"), col("bi"), col("bj"), col("blk").as("blka"),
-        col("id").as("ida"), col("v").as("va"), col("nrm").as("nrma"))
-    val b = base.join(broadcast(bp), col("blk") === col("bj"))
-      .select(col("cell").as("cellb"), col("bi").as("bi2"), col("bj").as("bj2"),
-        col("blk").as("blkb"),
-        col("id").as("idb"), col("v").as("vb"), col("nrm").as("nrmb"))
-    a.join(b, col("cella") === col("cellb") &&
-        col("bi") === col("bi2") && col("bj") === col("bj2") &&
-        (col("blka") < col("blkb") || col("ida") < col("idb")))
-      .withColumn("cos", VectorOps.cosinePre(col("va"), col("vb"), col("nrma"), col("nrmb")))
-      .filter(col("cos") >= threshold)
-      .select(col("cella").as("cell"),
-        least(col("ida"), col("idb")).as("a_id"),
-        greatest(col("ida"), col("idb")).as("b_id"),
-        round(col("cos"), 6).as("cos"))
-  }
+    * without ever joining across cells — the shared grid join with
+    * the cell id prepended to the block-pair key. */
+  def pairs(assigned: DataFrame, threshold: Double, blocks: Int = 4): DataFrame =
+    Dedup.gridCosinePairs(assigned.select("cell", "id", "v", "nrm"),
+      Seq("cell"), threshold, blocks)
 
   /** Full SemDeDup pass: fit/reuse a quantizer, assign cells, find
     * within-cell near-dups, and label every vector keep/drop. Keep

@@ -304,7 +304,10 @@ object TextQueries {
         | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // array adjacency a[i], a[i+1] ≡ Spark's per-doc lead(w) over pos
+    // array adjacency a[i], a[i+1] ≡ Spark's per-doc lead(w) over pos.
+    // generate_series(1, 50000) + WHERE is the repo's oracle-side
+    // corpus bound (same convention as d4/t9: driver docs are ≤ a few
+    // KB; the Spark side is unbounded)
     "t15_bigram_lm" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS a
         |  FROM documents),
@@ -319,7 +322,9 @@ object TextQueries {
         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
 
     // starts 1, 151, 301, ... <= max(len, 1); substr clamps the tail
-    // chunk; generate_series is inclusive like Spark's sequence()
+    // chunk; generate_series is inclusive like Spark's sequence().
+    // the 50000 ceiling is the oracle-side corpus bound (d4/t9
+    // convention) — the Spark side is unbounded
     "t14_doc_chunks" ->
       """SELECT doc_id,
         | (i - 1) // 150 AS chunk_idx,

@@ -32,6 +32,18 @@ class PageRankSpec extends SparkSpec {
     assert(BigDecimal(r(0L)) > 4 * BigDecimal(r(1L)))
   }
 
+  test("self-loops are dropped from BOTH mirror legs; empty graph yields empty frame") {
+    // (5,5) must not survive via the reversed leg: graph is 1-2 plus
+    // the loop, so ranks must be the exact 2-node symmetric split
+    val edges = Seq((1L, 2L), (5L, 5L)).toDF("a", "b")
+    val r = PageRank.run(edges, "a", "b", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1)).toMap
+    assert(r.keySet === Set(1L, 2L), s"self-loop node leaked: ${r.keySet}")
+    assert(r(1L) === r(2L))
+    // all-self-loop input -> no usable edges -> empty, not an error
+    assert(PageRank.run(Seq((7L, 7L)).toDF("a", "b"), "a", "b").count() === 0)
+  }
+
   test("bit-identical under input partitioning") {
     val edges = (0L until 60L).map(i => (i % 17, (i * 7 + 3) % 17))
       .filter { case (a, b) => a != b }.toDF("a", "b")

@@ -27,11 +27,16 @@ class StreamingSampleSpec extends SparkSpec {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val ss = batch.sparkSession
+        // distinct() makes the merge replay-safe: foreachBatch is
+        // at-least-once, and a replayed row is bit-identical (same id,
+        // same weight, same deterministic key), so without it a replay
+        // could fill the top-k with duplicates of one hot doc
         val merged =
           if (new java.io.File(idxPath).exists())
             Sampling.weightedSample(
-              ss.read.parquet(idxPath).unionAll(batch), "id", "w", k, salt)
-          else Sampling.weightedSample(batch, "id", "w", k, salt)
+              ss.read.parquet(idxPath).unionAll(batch).distinct(),
+              "id", "w", k, salt)
+          else Sampling.weightedSample(batch.distinct(), "id", "w", k, salt)
         // k rows: write to a fresh dir then swap would be the
         // production move; overwrite is fine for the spec
         val rows = merged.collect()
@@ -43,6 +48,10 @@ class StreamingSampleSpec extends SparkSpec {
     val all = (1L to 600L).map(i => (i, 1.0 + (i % 17)))
     try {
       all.grouped(150).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        // replay the chunk (at-least-once delivery): the merged index
+        // must be unaffected — same ids, same deterministic keys
         mem.addData(chunk: _*)
         q.processAllAvailable()
       }
