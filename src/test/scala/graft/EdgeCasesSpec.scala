@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Cdc, Components, Dedup}
+import graft.operators.{Cdc, Components, Dedup, Packing, Sampling, SemDedup}
 
 /** Degenerate inputs: empty frames and no-op changelogs must produce
   * empty/identity results, never exceptions — a library dies in
@@ -18,6 +18,25 @@ class EdgeCasesSpec extends SparkSpec {
       k = 5, numHashes = 128, bands = 16).count() == 0)
     assert(Dedup.ngramJaccardPairs(noDocs, "doc_id", "text",
       k = 5, threshold = 0.5, maxDf = 10L, minCommon = 1L).count() == 0)
+  }
+
+  test("packing an empty frame is empty; sampling caps at the row count") {
+    val noTok = Seq.empty[(Long, Long, Long)].toDF("id", "shard", "toks")
+    assert(Packing.packNextFit(noTok, "shard", Seq("id"), "toks", 2048L)
+      .count() == 0)
+    // k larger than the (positive-weight) population: all rows, no error
+    val tiny = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "w")
+    assert(Sampling.weightedSample(tiny, "id", "w", k = 50).count() == 2)
+    assert(Sampling.weightedSample(
+      Seq.empty[(Long, Double)].toDF("id", "w"), "id", "w", k = 5).count() == 0)
+  }
+
+  test("semantic dedup with a supplied quantizer handles an empty corpus") {
+    val noVec = Seq.empty[(Long, Array[Float])].toDF("id", "v")
+    val quant = Seq((0L, Seq(1.0, 0.0))).toDF("cell", "cv")
+    val out = SemDedup.dedup(noVec, "id", "v", threshold = 0.9,
+      quantizer = Some(quant))
+    assert(out.count() == 0)
   }
 
   test("triangle count of an empty graph is a zero row, not a crash") {
