@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+import graft.operators.ProductQuantizer.PqModel
+
+/** IVF-PQ — the composed FAISS flagship index (Jégou et al. 2011 §V:
+  * "IVFADC"): a coarse k-means quantizer prunes the search to `nProbe`
+  * of `nCells` inverted lists, and product-quantization codes score
+  * the surviving candidates by table lookup. The two structures answer
+  * different costs — IVF bounds how MANY candidates are touched,
+  * PQ bounds the BYTES and FLOPs per candidate — so their composition
+  * is what real billion-vector deployments run.
+  *
+  * This variant scores candidates with the GLOBAL codebooks rather
+  * than per-cell residual codebooks (FAISS's "IVFPQ with residuals").
+  * Residual encoding buys ADC resolution but couples every code to its
+  * cell's centroid, so re-clustering invalidates the whole codes index;
+  * the global-codebook form keeps `encode` cell-independent — the PQ
+  * index survives a coarse-quantizer refit — and the exact re-rank
+  * (`refine`) recovers the ordering precision either way. The recall
+  * spec (IvfPqSpec) gates the composition against the exact baseline.
+  *
+  * The 100 TB shape, end to end:
+  * - Both models are driver-sized by construction: the coarse model is
+  *   nCells × dim doubles, the codebooks m · ks · dim/m. Both train on
+  *   the same bounded deterministic sample rule (`KMeans.fitLocal`,
+  *   `ProductQuantizer.fit`) — one Spark job each.
+  * - `buildIndex` is ONE map-side codegen pass over the corpus: cell
+  *   assignment (literal-centroid argmax) and the m sub-code argmaxes
+  *   run in the same projection; output (c_id, cell, codes) is the
+  *   persistable index — m codes + a cell id per vector, the original
+  *   embeddings never rescanned for candidate generation.
+  * - `topK` broadcasts the (tiny) probe set — |Q|·nProbe rows each
+  *   carrying a precomputed m·ks LUT — and equi-joins it on `cell`
+  *   against the index scan: only ~nProbe/nCells of the codes table is
+  *   scored, each candidate costing m `element_at` lookups. Only the
+  *   per-query top-k windows shuffle, on shortlist-sized data.
+  *
+  * Determinism: same sample/init/tie rules as the component operators,
+  * so index builds and queries are bit-identical under any
+  * partitioning (asserted by IvfPqSpec). */
+object IvfPq {
+
+  /** Collect a (cell, cv) quantizer frame to the driver-side model. */
+  private def collectCoarse(quantizer: DataFrame): Seq[(Long, Seq[Double])] =
+    quantizer.select(col("cell").cast("long"), col("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+
+  /** Build the persistable index (c_id, cell, codes) in one map-side
+    * pass: slice attrs → literal-centroid scores (cell + every
+    * sub-code) in one projection, argmax CASE chains in the next
+    * (KMeans' two-select codegen discipline). Unit vectors make the
+    * spherical cell score a plain dot against unit centroids. */
+  def buildIndex(candidates: DataFrame, idCol: String, vecCol: String,
+                 coarse: Seq[(Long, Seq[Double])], model: PqModel): DataFrame = {
+    val sd = model.subDim
+    val u = ProductQuantizer.unitPrep(candidates, idCol, vecCol, "c", doSpread = true)
+    val cellScores = KMeans.centroidScores(coarse, col("c_v"), lit(1.0))
+    val scoreCols = cellScores.map { case (cell, cc) => cc.as(s"__cc$cell") } ++
+      (0 until model.m).flatMap { j =>
+        ProductQuantizer.subScores(model, j, slice(col("c_v"), j * sd + 1, sd))
+          .map { case (code, sc) => sc.as(s"__sc${j}_$code") }
+      }
+    val scored = u.select(col("c_id") +: scoreCols: _*)
+    val codes = (0 until model.m).map { j =>
+      val attrs = model.codebooks(j).indices.map(c => c.toLong -> col(s"__sc${j}_$c"))
+      KMeans.argmaxCell(attrs).cast("int")
+    }
+    val cellAttrs = cellScores.map { case (cell, _) => cell -> col(s"__cc$cell") }
+    scored.select(col("c_id"), KMeans.argmaxCell(cellAttrs).as("cell"),
+      array(codes: _*).as("codes"))
+  }
+
+  /** IVF-PQ top-k: probe `nProbe` cells, ADC-score their codes, exact
+    * cosine re-rank of the top refine·k. Returns (q_id, c_id, cos, rk).
+    * Pass `quantizer` / `model` / `index` to reuse persisted artifacts
+    * (the production shape: train once, index once, query forever);
+    * omitted pieces are built inline. */
+  def topK(queries: DataFrame, candidates: DataFrame,
+           idCol: String, vecCol: String, k: Int,
+           nCells: Int = 16, nProbe: Int = 4,
+           m: Int = 8, ks: Int = 16, iters: Int = 5,
+           maxSample: Int = 65536, refine: Int = 4,
+           quantizer: Option[DataFrame] = None,
+           model: Option[PqModel] = None,
+           index: Option[DataFrame] = None): DataFrame = {
+    val coarse = collectCoarse(quantizer.getOrElse(
+      KMeans.fitLocal(candidates, idCol, vecCol, nCells, iters = iters,
+        maxSample = maxSample)))
+    val mdl = model.getOrElse(
+      ProductQuantizer.fit(candidates, idCol, vecCol, m, ks, iters, maxSample))
+    val idx = index.getOrElse(buildIndex(candidates, idCol, vecCol, coarse, mdl))
+
+    // query side: rank cells by unit-centroid dot (desc, then asc cell),
+    // explode the top nProbe, carry the precomputed flat ADC LUT
+    val qp = ProductQuantizer.unitPrep(queries, idCol, vecCol, "q", doSpread = false)
+    val qScores = KMeans.centroidScores(coarse, col("q_v"), lit(1.0))
+    val scoreArr = array(qScores.map { case (cell, cc) =>
+      struct(cc.as("cc"), lit(cell).as("cell")) }: _*)
+    val ranked = array_sort(scoreArr, (l: Column, r: Column) =>
+      when(l.getField("cc") > r.getField("cc"), -1)
+        .when(l.getField("cc") < r.getField("cc"), 1)
+        .otherwise(when(l.getField("cell") < r.getField("cell"), -1)
+          .when(l.getField("cell") > r.getField("cell"), 1).otherwise(0)))
+    val probes = broadcast(
+      qp.withColumn("__lut", ProductQuantizer.lutCol(mdl, col("q_v")))
+        .withColumn("cell",
+          explode(transform(slice(ranked, 1, nProbe), p => p.getField("cell"))))
+        .select("q_id", "q_v", "__lut", "cell"))
+
+    // ADC over the probed cells only: a candidate lives in exactly one
+    // cell and a query's probe cells are distinct, so pairs match once
+    val adc = probes.join(idx, "cell")
+      .withColumn("adc", round(
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(mdl.m - 1)),
+            (cd, j) => element_at(col("__lut"), j * mdl.ks + cd + 1)),
+          lit(0.0), (acc, x) => acc + x), 6))
+    val wAdc = Window.partitionBy("q_id").orderBy(desc("adc"), asc("c_id"))
+    if (refine <= 0) {
+      adc.withColumn("rk", row_number().over(wAdc).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("c_id"), col("adc").as("cos"), col("rk"))
+    } else {
+      val shortlist = adc
+        .withColumn("rk", row_number().over(wAdc))
+        .filter(col("rk") <= k.toLong * refine)
+        .select("q_id", "q_v", "c_id")
+      val c = ProductQuantizer.unitPrep(candidates, idCol, vecCol, "c", doSpread = true)
+      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
+      broadcast(shortlist).join(c, "c_id")
+        .withColumn("cos", round(VectorOps.fastDot(col("q_v"), col("c_v")), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+    }
+  }
+}

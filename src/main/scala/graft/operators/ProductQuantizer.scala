@@ -52,9 +52,9 @@ object ProductQuantizer {
   }
 
   /** Unit-normalize, widen, drop zero-norm rows (no direction — same
-    * contract as SimilaritySearch). */
-  private def unitPrep(df: DataFrame, idCol: String, vecCol: String, as: String,
-                       doSpread: Boolean) = {
+    * contract as SimilaritySearch). Shared with IvfPq. */
+  private[operators] def unitPrep(df: DataFrame, idCol: String, vecCol: String, as: String,
+                                  doSpread: Boolean) = {
     val base = if (doSpread) spread(df) else df
     base.select(col(idCol).as(s"${as}_id"),
         VectorOps.toDouble(col(vecCol)).as("__v"))
@@ -125,7 +125,7 @@ object ProductQuantizer {
     * literal centroids — score = <v_sub, c> − |c|²/2, argmax ≡ argmin
     * L2. Centroids enter as single-array typedlits (codegen cache
     * discipline, cf. KMeans.centroidScores). */
-  private def subScores(model: PqModel, j: Int, sub: Column): Seq[(Long, Column)] =
+  private[operators] def subScores(model: PqModel, j: Int, sub: Column): Seq[(Long, Column)] =
     model.codebooks(j).zipWithIndex.map { case (c, code) =>
       val n2 = c.foldLeft(0.0)((acc, x) => acc + x * x)
       code.toLong -> (VectorOps.fastDot(sub, typedlit(c.toSeq)) - lit(n2 / 2))
@@ -157,7 +157,7 @@ object ProductQuantizer {
   /** Flat m·ks LUT column for a (query) unit-vector: entry j·ks + c =
     * <q_sub_j, codebook_j(c)> — computed once per query row, before
     * the probe join. */
-  private def lutCol(model: PqModel, v: Column): Column = {
+  private[operators] def lutCol(model: PqModel, v: Column): Column = {
     val sd = model.subDim
     array((0 until model.m).flatMap { j =>
       val sub = slice(v, j * sd + 1, sd)

@@ -188,6 +188,97 @@ object TextQueries {
         .limit(20)
     },
 
+    // Gopher-style repetition quality signals (Rae et al. 2021,
+    // MassiveText §A1.1): duplicate-token fraction, top-token
+    // fraction, duplicate-bigram fraction per document — the standard
+    // "is this doc degenerate boilerplate/spam" filters. Integer
+    // counts end to end; the three fractions are single double
+    // divisions at the edge, so the oracle is bit-exact. Shape: two
+    // word-count aggregations (doc,token) and (doc,bigram) + one
+    // doc-keyed join — map-side combine everywhere, partitioned by
+    // doc, no global state.
+    "t17_repetition" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), " +")).as(Seq("pos", "w")))
+      val tokStats = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum(col("cnt")).as("n_tok"),
+          count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("top_cnt"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val bigStats = toks
+        .withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .groupBy("doc_id", "w", "w2").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(
+          sum(col("cnt")).as("n_big"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_big"))
+      tokStats.join(bigStats, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          ((col("n_tok") - col("n_distinct")).cast("double") / col("n_tok"))
+            .as("dup_token_frac"),
+          (col("top_cnt").cast("double") / col("n_tok")).as("top_token_frac"),
+          when(col("n_big").isNull || col("n_big") === 0, lit(0.0))
+            .otherwise(col("dup_big").cast("double") / col("n_big"))
+            .as("dup_bigram_frac"))
+        .withColumn("keep",
+          col("dup_token_frac") <= 0.6 && col("top_token_frac") <= 0.2 &&
+            col("dup_bigram_frac") <= 0.9)
+        .orderBy("doc_id")
+    },
+
+    // LM-familiarity scoring (the CCNet perplexity-filter shape
+    // without engine-varying log arithmetic): score each doc by the
+    // mean corpus-frequency of its bigrams against the t15-style LM
+    // table trained on the same corpus. hits = Σ global cnt of each
+    // bigram instance (exact integers), score = hits / n_big — ONE
+    // double division. The LM table is vocab²-bounded (a model
+    // artifact, like KenLM): at 100 TB it is the small join side.
+    "t18_lm_score" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      def bigrams = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), " +")).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(byDoc))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      val lm = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("gcnt"))
+      val docIds = t(s, d, "documents").select("doc_id")
+      docIds.join(
+          bigrams.join(lm, Seq("w1", "w2"))
+            .groupBy("doc_id").agg(
+              count(lit(1)).as("n_big"), sum(col("gcnt")).as("lm_hits")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("lm_hits"), lit(0L)).as("lm_hits"),
+          when(col("n_big").isNull, lit(0.0))
+            .otherwise(col("lm_hits").cast("double") / col("n_big")).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // robust outlier flagging (data cleaning): per-language median +
+    // MAD of document length, flag |len − med| > 3·MAD. Exact
+    // `percentile` twice (both group aggregates are language-count
+    // rows — broadcast back), so thresholds are reproducible — unlike
+    // mean/stddev, one pathological doc can't move the fence.
+    "t19_outliers" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("chars"))
+      val med = docs.groupBy("lang")
+        .agg(percentile(col("chars"), lit(0.5)).as("med"))
+      val mad = docs.join(broadcast(med), "lang")
+        .groupBy("lang", "med")
+        .agg(percentile(abs(col("chars") - col("med")), lit(0.5)).as("mad"))
+      docs.join(broadcast(mad), "lang")
+        .select(col("doc_id"), col("lang"), col("chars"), col("med"), col("mad"),
+          (abs(col("chars") - col("med")) > col("mad") * 3).as("is_outlier"))
+        .orderBy("doc_id")
+    },
+
     // fixed-size overlapping chunking (RAG / context-window prep):
     // 200-char chunks stepped 150 (50 overlap). One codegen'd pass —
     // sequence() builds the start offsets, explode + substr cut the
@@ -320,6 +411,62 @@ object TextQueries {
         |SELECT c.w1, c.w2, c.cnt, CAST(c.cnt AS DOUBLE)/w1_total AS p_cond
         |FROM c JOIN tot USING (w1)
         |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
+
+    // same array-adjacency bigram convention as t15; SUM() returns
+    // HUGEINT in DuckDB so integer outputs re-cast to BIGINT. The
+    // keep flag reuses DuckDB's lateral column aliases.
+    "t17_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS a
+        |  FROM documents),
+        | tok AS (SELECT doc_id, unnest(a) AS w FROM t),
+        | tc AS (SELECT doc_id, w, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+        | ts AS (SELECT doc_id, SUM(cnt) AS n_tok, COUNT(*) AS n_distinct,
+        |    MAX(cnt) AS top_cnt FROM tc GROUP BY doc_id),
+        | b AS (SELECT doc_id, a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+        |  FROM t CROSS JOIN generate_series(1, 50000) AS g(i)
+        |  WHERE i <= len(a) - 1),
+        | bc AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM b GROUP BY 1, 2, 3),
+        | bs AS (SELECT doc_id, SUM(cnt) AS n_big,
+        |    SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_big
+        |  FROM bc GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        | CAST(n_tok - n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS dup_token_frac,
+        | CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_token_frac,
+        | CASE WHEN n_big IS NULL OR n_big = 0 THEN 0.0
+        |      ELSE CAST(dup_big AS DOUBLE) / CAST(n_big AS DOUBLE) END AS dup_bigram_frac,
+        | (dup_token_frac <= 0.6 AND top_token_frac <= 0.2
+        |   AND dup_bigram_frac <= 0.9) AS keep
+        |FROM ts LEFT JOIN bs USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t18_lm_score" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS a
+        |  FROM documents),
+        | b AS (SELECT doc_id, a[CAST(i AS INT)] AS w1, a[CAST(i AS INT) + 1] AS w2
+        |  FROM t CROSS JOIN generate_series(1, 50000) AS g(i)
+        |  WHERE i <= len(a) - 1),
+        | lm AS (SELECT w1, w2, COUNT(*) AS gcnt FROM b GROUP BY 1, 2),
+        | ds AS (SELECT doc_id, COUNT(*) AS n_big, SUM(gcnt) AS lm_hits
+        |  FROM b JOIN lm USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id,
+        | CAST(COALESCE(n_big, 0) AS BIGINT) AS n_big,
+        | CAST(COALESCE(lm_hits, 0) AS BIGINT) AS lm_hits,
+        | CASE WHEN n_big IS NULL THEN 0.0
+        |      ELSE CAST(lm_hits AS DOUBLE) / CAST(n_big AS DOUBLE) END AS score
+        |FROM documents d LEFT JOIN ds USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t19_outliers" ->
+      """WITH docs AS (SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS chars
+        |  FROM documents),
+        | med AS (SELECT lang, quantile_cont(chars, 0.5) AS med
+        |  FROM docs GROUP BY lang),
+        | mad AS (SELECT d.lang, med, quantile_cont(abs(d.chars - med), 0.5) AS mad
+        |  FROM docs d JOIN med USING (lang) GROUP BY d.lang, med)
+        |SELECT doc_id, d.lang, chars, med, mad,
+        | abs(chars - med) > mad * 3 AS is_outlier
+        |FROM docs d JOIN mad USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     // starts 1, 151, 301, ... <= max(len, 1); substr clamps the tail
     // chunk; generate_series is inclusive like Spark's sequence().

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ql._
-import graft.operators.{KMeans, ProductQuantizer, SimilaritySearch}
+import graft.operators.{IvfPq, KMeans, ProductQuantizer, SimilaritySearch}
 
 /** Similarity-search suite over `embeddings` (SURVEY §2.4): exact
   * brute-force baseline (oracle-checked) + LSH and IVF scale paths
@@ -60,6 +60,19 @@ object VectorQueries {
     "s6_pq_ann" -> { (s, d) =>
       ProductQuantizer.pqTopK(qs(s, d), emb(s, d), "vec_id", "embedding",
           k = 5, m = 8, ks = 16, refine = 4)
+        .orderBy("q_id", "rk")
+    },
+
+    // IVF-PQ (r6): the composed FAISS IVFADC shape — coarse cells
+    // bound candidates touched, PQ codes bound bytes/FLOPs per
+    // candidate, exact re-rank restores ordering. Both models +
+    // the codes index are reusable artifacts (fit/index/query split);
+    // codebook- and centroid-dependent → rows-only; IvfPqSpec pins
+    // recall vs the exact baseline and index-split identity.
+    "s7_ivfpq" -> { (s, d) =>
+      val e = emb(s, d)
+      IvfPq.topK(qs(s, d), e, "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 3, m = 8, ks = 16, refine = 4)
         .orderBy("q_id", "rk")
     }
   )

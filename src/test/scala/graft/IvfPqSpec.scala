@@ -1,0 +1,82 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfPq, KMeans, ProductQuantizer, SimilaritySearch}
+
+/** IVF-PQ composition: recall vs the exact baseline, cell pruning
+  * actually prunes, and the fit/index/query split reproduces the
+  * inline result bit-for-bit. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // same regime as PqAnnSpec: separated clusters with within-cluster
+  // spread so members get distinct codes AND distinct cells
+  private lazy val clustered = {
+    val rnd = new Random(47)
+    val centers = (0 until 6).map(_ => Array.fill(32)(rnd.nextGaussian() * 5))
+    val pts = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 60
+    } yield ((ci * 60 + i).toLong, c.map(x => (x + rnd.nextGaussian() * 1.5).toFloat))
+    pts.toDF("vec_id", "embedding")
+  }
+
+  test("topK recall vs exact baseline on planted clusters") {
+    val queries = clustered.filter($"vec_id" % 60 === 0) // one per cluster
+    val exact = SimilaritySearch.bruteForceTopK(queries, clustered,
+        "vec_id", "embedding", 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val got = IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
+        nCells = 6, nProbe = 2, m = 16, ks = 16, refine = 6)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${got.intersect(exact).size}/${exact.size})")
+  }
+
+  test("cell probing prunes: ADC touches only probed cells") {
+    val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
+    val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
+    val cm = coarse.select(col("cell").cast("long"), col("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val idx = IvfPq.buildIndex(clustered, "vec_id", "embedding", cm, model)
+    // index covers every vector, each in exactly one of the 6 cells
+    val byCell = idx.groupBy("cell").count().as[(Long, Long)].collect().toMap
+    assert(byCell.values.sum == 360)
+    assert(byCell.keySet.subsetOf((0L until 6L).toSet))
+    // nProbe=1, refine=0: every returned candidate must come from ONE
+    // cell per query (the pruning contract — no full-corpus scoring)
+    val got = IvfPq.topK(clustered.filter($"vec_id" === 0), clustered,
+        "vec_id", "embedding", k = 360, nProbe = 1, refine = 0,
+        quantizer = Some(coarse), model = Some(model), index = Some(idx))
+    val cells = got.join(idx, "c_id").select("cell").distinct().as[Long].collect()
+    assert(cells.length == 1, s"nProbe=1 must touch one cell, got ${cells.toSeq}")
+    assert(got.count() < 360, "pruned search must not return the whole corpus")
+  }
+
+  test("persisted index + models reproduce the inline result (index split)") {
+    val queries = clustered.filter($"vec_id" % 60 === 0)
+    val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
+    val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
+    val cm = coarse.select(col("cell").cast("long"), col("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqidx").toString
+    IvfPq.buildIndex(clustered, "vec_id", "embedding", cm, model)
+      .write.mode("overwrite").parquet(dir)
+    val inline = IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
+        nCells = 6, nProbe = 2, iters = 5,
+        quantizer = Some(coarse), model = Some(model))
+      .orderBy("q_id", "rk").as[(Long, Long, Double, Long)].collect().toSeq
+    val applied = IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
+        nProbe = 2, quantizer = Some(coarse), model = Some(model),
+        index = Some(spark.read.parquet(dir)))
+      .orderBy("q_id", "rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(inline == applied, "persisted index must reproduce the inline result")
+    // and the whole path is partition-invariant
+    val repart = IvfPq.topK(queries, clustered.repartition(13), "vec_id", "embedding",
+        k = 10, nProbe = 2, quantizer = Some(coarse), model = Some(model),
+        index = Some(spark.read.parquet(dir).repartition(7)))
+      .orderBy("q_id", "rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(inline == repart, "results must not depend on physical partitioning")
+  }
+}
