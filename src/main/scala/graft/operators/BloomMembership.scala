@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Approximate cross-corpus membership — the crawl-frontier / "have we
+  * ingested this before" pre-filter: a Bloom filter of the corpus keys
+  * flags probable re-crawls in a new batch WITHOUT joining against the
+  * corpus. One-sided error by construction: a key the corpus contains
+  * is ALWAYS flagged (no false negatives — nothing already ingested
+  * sneaks back in), an unseen key is wrongly flagged with probability
+  * ≤ fpp (those rows just fall through to the exact dedup path, e.g.
+  * `Dedup.minhashLshPairsAgainst`, so precision costs candidates, not
+  * correctness).
+  *
+  * Spark-first: both sides ride Spark's own bloom machinery — the
+  * SAME `BloomFilterAggregate` / `BloomFilterMightContain` expressions
+  * Catalyst injects for runtime join filters (exposed here as
+  * `graft_bloom_agg` / `graft_bloom_contains` via GraftExtensions), so
+  * the sketch build is a map-side-combining TypedImperativeAggregate
+  * (fixed numBits state per task, merged by OR) and the probe is a
+  * codegen'd predicate. Keys enter as xxhash64 on BOTH sides — one
+  * hash family, any key type.
+  *
+  * The probe inlines the serialized sketch as a binary LITERAL:
+  * `might_contain` requires a constant bloom by contract, and this is
+  * exactly what Catalyst's InjectRuntimeFilter does with its executed
+  * bloom subquery. The sketch is a bounded MODEL artifact (like the
+  * k-means centroids / PQ codebooks): optimalNumOfBits(n, fpp) ≈
+  * 150 MB at 10⁸ keys / 1% fpp — driver-sized by construction; size
+  * the key domain (e.g. per-shard blooms) rather than streaming a
+  * multi-GB filter through one plan.
+  *
+  * The 100 TB shape: the serialized sketch is a persistable artifact
+  * (write the 1-row frame as parquet; a daily crawl rebuilds it from
+  * the corpus scan once, every batch reuses it). Probing is map-side
+  * only: no shuffle, no join — one codegen'd predicate per row. */
+object BloomMembership {
+
+  /** Serialized corpus-key bloom as a 1-row (bloom: binary) frame.
+    * `expectedItems` sizes the filter (overestimate is safe, only
+    * costs bits); persist the result to reuse across batches. */
+  def sketch(corpus: DataFrame, keyCol: String,
+             expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    corpus.agg(call_function("graft_bloom_agg",
+      xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("bloom"))
+  }
+
+  /** Flag each batch row whose key the corpus bloom (from `sketch`)
+    * probably contains. Adds `flagCol` (true = maybe seen — route to
+    * exact verification; false = DEFINITELY new). The 1-row sketch
+    * frame is materialized once and inlined as a constant (see
+    * scaladoc above). */
+  def flagSeen(batch: DataFrame, bloom: DataFrame, keyCol: String,
+               flagCol: String = "maybe_seen"): DataFrame = {
+    val bytes = bloom.head().getAs[Array[Byte]](0)
+    batch.withColumn(flagCol,
+      call_function("graft_bloom_contains", lit(bytes), xxhash64(col(keyCol))))
+  }
+
+  /** The frontier filter composed: only batch rows whose key is
+    * DEFINITELY absent from the corpus (guaranteed-new work). */
+  def definitelyNew(batch: DataFrame, bloom: DataFrame, keyCol: String): DataFrame =
+    flagSeen(batch, bloom, keyCol, "__seen")
+      .filter(!col("__seen")).drop("__seen")
+
+  /** OR-merge two serialized blooms built with the SAME sizing (the
+    * mergeable-summaries property that makes the sketch an incremental
+    * ingest index: bloom(A) ∪ bloom(B) == bloom(A ∪ B) bit-for-bit —
+    * StreamingBloomSpec proves it end to end). Model-sized driver
+    * work, like the KMV/A-ES merges. */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+}

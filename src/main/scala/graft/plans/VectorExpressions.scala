@@ -230,5 +230,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvSketchValues(children.head, k).toAggregateExpression()
       }))
+    // Spark's OWN bloom-filter expressions (the pair Catalyst injects
+    // for runtime join filters), surfaced as session functions for the
+    // BloomMembership operator: build = map-side-combining typed
+    // aggregate, probe = codegen'd predicate. Values are xxhash64
+    // longs on both sides (BloomMembership applies the hash).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
   }
 }

@@ -97,6 +97,17 @@ object EventQueries {
           col("n_sessions"))
     },
 
+    // sessionization via the BUILT-IN session_window (e2 builds the
+    // same islands by hand with lag + cumsum — this is the engine-
+    // native form, and the one whose streaming twin needs zero custom
+    // state code). Same island rule as e2 (a gap of exactly 30 min
+    // merges: Spark merges start <= open end); output is the window
+    // itself, end = last event + gap.
+    "e9_session_window" -> { (s, d) =>
+      EventStreams.sessionWindows(events(s, d))
+        .orderBy("user_id", "ws")
+    },
+
     // ORDER-aware funnel (e3 counts events; this one requires the
     // sequence): a user converts iff a purchase happens strictly
     // AFTER their first view. Two per-user aggregations, one shuffle:
@@ -254,6 +265,26 @@ object EventQueries {
         |SELECT CAST((SELECT MAX(conc) FROM r) AS BIGINT) AS peak_concurrency,
         | (SELECT MIN(ts) FROM r WHERE conc = (SELECT MAX(conc) FROM r)) AS peak_ts,
         | (SELECT COUNT(*) FROM sess) AS n_sessions""".stripMargin,
+
+    // gaps-and-islands replay of session_window's boundary rule:
+    // strictly > 30 min starts a new island (exact-gap merges, like
+    // Spark's start <= open-end merge), we = last + gap
+    "e9_session_window" ->
+      """WITH l AS (SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        | f AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN pts IS NULL
+        |      OR epoch_us(ts) - epoch_us(pts) > 1800000000
+        |      THEN 1 ELSE 0 END AS nf FROM l),
+        | s AS (SELECT user_id, ts, value, SUM(nf) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(ts) AS ws, MAX(ts) + INTERVAL 30 MINUTE AS we,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, ws""".stripMargin,
 
     "e7_funnel_sequence" ->
       """WITH fv AS (SELECT user_id, MIN(ts) AS first_view FROM events

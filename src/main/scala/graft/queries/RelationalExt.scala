@@ -86,6 +86,22 @@ object RelationalExt {
         .orderBy("rf", "ls")
     },
 
+    // GROUPING SETS ((rf), (ls)): two independent subtotal reports in
+    // ONE pass — the grouping shape rollup (prefix-closed) and cube
+    // (power set) can't express. Same partial-agg-friendly plan as
+    // q_cube: one expand + one aggregate, no re-scan per set.
+    "q_grouping_sets" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_price"))
+        .orderBy("rf", "ls")
+    },
+
     // Q8 national market share: a nation's revenue share of PROMO-part
     // volume sold into ASIA, per year. Dims broadcast; the only big
     // shuffles are the lineitem-orders-customer fact joins.
@@ -340,6 +356,14 @@ object RelationalExt {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        | COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY rf, ls""".stripMargin,
 
     "q_decile_bucket" ->

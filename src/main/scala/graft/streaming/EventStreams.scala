@@ -68,6 +68,34 @@ object EventStreams {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).cast("long").as("n_events"),
         max(col("n")).as("max_session_events"))
 
+  /** Sessionization via the BUILT-IN `session_window` (batch form).
+    * Same island rule as `sessionLabeled` — Spark merges a successor
+    * whose start <= the open session's end, so a gap of EXACTLY `gap`
+    * still merges (SessionWindowSpec pins this) — but the output is
+    * the window itself: window.end of a merged session = last event
+    * ts + gap. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("ws"), col("sw.end").as("we"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming form of `sessionWindows`: the built-in state-store
+    * sessionization (sessions merge in state, close when the watermark
+    * passes their end) — the zero-custom-code alternative to
+    * `sessionizeStreaming`'s explicit flatMapGroupsWithState, with the
+    * same windows as the batch form (SessionWindowSpec asserts it). */
+  def sessionWindowsStreaming(events: DataFrame, gap: String = "30 minutes",
+                              watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("ws"), col("sw.end").as("we"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming dedup: drop events whose id reappears within the
     * watermark window — the streaming arm of the dedup suite (state
     * size bounded by the watermark, unlike a global dropDuplicates). */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomMembership
+
+/** Bloom cross-corpus membership: the one-sided error contract (zero
+  * false negatives, bounded false positives), persisted-sketch reuse,
+  * and partition invariance of the build. */
+class BloomMembershipSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = (0L until 10000L).map(i => (i, s"doc-$i"))
+    .toDF("id", "key")
+  // 5k seen + 5k unseen
+  private lazy val batch = ((0L until 5000L) ++ (100000L until 105000L))
+    .map(i => (i, s"doc-$i")).toDF("id", "key")
+
+  test("no false negatives; false positives bounded near fpp") {
+    val bloom = BloomMembership.sketch(corpus, "key", expectedItems = 10000, fpp = 0.01)
+    val flagged = BloomMembership.flagSeen(batch, bloom, "key")
+      .select("id", "maybe_seen").as[(Long, Boolean)].collect().toMap
+    val seenIds = (0L until 5000L).toSet
+    seenIds.foreach(i => assert(flagged(i),
+      s"corpus key $i must be flagged (bloom forbids false negatives)"))
+    val fp = flagged.count { case (i, f) => f && !seenIds.contains(i) }
+    // 5000 unseen probes at fpp=0.01 → expect ~50; 5x headroom
+    assert(fp <= 250, s"false positives $fp exceed 5x the configured fpp")
+    // and definitelyNew is exactly the unflagged complement
+    val fresh = BloomMembership.definitelyNew(batch, bloom, "key")
+      .select("id").as[Long].collect().toSet
+    assert(fresh == flagged.collect { case (i, false) => i }.toSet)
+  }
+
+  test("sketch is partition-invariant and parquet round-trips") {
+    val a = BloomMembership.sketch(corpus, "key", 10000).as[Array[Byte]].collect().head
+    val b = BloomMembership.sketch(corpus.repartition(13), "key", 10000)
+      .as[Array[Byte]].collect().head
+    assert(java.util.Arrays.equals(a, b),
+      "bloom bits must not depend on physical partitioning")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    BloomMembership.sketch(corpus, "key", 10000).write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val viaDisk = BloomMembership.flagSeen(batch, persisted, "key")
+      .filter(col("maybe_seen")).count()
+    val inline = BloomMembership.flagSeen(batch,
+        BloomMembership.sketch(corpus, "key", 10000), "key")
+      .filter(col("maybe_seen")).count()
+    assert(viaDisk == inline, "persisted sketch must reproduce the inline probe")
+  }
+}
