@@ -274,6 +274,59 @@ object ScaleEvidence {
     println(f"[2h] weighted sample @ 5M docs, k=1000: mean sampled weight " +
       f"${wsMean}%.0f vs corpus mean ~499 (must skew high), ${tWs}%.1f s")
 
+    // ---- 2i. IVF-PQ on the 20.3k-vector planted-twin corpus -------
+    // the composed index: coarse cells bound candidates touched, PQ
+    // codes bound bytes per candidate. Probing nProbe=4 of 32 cells
+    // must still surface every twin at rank 1 (twins share a cell
+    // except boundary cases — same caveat as 2f) off the PERSISTED
+    // (cell, codes) index
+    val (ivfpqQuant, tIpFit) = timed {
+      graft.operators.KMeans.fitLocal(emb, "vec_id", "embedding",
+        k = 32, iters = 3, maxSample = 4096)
+    }
+    val ipCoarse = ivfpqQuant.select(col("cell").cast("long"), col("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val (ipIdx, tIpBuild) = timed {
+      graft.operators.IvfPq.buildIndex(emb, "vec_id", "embedding",
+          ipCoarse, pqModel)
+        .write.mode("overwrite").parquet("target/scale/ivfpq_index")
+      spark.read.parquet("target/scale/ivfpq_index")
+    }
+    val (ipTwins, tIp) = timed {
+      graft.operators.IvfPq.topK(twinQ, emb, "vec_id", "embedding", k = 2,
+          nProbe = 4, refine = 16, quantizer = Some(ivfpqQuant),
+          model = Some(pqModel), index = Some(ipIdx))
+        .filter(col("c_id") === col("q_id") - nVec)
+        .count()
+    }
+    val ipTouched = ipIdx.count() * 4 / 32
+    println(f"[2i] IVF-PQ @ ${nVec + 300} vecs (32 cells, probe 4): " +
+      f"planted-twin recall $ipTwins/300 off the persisted index " +
+      f"(~$ipTouched%,d of ${nVec + 300}%,d candidates ADC-scored/query), " +
+      f"fit ${tIpFit}%.1f s + index ${tIpBuild}%.1f s + 300-query batch ${tIp}%.1f s")
+
+    // ---- 2j. bloom frontier membership at 5M keys -----------------
+    // build once over the 5M-doc corpus (map-side-combining aggregate),
+    // probe a 1M-row batch (500k seen + 500k new) with the constant-
+    // bloom predicate: zero false negatives, fp rate ≈ configured 1%
+    val (bloomDf, tBl) = timed {
+      val b = graft.operators.BloomMembership.sketch(
+        packIn.select(col("id")), "id", expectedItems = 5000000L, fpp = 0.01)
+      b.write.mode("overwrite").parquet("target/scale/bloom")
+      spark.read.parquet("target/scale/bloom")
+    }
+    val probeBatch = spark.range(4500000L, 5500000L).select(col("id"))
+    val (blCounts, tBlProbe) = timed {
+      graft.operators.BloomMembership.flagSeen(probeBatch, bloomDf, "id")
+        .agg(sum(when(col("maybe_seen") && col("id") < 5000000L, 1L).otherwise(0L)),
+          sum(when(col("maybe_seen") && col("id") >= 5000000L, 1L).otherwise(0L)))
+        .head()
+    }
+    println(f"[2j] bloom membership @ 5M keys (fpp 1%%): seen flagged " +
+      f"${blCounts.getLong(0)}%,d/500,000 (must be all), false positives " +
+      f"${blCounts.getLong(1)}%,d/500,000, build ${tBl}%.1f s, " +
+      f"1M-row probe ${tBlProbe}%.1f s")
+
     // ---- 3. AQE skew-split on a 6M-row hot-key join ---------------
     val nFact = 6000000L
     // ~17% of rows on key 0, rest uniform over 40k keys

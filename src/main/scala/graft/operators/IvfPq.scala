@@ -92,7 +92,13 @@ object IvfPq {
         maxSample = maxSample)))
     val mdl = model.getOrElse(
       ProductQuantizer.fit(candidates, idCol, vecCol, m, ks, iters, maxSample))
-    val idx = index.getOrElse(buildIndex(candidates, idCol, vecCol, coarse, mdl))
+    // an inline-built index materializes EAGERLY: an index IS a
+    // materialization by contract (production persists it as parquet —
+    // pass `index` for that), and left lazy the whole build subtree
+    // would re-execute inside the probe/re-rank branches of the query
+    // plan (measured 7x slower than probing a materialized index)
+    val idx = index.getOrElse(
+      buildIndex(candidates, idCol, vecCol, coarse, mdl).localCheckpoint(true))
 
     // query side: rank cells by unit-centroid dot (desc, then asc cell),
     // explode the top nProbe, carry the precomputed flat ADC LUT

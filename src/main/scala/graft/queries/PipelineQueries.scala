@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
 import graft.functions.TextOps
-import graft.operators.{CorpusMix, Decontaminate, Packing, PrefixSum}
+import graft.operators.{Components, CorpusMix, Decontaminate, Dedup, Packing, PrefixSum}
 
 /** LLM-training-data pipeline compositions over `documents`
   * (SURVEY §2.8): benchmark decontamination, token-budget corpus
@@ -19,6 +19,33 @@ object PipelineQueries {
     "en" -> 4000L, "de" -> 1500L, "fr" -> 1500L, "es" -> 1500L, "zh" -> 1000L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the dedup END-GAME (what a pipeline actually emits): near-dup
+    // clusters resolved over exact n-gram-Jaccard pairs, then ONE
+    // representative kept per cluster — the HIGHEST-QUALITY member
+    // (min doc_id on ties), not the arbitrary min-id keeper d1/d7 use.
+    // Every stage is deterministic arithmetic (d4 pairs + connected
+    // components + t2 quality), so the full composition stays
+    // oracle-exact. One keep decision row per cluster; singletons
+    // keep themselves.
+    "p6_cluster_keep_best" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 5, threshold = 0.6, maxDf = 50L, minCommon = 5L)
+      val comps = Components.connectedComponents(pairs, "a_id", "b_id",
+          nodes = Some(docs.select("doc_id")))
+        .select(col("node").as("doc_id"), col("comp").as("component"))
+      val scored = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"))
+      // argmax via max-of-struct: (q desc, then min doc_id via negation)
+      comps.join(scored, "doc_id")
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+        .select(col("component"), col("n_members"),
+          (-col("best.nid")).as("keep_doc"), col("best.q").as("keep_q"))
+        .orderBy("component")
+    },
+
     // benchmark decontamination: corpus docs sharing >= 3 distinct
     // 8-grams with the (broadcast) eval split; eval = doc_id % 50 == 0
     "t9_contamination" -> { (s, d) =>
@@ -116,6 +143,40 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // d4's pair pipeline + recursive-CTE closure + t2's quality
+    // formula; argmax replayed as a (q DESC, doc_id) window
+    "p6_cluster_keep_best" ->
+      s"""WITH RECURSIVE
+        | shall AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+        |  FROM documents CROSS JOIN generate_series(1, 50000) AS g(i)
+        |  WHERE i <= length(text) - 4),
+        | keep5 AS (SELECT s FROM shall GROUP BY s HAVING COUNT(*) <= 50),
+        | sh AS (SELECT doc_id, shall.s FROM shall JOIN keep5 USING (s)),
+        | sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        | com AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS c
+        |   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | pairs AS (SELECT a_id, b_id FROM com
+        |   JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |   WHERE c >= 5 AND CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.6),
+        | edges AS (SELECT a_id AS u, b_id AS w FROM pairs
+        |   UNION SELECT b_id, a_id FROM pairs),
+        | reach(node, r) AS (
+        |   SELECT doc_id, doc_id FROM documents
+        |   UNION
+        |   SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+        | comp AS (SELECT node AS doc_id, MIN(r) AS component
+        |   FROM reach GROUP BY node),
+        | q AS (SELECT doc_id, (${TextQueries.qualitySql}) AS q FROM documents),
+        | rk AS (SELECT component, comp.doc_id, q.q,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY q.q DESC, comp.doc_id) AS rn
+        |   FROM comp JOIN q ON q.doc_id = comp.doc_id),
+        | cnt AS (SELECT component, COUNT(*) AS n_members
+        |   FROM comp GROUP BY component)
+        |SELECT component, n_members, rk.doc_id AS keep_doc, rk.q AS keep_q
+        |FROM cnt JOIN rk USING (component) WHERE rn = 1
+        |ORDER BY component""".stripMargin,
+
     "t9_contamination" ->
       """WITH ev AS (SELECT DISTINCT substr(text, CAST(i AS INT), 8) AS g
         |  FROM (SELECT text, unnest(range(1, length(text) - 6)) AS i

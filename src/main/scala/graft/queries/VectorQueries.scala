@@ -72,7 +72,7 @@ object VectorQueries {
     "s7_ivfpq" -> { (s, d) =>
       val e = emb(s, d)
       IvfPq.topK(qs(s, d), e, "vec_id", "embedding",
-          k = 5, nCells = 8, nProbe = 3, m = 8, ks = 16, refine = 4)
+          k = 5, nCells = 8, nProbe = 3, m = 8, ks = 8, iters = 3, refine = 4)
         .orderBy("q_id", "rk")
     }
   )
