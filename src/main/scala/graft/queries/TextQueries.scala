@@ -154,6 +154,23 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // EXACT corpus quantiles with bounded memory (the scale path for
+    // t11: plain `percentile` buffers the whole value multiset per
+    // group — fine per-language here, fatal on a 10^12-row column).
+    // Sketch-bracket + rank-exact selection: same bit-exact
+    // (n-1)p-interpolated answer, memory bounded by the accuracy knob
+    // (ExactQuantile scaladoc). accuracy=100 keeps the bracket slice
+    // genuinely small (~4n/100) even at this SF.
+    "t20_exact_quantiles" -> { (s, d) =>
+      import s.implicits._
+      val docs = t(s, d, "documents")
+        .select(length(col("text")).cast("long").as("chars"))
+      val n = docs.count()
+      val qs = graft.operators.ExactQuantile.quantilesAt(
+        docs, "chars", Seq(0.5, 0.9, 0.99), accuracy = 100)
+      Seq((n, qs(0), qs(1), qs(2))).toDF("n_docs", "p50", "p90", "p99")
+    },
+
     // deterministic stratified sample: hash-free modulo stratum so the
     // sample is reproducible and oracle-checkable
     "t6_stratified_sample" -> { (s, d) =>
@@ -348,6 +365,13 @@ object TextQueries {
         |SELECT lang, COUNT(*) AS kept,
         | CAST(SUM(CAST(q AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*) AS avg_q
         |FROM q WHERE q >= 0.5 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t20_exact_quantiles" ->
+      """SELECT COUNT(*) AS n_docs,
+        | quantile_cont(CAST(length(text) AS BIGINT), 0.5) AS p50,
+        | quantile_cont(CAST(length(text) AS BIGINT), 0.9) AS p90,
+        | quantile_cont(CAST(length(text) AS BIGINT), 0.99) AS p99
+        |FROM documents""".stripMargin,
 
     "t6_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
