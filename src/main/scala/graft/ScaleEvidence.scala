@@ -284,11 +284,9 @@ object ScaleEvidence {
       graft.operators.KMeans.fitLocal(emb, "vec_id", "embedding",
         k = 32, iters = 3, maxSample = 4096)
     }
-    val ipCoarse = ivfpqQuant.select(col("cell").cast("long"), col("cv"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     val (ipIdx, tIpBuild) = timed {
       graft.operators.IvfPq.buildIndex(emb, "vec_id", "embedding",
-          ipCoarse, pqModel)
+          ivfpqQuant, pqModel)
         .write.mode("overwrite").parquet("target/scale/ivfpq_index")
       spark.read.parquet("target/scale/ivfpq_index")
     }

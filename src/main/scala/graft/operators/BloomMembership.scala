@@ -46,6 +46,17 @@ object BloomMembership {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps both sizes to the runtime-
+    // bloom-filter conf ceilings (defaults: 4M items / 64M bits) —
+    // fine for Catalyst's injected join filters, catastrophic here: a
+    // clamped filter saturates and flags everything maybe_seen with no
+    // error. Raise the ceilings to cover the request (never lower).
+    val conf = corpus.sparkSession.conf
+    def raiseTo(key: String, needed: Long): Unit =
+      if (conf.getOption(key).map(_.toLong).getOrElse(0L) < needed)
+        conf.set(key, needed.toString)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     corpus.agg(call_function("graft_bloom_agg",
       xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("bloom"))
   }
@@ -58,7 +69,12 @@ object BloomMembership {
   def flagSeen(batch: DataFrame, bloom: DataFrame, keyCol: String,
                flagCol: String = "maybe_seen"): DataFrame = {
     val bytes = bloom.head().getAs[Array[Byte]](0)
-    batch.withColumn(flagCol,
+    // an EMPTY corpus aggregates to a null bloom (BloomFilterAggregate
+    // evals null at cardinality 0); might_contain(null, _) would
+    // return null and a downstream !flag filter would drop every row —
+    // the correct answer is "nothing has been seen"
+    if (bytes == null) batch.withColumn(flagCol, lit(false))
+    else batch.withColumn(flagCol,
       call_function("graft_bloom_contains", lit(bytes), xxhash64(col(keyCol))))
   }
 

@@ -49,6 +49,12 @@ object IvfPq {
     quantizer.select(col("cell").cast("long"), col("cv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
 
+  /** buildIndex from a quantizer FRAME (KMeans.fitLocal/fit output) —
+    * the form callers persisting artifacts actually hold. */
+  def buildIndex(candidates: DataFrame, idCol: String, vecCol: String,
+                 quantizer: DataFrame, model: PqModel): DataFrame =
+    buildIndex(candidates, idCol, vecCol, collectCoarse(quantizer), model)
+
   /** Build the persistable index (c_id, cell, codes) in one map-side
     * pass: slice attrs → literal-centroid scores (cell + every
     * sub-code) in one projection, argmax CASE chains in the next
@@ -87,6 +93,12 @@ object IvfPq {
            quantizer: Option[DataFrame] = None,
            model: Option[PqModel] = None,
            index: Option[DataFrame] = None): DataFrame = {
+    // a persisted index is only meaningful WITH the artifacts that
+    // built it: a refit quantizer's cell ids / a refit PQ model's LUT
+    // don't correspond to the stored (cell, codes) — the probe would
+    // silently score garbage
+    require(index.isEmpty || (quantizer.nonEmpty && model.nonEmpty),
+      "passing `index` requires the `quantizer` and `model` it was built with")
     val coarse = collectCoarse(quantizer.getOrElse(
       KMeans.fitLocal(candidates, idCol, vecCol, nCells, iters = iters,
         maxSample = maxSample)))
@@ -117,31 +129,11 @@ object IvfPq {
           explode(transform(slice(ranked, 1, nProbe), p => p.getField("cell"))))
         .select("q_id", "q_v", "__lut", "cell"))
 
-    // ADC over the probed cells only: a candidate lives in exactly one
-    // cell and a query's probe cells are distinct, so pairs match once
-    val adc = probes.join(idx, "cell")
-      .withColumn("adc", round(
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(mdl.m - 1)),
-            (cd, j) => element_at(col("__lut"), j * mdl.ks + cd + 1)),
-          lit(0.0), (acc, x) => acc + x), 6))
-    val wAdc = Window.partitionBy("q_id").orderBy(desc("adc"), asc("c_id"))
-    if (refine <= 0) {
-      adc.withColumn("rk", row_number().over(wAdc).cast("long"))
-        .filter(col("rk") <= k)
-        .select(col("q_id"), col("c_id"), col("adc").as("cos"), col("rk"))
-    } else {
-      val shortlist = adc
-        .withColumn("rk", row_number().over(wAdc))
-        .filter(col("rk") <= k.toLong * refine)
-        .select("q_id", "q_v", "c_id")
-      val c = ProductQuantizer.unitPrep(candidates, idCol, vecCol, "c", doSpread = true)
-      val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("c_id"))
-      broadcast(shortlist).join(c, "c_id")
-        .withColumn("cos", round(VectorOps.fastDot(col("q_v"), col("c_v")), 6))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= k)
-        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
-    }
+    // ADC over the probed cells only (a candidate lives in exactly one
+    // cell and a query's probe cells are distinct, so pairs match
+    // once); scoring/tie/re-rank tail shared with pqTopK — one home
+    // for the determinism contract
+    ProductQuantizer.adcRank(probes.join(idx, "cell"),
+      candidates, idCol, vecCol, k, refine, mdl)
   }
 }

@@ -182,7 +182,18 @@ object ProductQuantizer {
     val enc = index.getOrElse(encode(candidates, idCol, vecCol, mdl))
     val q = broadcast(unitPrep(queries, idCol, vecCol, "q", doSpread = false)
       .select(col("q_id"), col("q_v"), lutCol(mdl, col("q_v")).as("__lut")))
-    val adc = q.join(enc)
+    adcRank(q.join(enc), candidates, idCol, vecCol, k, refine, mdl)
+  }
+
+  /** Shared ADC + top-k + optional exact-re-rank tail of the PQ family
+    * (pqTopK and IvfPq.topK): `joined` carries (q_id, q_v, __lut,
+    * c_id, codes). ONE home for the determinism contract — round(6)
+    * scores, (desc score, asc c_id) ties, refine·k shortlist — so the
+    * two operators can't drift apart. */
+  private[operators] def adcRank(joined: DataFrame, candidates: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 k: Int, refine: Int, mdl: PqModel): DataFrame = {
+    val adc = joined
       .withColumn("adc", round(
         aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(mdl.m - 1)),

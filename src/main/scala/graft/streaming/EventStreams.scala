@@ -89,12 +89,7 @@ object EventStreams {
     * same windows as the batch form (SessionWindowSpec asserts it). */
   def sessionWindowsStreaming(events: DataFrame, gap: String = "30 minutes",
                               watermark: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", watermark)
-      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("double").as("sum_value"))
-      .select(col("user_id"), col("sw.start").as("ws"), col("sw.end").as("we"),
-        col("n_events"), col("sum_value"))
+    sessionWindows(events.withWatermark("ts", watermark), gap)
 
   /** Streaming dedup: drop events whose id reappears within the
     * watermark window — the streaming arm of the dedup suite (state

@@ -31,6 +31,28 @@ class BloomMembershipSpec extends SparkSpec {
     assert(fresh == flagged.collect { case (i, false) => i }.toSet)
   }
 
+  test("sizing ceilings are raised, not silently clamped") {
+    // Spark's runtime-filter confs default to 4M items / 64M bits and
+    // BloomFilterAggregate clamps silently — a 10M-key request must
+    // still get its full optimalNumOfBits (~95.8M)
+    val bloom = BloomMembership.sketch(corpus, "key",
+      expectedItems = 10000000L, fpp = 0.01)
+    val bytes = bloom.as[Array[Byte]].collect().head
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val want = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(10000000L, 0.01)
+    assert(bf.bitSize() >= want, s"bloom clamped: ${bf.bitSize()} < $want")
+  }
+
+  test("empty corpus: nothing seen, everything definitely new") {
+    val empty = corpus.filter(col("id") < 0)
+    val bloom = BloomMembership.sketch(empty, "key", expectedItems = 100)
+    assert(BloomMembership.flagSeen(batch, bloom, "key")
+      .filter(col("maybe_seen")).count() == 0)
+    assert(BloomMembership.definitelyNew(batch, bloom, "key").count() == batch.count())
+  }
+
   test("sketch is partition-invariant and parquet round-trips") {
     val a = BloomMembership.sketch(corpus, "key", 10000).as[Array[Byte]].collect().head
     val b = BloomMembership.sketch(corpus.repartition(13), "key", 10000)

@@ -37,9 +37,7 @@ class IvfPqSpec extends SparkSpec {
   test("cell probing prunes: ADC touches only probed cells") {
     val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
     val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
-    val cm = coarse.select(col("cell").cast("long"), col("cv"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-    val idx = IvfPq.buildIndex(clustered, "vec_id", "embedding", cm, model)
+    val idx = IvfPq.buildIndex(clustered, "vec_id", "embedding", coarse, model)
     // index covers every vector, each in exactly one of the 6 cells
     val byCell = idx.groupBy("cell").count().as[(Long, Long)].collect().toMap
     assert(byCell.values.sum == 360)
@@ -58,10 +56,8 @@ class IvfPqSpec extends SparkSpec {
     val queries = clustered.filter($"vec_id" % 60 === 0)
     val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
     val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
-    val cm = coarse.select(col("cell").cast("long"), col("cv"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqidx").toString
-    IvfPq.buildIndex(clustered, "vec_id", "embedding", cm, model)
+    IvfPq.buildIndex(clustered, "vec_id", "embedding", coarse, model)
       .write.mode("overwrite").parquet(dir)
     val inline = IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
         nCells = 6, nProbe = 2, iters = 5,
