@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
 
@@ -84,6 +85,46 @@ object RelationalExt {
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
           col("n"), col("sum_price"))
         .orderBy("rf", "ls")
+    },
+
+    // SCD2 dimension history (the warehouse slowly-changing-dimension
+    // build): the purchase changelog per user becomes validity
+    // intervals — valid_from = change ts, valid_to = next change's ts
+    // (null = current row). ONE keyed window, no self-join; the shape
+    // every dimension-history ETL runs nightly.
+    "q_scd2_history" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+          col("value"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+        .select(col("user_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("value"), col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
+    // ratio-to-report: each nation's share of its REGION's revenue —
+    // the percent-of-total window shape. Numerator and denominator are
+    // exact decimal sums (group agg + windowed agg over the groups);
+    // ONE double division at the edge keeps it bit-reproducible.
+    "q_share_of_total" -> { (s, d) =>
+      val nations = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+      val byNation = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(nations, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(dec(col("o_totalprice"))).as("rev_dec"))
+      byNation
+        .withColumn("region_dec",
+          sum(col("rev_dec")).over(Window.partitionBy("r_name")))
+        .select(col("r_name"), col("n_name"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("region_dec").cast("double"))
+            .as("share"))
+        .orderBy("r_name", "n_name")
     },
 
     // GROUPING SETS ((rf), (ls)): two independent subtotal reports in
@@ -357,6 +398,28 @@ object RelationalExt {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "q_scd2_history" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        | value,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |   AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q_share_of_total" ->
+      """WITH bn AS (SELECT r_name, n_name,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, CAST(rev_dec AS DOUBLE) AS revenue,
+        | CAST(rev_dec AS DOUBLE) /
+        |   CAST(SUM(rev_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+        |FROM bn ORDER BY r_name, n_name""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,

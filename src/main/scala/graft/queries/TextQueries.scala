@@ -171,6 +171,23 @@ object TextQueries {
       Seq((n, qs(0), qs(1), qs(2))).toDF("n_docs", "p50", "p90", "p99")
     },
 
+    // stratified sampling with an EXACT per-stratum quota (t6's modulo
+    // stratum can't hit a fixed k): rank docs inside each language by
+    // a deterministic multiplicative hash (t10's Knuth constant —
+    // reproducible in any SQL engine, unlike a seeded RNG) and keep
+    // the first 10. Partitioned window — no global sort; the k rows
+    // per stratum are a uniform-without-replacement draw.
+    "t21_stratified_fixed_k" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val key = pmod(col("doc_id") * 2654435761L, lit(1000000007L))
+      val w = Window.partitionBy("lang").orderBy(key, col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("lang", "rk")
+    },
+
     // deterministic stratified sample: hash-free modulo stratum so the
     // sample is reproducible and oracle-checkable
     "t6_stratified_sample" -> { (s, d) =>
@@ -372,6 +389,14 @@ object TextQueries {
         | quantile_cont(CAST(length(text) AS BIGINT), 0.9) AS p90,
         | quantile_cont(CAST(length(text) AS BIGINT), 0.99) AS p99
         |FROM documents""".stripMargin,
+
+    "t21_stratified_fixed_k" ->
+      """SELECT doc_id, lang, rk FROM (
+        | SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS BIGINT) AS rk
+        | FROM documents) t
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
 
     "t6_stratified_sample" ->
       """SELECT lang, COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
