@@ -122,6 +122,23 @@ object EventStreams {
       .drop("__rkey")
   }
 
+  /** LEFT OUTER form of `intervalJoinStreaming`: left events with no
+    * in-window right match still emit (right side null) — but only
+    * once BOTH watermarks pass the join window, when the engine can
+    * prove no match can still arrive. The attribution shape where
+    * un-clicked impressions must be reported too. */
+  def intervalJoinStreamingOuter(left: DataFrame, right: DataFrame, key: String,
+                                 withinMs: Long,
+                                 watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.withColumnRenamed(key, "__rkey").withWatermark("rts", watermark)
+    l.join(r, col(key) === col("__rkey") &&
+        col("rts") >= col("ts") &&
+        col("rts") <= col("ts") + expr(s"INTERVAL $withinMs MILLISECONDS"),
+      "leftOuter")
+      .drop("__rkey")
+  }
+
   // ---- streaming sessionization with explicit state ----
 
   case class Ev(user_id: Long, tsMicros: Long)

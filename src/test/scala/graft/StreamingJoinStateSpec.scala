@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+
+/** The remaining streaming surfaces: left-outer watermarked
+  * stream-stream join (null-padded emission on watermark expiry) and
+  * the RocksDB state-store provider (the production state backend for
+  * state bigger than executor heap) running the same sessionization. */
+class StreamingJoinStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600L * 1000 + min * 60000L)
+
+  test("left-outer interval join emits unmatched lefts after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Timestamp, Long, String)]
+    val rMem = MemoryStream[(Timestamp, Long, String)]
+    val l = lMem.toDF().toDF("ts", "k", "l_tag")
+    val r = rMem.toDF().toDF("rts", "k", "r_tag")
+    val q = EventStreams.intervalJoinStreamingOuter(l, r, "k",
+        withinMs = 120000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ivjo")
+      .outputMode("append").start()
+    try {
+      lMem.addData((ts(10), 1L, "imp-clicked"), (ts(10), 2L, "imp-ignored"))
+      rMem.addData((ts(11), 1L, "click"))
+      q.processAllAvailable()
+      // push BOTH watermarks far past the join window so the engine
+      // can prove imp-ignored will never match and emit it null-padded
+      lMem.addData((ts(600), 9L, "wm"))
+      rMem.addData((ts(600), 9L, "wm"))
+      q.processAllAvailable()
+      lMem.addData((ts(610), 9L, "wm2")); rMem.addData((ts(610), 9L, "wm2"))
+      q.processAllAvailable()
+      val rows = spark.table("ivjo").select("l_tag", "r_tag")
+        .as[(String, String)].collect().toSet
+      assert(rows.contains(("imp-clicked", "click")), s"matched pair missing: $rows")
+      assert(rows.contains(("imp-ignored", null)),
+        s"unmatched left must emit null-padded after expiry: $rows")
+    } finally q.stop()
+  }
+
+  test("RocksDB state store runs sessionization with identical results") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, Timestamp, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "value")
+      val q = EventStreams.sessionWindowsStreaming(df, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("sessrocks")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 8.0))
+        q.processAllAvailable()
+        mem.addData((9L, ts(600), 0.0)) // advance watermark, close sessions
+        q.processAllAvailable()
+        val got = spark.table("sessrocks")
+          .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+        val batch = EventStreams.sessionWindows(
+            Seq((1L, ts(0), 1.0), (1L, ts(10), 2.0), (2L, ts(5), 8.0))
+              .toDF("user_id", "ts", "value"))
+          .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+        assert(batch.subsetOf(got),
+          s"RocksDB-backed streaming must close the batch sessions:\n$got\n$batch")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
