@@ -87,6 +87,21 @@ object RelationalExt {
         .orderBy("rf", "ls")
     },
 
+    // set-operation surface: customers active in 1996 split by whether
+    // they returned in 1997 — INTERSECT / EXCEPT with their distinct
+    // (bag-to-set) semantics; both reduce to aggregate/join shapes
+    // Catalyst plans without any special operator.
+    "q_set_ops" -> { (s, d) =>
+      def active(y: Int) = t(s, d, "orders")
+        .filter(year(col("o_orderdate")) === y)
+        .select("o_custkey")
+      val y96 = active(1996); val y97 = active(1997)
+      y96.intersect(y97).withColumn("tag", lit("retained"))
+        .unionAll(y96.except(y97).withColumn("tag", lit("churned")))
+        .select(col("tag"), col("o_custkey"))
+        .orderBy("tag", "o_custkey")
+    },
+
     // SCD2 dimension history (the warehouse slowly-changing-dimension
     // build): the purchase changelog per user becomes validity
     // intervals — valid_from = change ts, valid_to = next change's ts
@@ -398,6 +413,18 @@ object RelationalExt {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH y96 AS (SELECT DISTINCT o_custkey FROM orders
+        |   WHERE year(o_orderdate) = 1996),
+        | y97 AS (SELECT DISTINCT o_custkey FROM orders
+        |   WHERE year(o_orderdate) = 1997)
+        |SELECT 'retained' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+        |UNION ALL
+        |SELECT 'churned' AS tag, o_custkey FROM (
+        |  SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+        |ORDER BY tag, o_custkey""".stripMargin,
 
     "q_scd2_history" ->
       """SELECT user_id, event_id, ts AS valid_from,

@@ -171,6 +171,26 @@ object TextQueries {
       Seq((n, qs(0), qs(1), qs(2))).toDF("n_docs", "p50", "p90", "p99")
     },
 
+    // edit-distance fuzzy matching (the record-linkage primitive MinHash
+    // can't express — Jaccard sees shingle SETS, levenshtein sees
+    // ORDER): adjacent-id doc pairs compared on an 80-char prefix.
+    // Bounded per-pair cost (80² DP), deterministic pairing, exact
+    // integer distance — both engines implement the classic metric.
+    // At scale the pairing side is any candidate generator (d2's LSH
+    // buckets); the adjacent-id pairing keeps the oracle replayable.
+    "t22_edit_distance" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+      val a = docs.select(col("doc_id").as("a_id"), col("prefix").as("a_pre"))
+      val b = docs.select((col("doc_id") - 1).as("a_id"),
+        col("doc_id").as("b_id"), col("prefix").as("b_pre"))
+      a.join(b, "a_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_pre"), col("b_pre")).cast("long").as("dist"))
+        .withColumn("near_match", col("dist") <= 20)
+        .orderBy("a_id")
+    },
+
     // stratified sampling with an EXACT per-stratum quota (t6's modulo
     // stratum can't hit a fixed k): rank docs inside each language by
     // a deterministic multiplicative hash (t10's Knuth constant —
@@ -389,6 +409,14 @@ object TextQueries {
         | quantile_cont(CAST(length(text) AS BIGINT), 0.9) AS p90,
         | quantile_cont(CAST(length(text) AS BIGINT), 0.99) AS p99
         |FROM documents""".stripMargin,
+
+    "t22_edit_distance" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist,
+        | levenshtein(a.prefix, b.prefix) <= 20 AS near_match
+        |FROM p a JOIN p b ON b.doc_id = a.doc_id + 1
+        |ORDER BY a_id""".stripMargin,
 
     "t21_stratified_fixed_k" ->
       """SELECT doc_id, lang, rk FROM (
