@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer: the classic Sennrich corpus must produce the textbook
+  * merge sequence; merges are partition-invariant; overlap merging is
+  * left-to-right greedy; encode round-trips the training corpus. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the BPE paper's worked example vocabulary: low x5, lower x2,
+  // newest x6, widest x3. Hand-derived first merges with the
+  // (count desc, pair asc) tie rule:
+  //   (e,s)=9 ties (s,t)=9 -> (e,s); then (es,t)=9; (l,o)=7 ties
+  //   (o,w)=7 -> (l,o); then (lo,w)=7.
+  private lazy val corpus = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))
+    .toDF("text")
+
+  test("classic corpus yields the textbook merge sequence") {
+    val (merges, vocab) = Bpe.train(corpus, "text", 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    val segs = vocab.select(array_join(col("syms"), "|"), col("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(segs("lo|w") == 5L)           // low fully merged
+    assert(segs("lo|w|e|r") == 2L)
+    assert(segs("n|e|w|est") == 6L)
+    assert(segs("w|i|d|est") == 3L)
+  }
+
+  test("merges are partition-invariant") {
+    val docs = (1L to 400L)
+      .map(i => s"alpha beta gamma${i % 7} alpha beta")
+      .toDF("text")
+    val (m1, _) = Bpe.train(docs, "text", 6)
+    val (m2, _) = Bpe.train(docs.repartition(13), "text", 6)
+    assert(m1 == m2, s"merge sequence must not depend on partitioning:\n$m1\n$m2")
+    assert(m1.nonEmpty)
+  }
+
+  test("overlap merging is left-to-right greedy") {
+    val (merges, vocab) = Bpe.train(Seq("aaaa").toDF("text"), "text", 1)
+    assert(merges == Seq(("a", "a")))
+    val seg = vocab.select(array_join(col("syms"), "|")).as[String].head()
+    assert(seg == "aa|aa", s"'aaaa' + merge(a,a) must give aa|aa, got $seg")
+  }
+
+  test("encode applies merges in training order and counts tokens") {
+    val (merges, _) = Bpe.train(corpus, "text", 4)
+    val enc = Bpe.encode(Seq("low lowest", "").toDF("text"), "text", merges)
+      .select("bpe_tokens", "bpe_seg").as[(Long, String)].collect()
+    // low: (l,o) -> [lo w], (lo,w) -> [low]. lowest: (e,s) ->
+    // l o w es t, (es,t) -> l o w est, (l,o) -> lo w est,
+    // (lo,w) -> low est. Total 1 + 2 = 3 tokens.
+    assert(enc(0) == ((3L, "low low est")), s"got ${enc(0)}")
+    assert(enc(1) == ((0L, "")), s"empty text must encode to 0 tokens, got ${enc(1)}")
+  }
+
+  test("train halts early when every word is fully merged") {
+    val (merges, vocab) = Bpe.train(Seq("ab ab ab").toDF("text"), "text", 10)
+    assert(merges == Seq(("a", "b")))
+    assert(vocab.select(size(col("syms"))).as[Int].head() == 1)
+  }
+}
