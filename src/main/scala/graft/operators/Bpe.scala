@@ -39,10 +39,12 @@ object Bpe {
           array(concat(element_at(acc, -1), s))))
         .otherwise(concat(acc, array(s))))
 
-  /** Adjacent symbol pairs of one segmentation, as (a, b) structs. */
+  /** Adjacent symbol pairs of one segmentation, as (a, b) structs.
+    * The tail slice is size-bounded: slice(arr, 2, Int.MaxValue)
+    * overflows the slice bound and yields an empty array. */
   private def pairs(arr: Column): Column =
     filter(
-      zip_with(arr, slice(arr, 2, Int.MaxValue),
+      zip_with(arr, slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
         (x, y) => struct(x.as("a"), y.as("b"))),
       p => p.getField("b").isNotNull)
 
@@ -55,15 +57,35 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(split(col("w"), "").as("syms"), col("cnt"))
 
+  /** One learned merge: the pair, its weighted adjacency count at
+    * selection time, and the corpus token count after applying it.
+    * (`n` can exceed the applied-merge count on overlap chains —
+    * "aaaa" counts (a,a) three times but merges twice — so
+    * `toksAfter` is measured, not derived.) */
+  final case class MergeStep(a: String, b: String, n: Long, toksAfter: Long)
+
   /** Train `numMerges` merges. Returns (merges in order, final word
     * table (syms, cnt)). Each iteration: one pair-count aggregation
     * over the word table + one 1-row collect; the table re-segments
     * via the fold and checkpoints every few rounds to cap lineage. */
   def train(corpus: DataFrame, textCol: String,
             numMerges: Int): (Seq[(String, String)], DataFrame) = {
+    val (steps, vocab) = core(corpus, textCol, numMerges, stats = false)
+    (steps.map(s => (s.a, s.b)), vocab)
+  }
+
+  /** Like [[train]] but each step carries its pair count and the
+    * post-merge corpus token count (one extra vocab-bounded job per
+    * iteration) — the per-step trajectory t23_bpe reports. */
+  def trainDetailed(corpus: DataFrame, textCol: String,
+                    numMerges: Int): (Seq[MergeStep], DataFrame) =
+    core(corpus, textCol, numMerges, stats = true)
+
+  private def core(corpus: DataFrame, textCol: String, numMerges: Int,
+                   stats: Boolean): (Seq[MergeStep], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var vocab = wordTable(corpus, textCol).localCheckpoint(true)
-    val merges = Seq.newBuilder[(String, String)]
+    val merges = Seq.newBuilder[MergeStep]
     var done = false
     for (i <- 1 to numMerges if !done) {
       val best = vocab
@@ -75,10 +97,14 @@ object Bpe {
       if (best.isEmpty) done = true // every word fully merged
       else {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
-        merges += ((a, b))
         val next = vocab.select(applyMerge(col("syms"), a, b).as("syms"), col("cnt"))
-        vocab = if (i % 4 == 0 || i == numMerges) next.localCheckpoint(true)
+        vocab = if (stats || i % 4 == 0 || i == numMerges) next.localCheckpoint(true)
                 else next
+        val toks = if (stats)
+          vocab.select(sum(size(col("syms")).cast("long") * col("cnt")))
+            .collect().head.getLong(0)
+        else -1L
+        merges += MergeStep(a, b, best.head.getLong(2), toks)
       }
     }
     (merges.result(), vocab)

@@ -351,10 +351,66 @@ object TextQueries {
             .cast("long").as("chunk_chars"),
           md5(col("text").substr(col("start"), lit(size))).as("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // BPE tokenizer training (Sennrich et al. 2016) on the corpus:
+    // learn 5 merges from the vocab-bounded word table (see
+    // Bpe.scaladoc for the scale argument — the corpus reduces to a
+    // (word, count) table once; every iteration runs on that), report
+    // the per-step trajectory: the merged pair, its weighted adjacency
+    // count, and the corpus token count after the merge (= the encoded
+    // token mass — the "encode + token-count" signal). Deterministic:
+    // integer counts, (n desc, a, b) tie-break — the oracle unrolls
+    // the same 5 iterations as sequential CTEs.
+    "t23_bpe" -> { (s, d) =>
+      import s.implicits._
+      val (steps, _) =
+        graft.operators.Bpe.trainDetailed(t(s, d, "documents"), "text", 5)
+      steps.zipWithIndex
+        .map { case (m, i) => (i + 1L, m.a, m.b, m.n, m.toksAfter) }
+        .toDF("step", "a", "b", "n", "toks_after")
+        .orderBy("step")
     }
   )
 
+  /** t23's oracle: 5 unrolled BPE iterations. Each iteration counts
+    * adjacent pairs over the word table, picks argmax with the
+    * (n desc, a, b) tie-break, and re-segments via a left-to-right
+    * list_reduce fold into a chr(1)-delimited string (append = new
+    * token, merge = concat onto the last token) — the same greedy
+    * overlap order as Bpe.applyMerge. */
+  private def bpeOracleSql(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (SELECT u.pr.a AS a, u.pr.b AS b, CAST(SUM(v.cnt) AS BIGINT) AS n
+         |  FROM v${i - 1} v, UNNEST(list_transform(range(1, len(v.syms)),
+         |    j -> struct_pack(a := v.syms[CAST(j AS INT)],
+         |                     b := v.syms[CAST(j AS INT) + 1]))) AS u(pr)
+         |  GROUP BY 1, 2),
+         | b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+         | v$i AS (SELECT string_split(list_reduce(v.syms, (acc, s) -> CASE
+         |     WHEN s = b.b AND (string_split(acc, chr(1)))[-1] = b.a THEN acc || s
+         |     ELSE acc || chr(1) || s END), chr(1)) AS syms, v.cnt
+         |   FROM v${i - 1} v CROSS JOIN b$i b),
+         | tk$i AS (SELECT CAST(SUM(len(syms) * cnt) AS BIGINT) AS toks FROM v$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a, b, n, (SELECT toks FROM tk$i) AS toks_after FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (SELECT u.w AS w FROM documents,
+       |    UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+       |  WHERE len(u.w) > 0),
+       | v0 AS (SELECT list_transform(range(1, len(w) + 1),
+       |    i2 -> substr(w, CAST(i2 AS INT), 1)) AS syms,
+       |    COUNT(*) AS cnt FROM words GROUP BY w),
+       |$iters
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t23_bpe" -> bpeOracleSql(5),
+
     "t12_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |  FROM documents),

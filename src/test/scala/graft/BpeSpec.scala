@@ -24,8 +24,8 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
     val segs = vocab.select(array_join(col("syms"), "|"), col("cnt"))
       .as[(String, Long)].collect().toMap
-    assert(segs("lo|w") == 5L)           // low fully merged
-    assert(segs("lo|w|e|r") == 2L)
+    assert(segs("low") == 5L)            // low fully merged
+    assert(segs("low|e|r") == 2L)
     assert(segs("n|e|w|est") == 6L)
     assert(segs("w|i|d|est") == 3L)
   }
@@ -56,6 +56,18 @@ class BpeSpec extends SparkSpec {
     // (lo,w) -> low est. Total 1 + 2 = 3 tokens.
     assert(enc(0) == ((3L, "low low est")), s"got ${enc(0)}")
     assert(enc(1) == ((0L, "")), s"empty text must encode to 0 tokens, got ${enc(1)}")
+  }
+
+  test("trainDetailed reports pair counts and the token trajectory") {
+    // initial tokens: 3*5 + 5*2 + 6*6 + 6*3 = 79; each of the first 4
+    // merges is overlap-free, so toksAfter drops by exactly n
+    val (steps, _) = Bpe.trainDetailed(corpus, "text", 4)
+    assert(steps.map(s => (s.a, s.b, s.n, s.toksAfter)) == Seq(
+      ("e", "s", 9L, 70L), ("es", "t", 9L, 61L),
+      ("l", "o", 7L, 54L), ("lo", "w", 7L, 47L)))
+    // overlap chain: "aaaa" counts (a,a) 3 times but merges twice
+    val (ov, _) = Bpe.trainDetailed(Seq("aaaa").toDF("text"), "text", 1)
+    assert(ov == Seq(Bpe.MergeStep("a", "a", 3L, 2L)))
   }
 
   test("train halts early when every word is fully merged") {
