@@ -230,6 +230,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvSketchValues(children.head, k).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_dsum"),
+      new ExpressionInfo(classOf[VecDecimalSum].getName, "graft_vec_dsum"),
+      (children: Seq[Expression]) =>
+        VecDecimalSum(children.head).toAggregateExpression()))
     // Spark's OWN bloom-filter expressions (the pair Catalyst injects
     // for runtime join filters), surfaced as session functions for the
     // BloomMembership operator: build = map-side-combining typed
