@@ -297,10 +297,14 @@ object ScaleEvidence {
         .filter(col("c_id") === col("q_id") - nVec)
         .count()
     }
+    // uniform-occupancy ESTIMATE (idx·nProbe/nCells): skewed k-means
+    // cells make the true per-query probed mass differ — labeled as
+    // such rather than implying a measurement (ADVICE r5)
     val ipTouched = ipIdx.count() * 4 / 32
     println(f"[2i] IVF-PQ @ ${nVec + 300} vecs (32 cells, probe 4): " +
       f"planted-twin recall $ipTwins/300 off the persisted index " +
-      f"(~$ipTouched%,d of ${nVec + 300}%,d candidates ADC-scored/query), " +
+      f"(~$ipTouched%,d of ${nVec + 300}%,d candidates ADC-scored/query " +
+      f"at uniform cell occupancy — estimate, not measured), " +
       f"fit ${tIpFit}%.1f s + index ${tIpBuild}%.1f s + 300-query batch ${tIp}%.1f s")
 
     // ---- 2j. bloom frontier membership at 5M keys -----------------

@@ -40,7 +40,13 @@ object BloomMembership {
 
   /** Serialized corpus-key bloom as a 1-row (bloom: binary) frame.
     * `expectedItems` sizes the filter (overestimate is safe, only
-    * costs bits); persist the result to reuse across batches. */
+    * costs bits); persist the result to reuse across batches.
+    *
+    * EAGER by contract (ADVICE r5): the aggregation runs inside this
+    * call and the result returns as a literal local frame, because the
+    * sizing depends on session conf raised only for the build — a lazy
+    * plan collected after a later conf change would silently size (and
+    * possibly clamp) differently. */
   def sketch(corpus: DataFrame, keyCol: String,
              expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
@@ -50,15 +56,29 @@ object BloomMembership {
     // bloom-filter conf ceilings (defaults: 4M items / 64M bits) —
     // fine for Catalyst's injected join filters, catastrophic here: a
     // clamped filter saturates and flags everything maybe_seen with no
-    // error. Raise the ceilings to cover the request (never lower).
-    val conf = corpus.sparkSession.conf
-    def raiseTo(key: String, needed: Long): Unit =
-      if (conf.getOption(key).map(_.toLong).getOrElse(0L) < needed)
-        conf.set(key, needed.toString)
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    corpus.agg(call_function("graft_bloom_agg",
-      xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("bloom"))
+    // error. Raise the ceilings to cover the request for the duration
+    // of the (eager) build, then restore — a session-wide raise would
+    // also enlarge Catalyst's auto-injected runtime join filters for
+    // every later query (ADVICE r5).
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val conf = spark.conf
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    val bytes = try {
+      keys.zip(Seq(expectedItems, numBits)).foreach { case (k, needed) =>
+        if (conf.getOption(k).map(_.toLong).getOrElse(0L) < needed)
+          conf.set(k, needed.toString)
+      }
+      corpus.agg(call_function("graft_bloom_agg",
+        xxhash64(col(keyCol)), lit(expectedItems), lit(numBits)).as("bloom"))
+        .head().getAs[Array[Byte]](0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    Seq(Option(bytes)).toDF("bloom")
   }
 
   /** Flag each batch row whose key the corpus bloom (from `sketch`)
@@ -68,11 +88,14 @@ object BloomMembership {
     * scaladoc above). */
   def flagSeen(batch: DataFrame, bloom: DataFrame, keyCol: String,
                flagCol: String = "maybe_seen"): DataFrame = {
-    val bytes = bloom.head().getAs[Array[Byte]](0)
     // an EMPTY corpus aggregates to a null bloom (BloomFilterAggregate
     // evals null at cardinality 0); might_contain(null, _) would
     // return null and a downstream !flag filter would drop every row —
-    // the correct answer is "nothing has been seen"
+    // the correct answer is "nothing has been seen". A ZERO-row bloom
+    // frame (empty/corrupt persisted artifact) gets the same treatment
+    // instead of a bare head() NoSuchElementException (ADVICE r5).
+    val rows = bloom.take(1)
+    val bytes = if (rows.isEmpty) null else rows.head.getAs[Array[Byte]](0)
     if (bytes == null) batch.withColumn(flagCol, lit(false))
     else batch.withColumn(flagCol,
       call_function("graft_bloom_contains", lit(bytes), xxhash64(col(keyCol))))

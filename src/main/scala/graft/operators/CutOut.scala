@@ -50,6 +50,48 @@ object CutOut {
     else
       points.write.mode("overwrite").partitionBy(frameCol).parquet(path)
 
+  /** The multi-density patch bands sketched as future work at
+    * data_pipeline.py:96-99 — (name, lo, hi) fractions of the area
+    * box's half-extent from its center: Dense_1 [0, 1/6], Dense_2
+    * [1/7, 13/42], Medium_1 [1/4, 9/20], Medium_2 [2/5, 3/5],
+    * Least_1 [1/2, 3/4], Least_2 [2/3, 1]. Each width matches the
+    * reference's comment (1/7 + 1/6 = 13/42 etc.); bands deliberately
+    * overlap, like the sketch's staggered ranges. */
+  val densityBands: Seq[(String, Double, Double)] = Seq(
+    ("dense_1", 0.0, 1.0 / 6), ("dense_2", 1.0 / 7, 13.0 / 42),
+    ("medium_1", 0.25, 0.45), ("medium_2", 0.4, 0.6),
+    ("least_1", 0.5, 0.75), ("least_2", 2.0 / 3, 1.0))
+
+  /** Multi-density patch generation (the `data_pipeline.py:96-99`
+    * TODO, which the reference never implemented): tag each point of
+    * the area box with every density band containing it, where a
+    * point's band position is its box-normalized Chebyshev distance
+    * from the area center, d = max_i |p_i − c_i| / h_i (0 = center,
+    * 1 = box face). Returns the input columns + (patch, band_d);
+    * points in overlapping bands appear once per band, points outside
+    * the box (d > 1) in none. Map-side only: a 6-element literal
+    * struct array explodes against a codegen'd predicate — no
+    * shuffle, patches inherit the scan's partitioning (the same
+    * argument as cutOut's pushable box mask, ×6 bounded fan-out). */
+  def densityPatches(points: DataFrame,
+                     min: (Double, Double, Double),
+                     max: (Double, Double, Double)): DataFrame = {
+    val (cx, cy, cz) = ((min._1 + max._1) / 2, (min._2 + max._2) / 2, (min._3 + max._3) / 2)
+    val (hx, hy, hz) = ((max._1 - min._1) / 2, (max._2 - min._2) / 2, (max._3 - min._3) / 2)
+    require(hx > 0 && hy > 0 && hz > 0, s"degenerate area box: $min .. $max")
+    val d = greatest(
+      abs(col("x").cast("double") - cx) / hx,
+      abs(col("y").cast("double") - cy) / hy,
+      abs(col("z").cast("double") - cz) / hz)
+    val bands = typedlit(densityBands.map { case (n, lo, hi) => (n, lo, hi) })
+    points
+      .withColumn("band_d", d)
+      .withColumn("__band", explode(filter(bands, b =>
+        col("band_d") >= b.getField("_2") && col("band_d") <= b.getField("_3"))))
+      .withColumn("patch", col("__band").getField("_1"))
+      .drop("__band")
+  }
+
   /** The reference's whole `gen_cut_out_dataset` (data_pipeline.py:
     * 67-84) in one call: calibrate, filter to the area box, export per
     * frame, return the per-frame point-count stats row.

@@ -29,12 +29,29 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Determinism: callers must supply a TOTAL order (include tiebreak
   * columns); deltas are longs so accumulation is exact in any order.
-  * `sampleMod` trades boundary-sample size for balance: the sample is
-  * ~n/sampleMod keys; raise it for very large inputs. Typical inputs
-  * are already-reduced frames (session boundaries, bucket counts),
-  * orders of magnitude smaller than the raw corpus.
+  * The boundary sample is SIZE-BOUNDED independent of n (VERDICT r5
+  * item 5): one exact count sizes a second-level hash thinning so the
+  * driver collects ~`boundaryKeysPerPartition`·nPart keys whatever the
+  * input size — at 10¹² rows the sample is still ~1k keys, not n/64.
+  * `sampleMod` remains the MINIMUM thinning (small inputs behave
+  * exactly as before; the count-derived modulus only kicks in when
+  * n outgrows sampleMod·target). Balance, not correctness, depends on
+  * the sample: sums are exact for any cut set.
   */
 object PrefixSum {
+
+  /** Boundary keys targeted per output partition — enough for ±few-%
+    * bucket balance, small enough that the driver never holds more
+    * than ~targetKeys rows of order columns. */
+  private[graft] val boundaryKeysPerPartition = 32L
+
+  /** Effective hash-thinning modulus: the caller's floor, raised until
+    * the expected sample n/mod is ≤ boundaryKeysPerPartition·nPart.
+    * Pure — specced directly at astronomic n. */
+  private[graft] def effectiveSampleMod(n: Long, sampleMod: Int, nPart: Int): Long = {
+    val target = boundaryKeysPerPartition * math.max(nPart, 1)
+    math.max(sampleMod.toLong, if (n <= 0) 1L else (n + target - 1) / target)
+  }
 
   /** Append running-sum column `out` of long column `delta`, ordered
     * by `orderCols` (ascending, total order). */
@@ -44,9 +61,13 @@ object PrefixSum {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val key = struct(orderCols.map(col): _*)
 
-    // 1. deterministic boundary sample -> nPart-1 literal cut points
+    // 1. deterministic bounded boundary sample -> nPart-1 literal cut
+    // points. The count is one columnless scan; the sample filter is
+    // partition-layout-independent (pure hash of the order key), so
+    // the cut set — and therefore the bucket layout — is reproducible.
+    val mod = effectiveSampleMod(df.count(), sampleMod, nPart)
     val sampleRows = df
-      .filter(pmod(xxhash64(key), lit(sampleMod)) === 0)
+      .filter(pmod(xxhash64(key), lit(mod)) === 0)
       .select(orderCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .collect()

@@ -152,6 +152,28 @@ object Kitti {
         .orderBy("vx", "vy", "vz")
     },
 
+    // multi-density patch generation — the data_pipeline.py:96-99
+    // TODO (the reference's one unimplemented surface): six staggered
+    // density bands of the k3 area box, a point's band position being
+    // its box-normalized Chebyshev distance from the area center.
+    // Per-patch yield stats; exact decimal mean keeps the double
+    // average reproducible. Map-side 6-way bounded fan-out + one
+    // aggregation — the same scan-shape as k3's pushable box mask.
+    "k10_density_patches" -> { (s, d) =>
+      val pts = t(s, d, "lineitem").select(
+        col("l_orderkey").as("frame_id"),
+        col("l_quantity").cast("double").as("x"),
+        (col("l_discount") * 100).cast("double").as("y"),
+        (col("l_tax") * 100).cast("double").as("z"))
+      CutOut.densityPatches(pts, (5.0, 0.5, 0.5), (45.0, 8.5, 7.5))
+        .groupBy("patch")
+        .agg(count(lit(1)).as("n_pts"),
+          countDistinct(col("frame_id")).as("n_frames"),
+          (sum(col("band_d").cast("decimal(30,15)")).cast("double") /
+            count(lit(1))).as("avg_d"))
+        .orderBy("patch")
+    },
+
     // bird's-eye-view occupancy grid — the 2D top-down raster AV
     // stacks feed to detection models: per-cell point count, max
     // height, exact mean intensity. Same single-shuffle shape as k8.
@@ -287,6 +309,25 @@ object Kitti {
         | CAST(SUM(CAST(l_discount AS DECIMAL(18,2))*100) AS DOUBLE)/COUNT(*) AS cy,
         | CAST(SUM(CAST(l_tax AS DECIMAL(18,2))*100) AS DOUBLE)/COUNT(*) AS cz
         |FROM lineitem GROUP BY vx, vy, vz ORDER BY vx, vy, vz""".stripMargin,
+
+    // band bounds written as the same double expressions the Scala
+    // side evaluates (1.0/6, 13.0/42, ...) so both engines compare
+    // against bit-identical doubles
+    "k10_density_patches" ->
+      """WITH pts AS (SELECT l_orderkey AS frame_id,
+        |   GREATEST(abs(CAST(l_quantity AS DOUBLE) - 25.0)/20.0,
+        |            abs(CAST(l_discount*100 AS DOUBLE) - 4.5)/4.0,
+        |            abs(CAST(l_tax*100 AS DOUBLE) - 4.0)/3.5) AS d
+        |  FROM lineitem),
+        | bands(patch, lo, hi) AS (VALUES
+        |   ('dense_1', 0.0, 1.0/6), ('dense_2', 1.0/7, 13.0/42),
+        |   ('medium_1', 0.25, 0.45), ('medium_2', 0.4, 0.6),
+        |   ('least_1', 0.5, 0.75), ('least_2', 2.0/3, 1.0))
+        |SELECT patch, COUNT(*) AS n_pts,
+        | COUNT(DISTINCT frame_id) AS n_frames,
+        | CAST(SUM(CAST(d AS DECIMAL(30,15))) AS DOUBLE)/COUNT(*) AS avg_d
+        |FROM pts JOIN bands ON d >= lo AND d <= hi
+        |GROUP BY patch ORDER BY patch""".stripMargin,
 
     "k9_bev_grid" ->
       """SELECT CAST(FLOOR(l_quantity/2.0) AS BIGINT) AS gx,

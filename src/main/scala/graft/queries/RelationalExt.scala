@@ -108,7 +108,6 @@ object RelationalExt {
     // (null = current row). ONE keyed window, no self-join; the shape
     // every dimension-history ETL runs nightly.
     "q_scd2_history" -> { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
           col("value"))

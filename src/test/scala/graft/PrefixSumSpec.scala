@@ -45,4 +45,20 @@ class PrefixSumSpec extends SparkSpec {
     val df = Seq.empty[(Long, Long)].toDF("k", "d")
     assert(PrefixSum.runningSumLong(df, Seq("k"), "d", "run").count() == 0)
   }
+
+  test("boundary sample is size-bounded independent of n") {
+    // the r5 scale-killer: the old sample was ~n/64 keys collected to
+    // the driver — 10¹² rows would OOM it. The effective modulus must
+    // keep the EXPECTED sample at ~32·nPart keys whatever n is.
+    for (n <- Seq(1e6.toLong, 1e9.toLong, 1e12.toLong, Long.MaxValue / 4);
+         nPart <- Seq(32, 1000)) {
+      val mod = PrefixSum.effectiveSampleMod(n, 64, nPart)
+      val expected = n.toDouble / mod
+      assert(expected <= PrefixSum.boundaryKeysPerPartition * nPart + 1,
+        s"n=$n nPart=$nPart mod=$mod -> expected sample $expected")
+    }
+    // small inputs keep the caller's sampleMod exactly (r5 behavior)
+    assert(PrefixSum.effectiveSampleMod(5000, 64, 32) == 64L)
+    assert(PrefixSum.effectiveSampleMod(0, 64, 32) == 64L)
+  }
 }

@@ -119,4 +119,28 @@ class ReferencePipelineSpec extends SparkSpec {
     assert(reread.count() == stats.getAs[Long]("min_pts") +
       (stats.getAs[Long]("max_pts")))
   }
+
+  test("densityPatches implements the data_pipeline.py:96-99 band sketch") {
+    import spark.implicits._
+    // unit box [-1,1]^3 -> band_d is the Chebyshev distance itself.
+    // Hand-placed points: center (d=0, dense_1 only), d=0.15 (dense_1
+    // + dense_2 overlap), d=0.42 (medium_1 + medium_2 overlap),
+    // d=0.7 (least_1 + least_2 overlap), d=0.99 (least_2 only),
+    // d=1.2 (outside every band)
+    val pts = Seq(
+      (1L, 0.0, 0.0, 0.0), (2L, 0.15, 0.1, 0.0), (3L, 0.42, 0.0, 0.3),
+      (4L, 0.0, 0.7, 0.2), (5L, 0.99, 0.5, 0.5), (6L, 1.2, 0.0, 0.0)
+    ).toDF("frame_id", "x", "y", "z")
+    val got = CutOut.densityPatches(pts, (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+      .select($"frame_id", $"patch").as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "dense_1"), (2L, "dense_1"), (2L, "dense_2"),
+      (3L, "medium_1"), (3L, "medium_2"),
+      (4L, "least_1"), (4L, "least_2"), (5L, "least_2")))
+    // band table matches the reference sketch: widths 1/6, 1/6, 1/5,
+    // 1/5, 1/4, 1/3 and the staggered starts of the comment
+    val widths = CutOut.densityBands.map { case (_, lo, hi) => hi - lo }
+    val want = Seq(1.0 / 6, 13.0 / 42 - 1.0 / 7, 0.2, 0.2, 0.25, 1.0 / 3)
+    widths.zip(want).foreach { case (w, e) => assert(math.abs(w - e) < 1e-12) }
+  }
 }
