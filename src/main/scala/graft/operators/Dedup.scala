@@ -349,4 +349,79 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
+
+  /** EXACT repeated-substring pairs (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * criterion, re-expressed Spark-first): every document pair sharing
+    * a verbatim substring of ≥ `minLen` code points, with the length
+    * of their longest common substring. Exact output from an
+    * approximate-looking pipeline:
+    *
+    *  1. candidate generation: winnowed k-gram fingerprints
+    *     (`graft_winnow`, window w = minLen − k + 1) — the winnowing
+    *     theorem guarantees two docs sharing ≥ minLen characters share
+    *     a selected fingerprint, at ~2/(w+1) of the all-positions
+    *     density (the reduction that replaces the reference
+    *     suffix-array pass: a 100 TB corpus shuffles ~3% of its
+    *     positions, grouped by uniform hash);
+    *  2. per-fingerprint doc lists (bounded by `maxDf` against
+    *     boilerplate hubs — 0 disables; capped fingerprints can drop
+    *     pairs whose ONLY shared content is the hub boilerplate,
+    *     document the lever before flipping it) expand to aligned
+    *     anchor pairs HOF-side, like ngramJaccardPairs;
+    *  3. verification joins the two texts and extends each anchor to
+    *     its maximal run with the fused `graft_lcp` kernel (right:
+    *     lcp of suffixes; left: lcp of reversed prefixes) after a
+    *     content check kills hash collisions — max over anchors IS the
+    *     longest-common-substring length whenever it reaches minLen,
+    *     because any common run ≥ minLen contains a shared anchor and
+    *     extension recovers its full run.
+    *
+    * Returns (a_id, b_id, lcs_len), a_id < b_id, lcs_len ≥ minLen.
+    * The oracle replays it as an all-minLen-grams diagonal-run scan —
+    * feasible at oracle scale, the job winnowing exists to avoid. */
+  def exactSubstrPairs(df: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 50, k: Int = 8,
+                       maxDf: Long = 0L): DataFrame = {
+    require(minLen > k, s"minLen ($minLen) must exceed k ($k)")
+    val w = minLen - k + 1
+    val docs = spread(df).select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .localCheckpoint(true) // anchors + both verify sides
+    val anchors = docs.select(col("doc"),
+        explode(call_function("graft_winnow", col("txt"), lit(k), lit(w))).as("a"))
+      .select(col("doc"), col("a.pos").as("pos"), col("a.h").as("h"))
+    // per-fingerprint (doc, pos) lists; sorted so the HOF pair
+    // expansion below yields a < b without a join
+    val byHash = anchors.groupBy("h")
+      .agg(array_sort(collect_list(struct(col("doc"), col("pos")))).as("ds"),
+        count_distinct(col("doc")).as("df"))
+    val kept = if (maxDf > 0) byHash.filter(col("df") <= maxDf) else byHash
+    val pairCol = flatten(transform(col("ds"), (a, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+        b => struct(a.getField("doc").as("a_id"), a.getField("pos").as("pa"),
+          b.getField("doc").as("b_id"), b.getField("pos").as("pb")))))
+    val cand = kept.select(explode(pairCol).as("p"))
+      .select(col("p.a_id"), col("p.pa"), col("p.b_id"), col("p.pb"))
+      .filter(col("a_id") =!= col("b_id")) // same-doc repeats are not pairs
+      .distinct()
+    // verify + extend: anchor content equality kills hash collisions;
+    // extension = left lcp (reversed prefixes) + k + right lcp
+    val at = docs.select(col("doc").as("a_id"), col("txt").as("ta"))
+    val bt = docs.select(col("doc").as("b_id"), col("txt").as("tb"))
+    cand.join(at, "a_id").join(bt, "b_id")
+      .filter(col("ta").substr(col("pa"), lit(k)) ===
+        col("tb").substr(col("pb"), lit(k)))
+      .select(col("a_id"), col("b_id"),
+        (call_function("graft_lcp",
+            reverse(col("ta").substr(lit(1), col("pa") - 1)),
+            reverse(col("tb").substr(lit(1), col("pb") - 1))) +
+          lit(k) +
+          call_function("graft_lcp",
+            col("ta").substr(col("pa") + k, length(col("ta"))),
+            col("tb").substr(col("pb") + k, length(col("tb")))))
+          .cast("long").as("run"))
+      .groupBy("a_id", "b_id")
+      .agg(max(col("run")).as("lcs_len"))
+      .filter(col("lcs_len") >= minLen)
+  }
 }

@@ -231,6 +231,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketchValues(children.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case l if l.foldable => l.eval() match {
+            case i: Int => i
+            case l2: Long => l2.toInt
+            case other => throw new IllegalArgumentException(
+              s"graft_winnow $what must be an int literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            s"graft_winnow $what must be a literal")
+        }
+        Winnow(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lcp"),
+      new ExpressionInfo(classOf[LongestCommonPrefix].getName, "graft_lcp"),
+      (children: Seq[Expression]) =>
+        LongestCommonPrefix(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_vec_dsum"),
       new ExpressionInfo(classOf[VecDecimalSum].getName, "graft_vec_dsum"),
       (children: Seq[Expression]) =>

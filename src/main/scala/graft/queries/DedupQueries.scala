@@ -23,6 +23,19 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // EXACT repeated-substring pairs (Lee et al. 2021 ExactSubstr):
+    // every doc pair sharing >= 50 verbatim chars + their exact
+    // longest-common-substring length, via winnowed fingerprints ->
+    // anchor verification (see Dedup.exactSubstrPairs — the winnowing
+    // theorem makes the output exact, so a full oracle applies: the
+    // all-50-grams diagonal-run scan below, the quadratic job the
+    // winnowed path exists to avoid at scale)
+    "d15_exact_substr" -> { (s, d) =>
+      Dedup.exactSubstrPairs(t(s, d, "documents"), "doc_id", "text",
+          minLen = 50, k = 8)
+        .orderBy("a_id", "b_id")
+    },
+
     "d3_simhash" -> { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -133,6 +146,26 @@ object DedupQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // all 50-grams, diagonal consecutive-run scan: a common substring
+    // of length L contributes a run of L-49 aligned 50-grams on one
+    // (pa - pb) diagonal, so lcs_len = 49 + max run
+    "d15_exact_substr" ->
+      """WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 50) AS gram
+        |  FROM documents CROSS JOIN generate_series(1, 100000) AS gs(i)
+        |  WHERE i <= length(text) - 49),
+        | sh AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.pos AS pa, b.pos AS pb
+        |   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        | d AS (SELECT a_id, b_id, pa - pb AS diag, pa,
+        |    pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, pa - pb
+        |      ORDER BY pa) AS grp
+        |   FROM sh),
+        | runs AS (SELECT a_id, b_id, COUNT(*) AS run
+        |   FROM d GROUP BY a_id, b_id, diag, grp)
+        |SELECT a_id, b_id, CAST(49 + MAX(run) AS BIGINT) AS lcs_len
+        |FROM runs GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         | COUNT(*) AS n_dups

@@ -130,6 +130,53 @@ object EventQueries {
             count(col("us_to_convert"))).as("avg_us_to_convert"))
     },
 
+    // marketing attribution (first-touch × last-touch): per purchase,
+    // the user's first-ever event type and the event immediately
+    // preceding the purchase, rolled up to an attribution matrix with
+    // exact-decimal revenue. Two frames over ONE per-user window —
+    // partitioned, no global sort; (ts, event_id) total order keeps
+    // both engines deterministic.
+    "e10_attribution" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("first_touch", first(col("event_type")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("last_touch",
+          coalesce(lag(col("event_type"), 1).over(byUser), lit("none")))
+        .filter(col("event_type") === "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("first_touch", "last_touch")
+    },
+
+    // conversion-deadline funnel: a click converts iff the SAME user
+    // purchases within 30 minutes. "Next purchase after each event" is
+    // a conditional running min over the forward frame of the per-user
+    // window (no self-join, no as-of machinery); integer-microsecond
+    // delays keep the mean division the only double op.
+    "e11_deadline_funnel" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fwd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val deadline = 30L * 60 * 1000000
+      events(s, d)
+        .withColumn("next_purchase", min(
+          when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .over(fwd))
+        .filter(col("event_type") === "click")
+        .withColumn("delay_us",
+          col("next_purchase") - unix_micros(col("ts")))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum((col("delay_us") > 0 && col("delay_us") <= deadline)
+            .cast("long")).as("n_converted"),
+          (sum(when(col("delay_us") > 0 && col("delay_us") <= deadline,
+              col("delay_us"))).cast("double") /
+            sum((col("delay_us") > 0 && col("delay_us") <= deadline)
+              .cast("long"))).as("avg_delay_us"))
+    },
+
     // semi-structured payloads: the JSON props column parsed in-flight
     // (schema-on-read — the raw string stays in the lake, the engine
     // projects typed fields at scan time; codegen'd JSON path, no UDF)
@@ -298,6 +345,35 @@ object EventQueries {
         | CAST(SUM(us_to_convert) AS DOUBLE) / COUNT(us_to_convert)
         |   AS avg_us_to_convert
         |FROM fv LEFT JOIN cv USING (user_id)""".stripMargin,
+
+    "e10_attribution" ->
+      """WITH w AS (SELECT user_id, event_id, ts, event_type, value,
+        |    FIRST_VALUE(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS first_touch,
+        |    COALESCE(LAG(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id), 'none') AS last_touch
+        |  FROM events)
+        |SELECT first_touch, last_touch, COUNT(*) AS n_purchases,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM w WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin,
+
+    "e11_deadline_funnel" ->
+      """WITH w AS (SELECT user_id, event_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+        |  FROM events),
+        | c AS (SELECT np - epoch_us(ts) AS delay_us
+        |   FROM w WHERE event_type = 'click')
+        |SELECT COUNT(*) AS n_clicks,
+        | CAST(SUM(CASE WHEN delay_us > 0 AND delay_us <= 1800000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        | CAST(SUM(CASE WHEN delay_us > 0 AND delay_us <= 1800000000
+        |   THEN delay_us END) AS DOUBLE)
+        |  / SUM(CASE WHEN delay_us > 0 AND delay_us <= 1800000000
+        |   THEN 1 ELSE 0 END) AS avg_delay_us
+        |FROM c""".stripMargin,
 
     "e8_props_json" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -1,0 +1,96 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Exact-substring dedup: the winnowing guarantee (every >= minLen
+  * shared run is found), exact longest-common-substring lengths, the
+  * graft_lcp kernel, fingerprint density, and set equivalence against
+  * a brute-force LCS on a repeat-heavy random corpus. */
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randStr(r: Random, n: Int, alpha: String = "abcdefghij"): String =
+    Seq.fill(n)(alpha(r.nextInt(alpha.length))).mkString
+
+  test("planted >= minLen shared runs are always found, with exact length") {
+    val r = new Random(7)
+    val shared = randStr(r, 64) // planted common run
+    // distinct flanks (alphabet disjoint from the run's) so the
+    // planted run IS the longest common substring
+    val docs = Seq(
+      (1L, randStr(r, 200, "klmnopqrst") + shared + randStr(r, 150, "klmnopqrst")),
+      (2L, randStr(r, 80, "uvwxyz") + shared + randStr(r, 300, "uvwxyz")),
+      (3L, randStr(r, 400, "uvwxyz")) // no planted run
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrPairs(docs, "doc_id", "text", minLen = 50, k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 64L)), s"got $got")
+  }
+
+  test("runs shorter than minLen are rejected") {
+    val r = new Random(11)
+    val shared = randStr(r, 49)
+    val docs = Seq(
+      (1L, randStr(r, 100, "klmnopqrst") + shared),
+      (2L, shared + randStr(r, 100, "uvwxyz"))
+    ).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrPairs(docs, "doc_id", "text",
+      minLen = 50, k = 8).count() == 0)
+  }
+
+  test("graft_lcp: code-point common prefix length") {
+    val rows = Seq(
+      ("abcdef", "abcxyz", 3), ("", "abc", 0), ("same", "same", 4),
+      ("a", "b", 0), ("xy", "xyz", 2)
+    ).toDF("a", "b", "want")
+    val bad = rows.filter(
+      call_function("graft_lcp", col("a"), col("b")) =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
+  test("winnowed anchor density is a small fraction of positions") {
+    val r = new Random(13)
+    val docs = Seq.tabulate(20)(i => (i.toLong, randStr(r, 500))).toDF("doc_id", "text")
+    val anchors = docs.select(explode(
+      call_function("graft_winnow", col("text"), lit(8), lit(43)))).count()
+    val positions = 20L * (500 - 8 + 1)
+    // theoretical density 2/(w+1) ~ 4.5%; allow slack
+    assert(anchors < positions / 10,
+      s"$anchors anchors for $positions positions — winnowing not thinning")
+    assert(anchors > 0)
+  }
+
+  test("matches brute-force LCS pairs on a repeat-heavy corpus") {
+    // tiny alphabet + short docs force organic repeats
+    val r = new Random(29)
+    val raw = Seq.tabulate(30)(i => (i.toLong, randStr(r, 120, "ab")))
+    def lcsLen(a: String, b: String): Int = {
+      // O(|a||b|) DP, row-rolling
+      var prev = new Array[Int](b.length + 1)
+      var cur = new Array[Int](b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length) {
+        for (j <- 1 to b.length) {
+          cur(j) = if (a(i - 1) == b(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+        }
+        val t = prev; prev = cur; cur = t
+        java.util.Arrays.fill(cur, 0)
+      }
+      best
+    }
+    val minLen = 12
+    val want = (for {
+      (ia, ta) <- raw; (ib, tb) <- raw if ia < ib
+      l = lcsLen(ta, tb) if l >= minLen
+    } yield (ia, ib, l.toLong)).toSet
+    assert(want.nonEmpty, "corpus produced no repeats — broken fixture")
+    val got = Dedup.exactSubstrPairs(raw.toDF("doc_id", "text"), "doc_id", "text",
+        minLen = minLen, k = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${want -- got}\nextra=${got -- want}")
+  }
+}
