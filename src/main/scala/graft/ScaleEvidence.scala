@@ -80,6 +80,52 @@ object ScaleEvidence {
     println(f"[1b] connected components @ ${n} docs (+200-chain): " +
       f"$ccN labeled, ${tCc}%.1f s")
 
+    // ---- 1c. exact-substring dedup at 200k docs -------------------
+    // winnowing's scale claim measured: anchors leave the scan at
+    // ~2/(w+1) density, and 1000 pairs planted with a shared ~75-char
+    // block (per-pair distinct hash-chain words, so no cross-pair
+    // runs) must ALL surface — the winnowing theorem says this is
+    // guaranteed, not probabilistic. Hash-word filler makes organic
+    // >= 50-char cross-doc runs essentially impossible, so extras
+    // measure false positives (must be 0: every pair is lcp-verified).
+    val esDocs = 200000
+    val esPlant = 1000
+    def chainWords(idc: org.apache.spark.sql.Column, tag: String, a: Int, b: Int) =
+      (a until b).map(j => concat(lit("w"),
+        pmod(xxhash64(idc, lit(tag), lit(j)), lit(9973))))
+    val esBase = spark.range(esPlant, esDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", chainWords(col("id"), "t", 0, 40): _*).as("text"))
+    def planted1c(idc: org.apache.spark.sql.Column, off: Long) =
+      concat_ws(" ",
+        chainWords(idc + off, "t", 0, 20) ++
+          chainWords(idc, "blk", 0, 12) ++
+          chainWords(idc + off, "t", 20, 40): _*)
+    val esA = spark.range(esPlant).select(col("id").as("doc_id"),
+      planted1c(col("id"), 0L).as("text"))
+    val esB = spark.range(esPlant).select((col("id") + esDocs).as("doc_id"),
+      planted1c(col("id"), esDocs.toLong).as("text"))
+    esBase.union(esA).union(esB)
+      .write.mode("overwrite").parquet("target/scale/esdocs")
+    val esCorpus = spark.read.parquet("target/scale/esdocs")
+    val (esAnchors, tEsAnch) = timed {
+      esCorpus.select(explode(call_function("graft_winnow",
+        col("text"), lit(16), lit(35)))).count()
+    }
+    val esPositions = esCorpus
+      .select(sum(greatest(length(col("text")) - 15, lit(0)))).head().getLong(0)
+    val (esPairs, tEs) = timed {
+      Dedup.exactSubstrPairs(esCorpus, "doc_id", "text", minLen = 50)
+        .select("a_id", "b_id").collect()
+    }
+    val esSet = esPairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val esRecalled = (0L until esPlant.toLong)
+      .count(i => esSet.contains((i, i + esDocs)))
+    println(f"[1c] exact-substring @ ${esDocs + esPlant} docs: " +
+      f"recall $esRecalled/$esPlant, extras ${esSet.size - esRecalled}, " +
+      f"anchors $esAnchors%,d of $esPositions%,d positions " +
+      f"(${100.0 * esAnchors / esPositions}%.1f%% — theory ~${100.0 * 2 / 36}%.1f%%), " +
+      f"winnow pass ${tEsAnch}%.1f s, end-to-end ${tEs}%.1f s")
+
     // ---- 2. embedding LSH near-dup at 20k vectors -----------------
     val nVec = 20000
     val dim = 64

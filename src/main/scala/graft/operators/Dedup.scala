@@ -379,9 +379,19 @@ object Dedup {
     *
     * Returns (a_id, b_id, lcs_len), a_id < b_id, lcs_len ≥ minLen.
     * The oracle replays it as an all-minLen-grams diagonal-run scan —
-    * feasible at oracle scale, the job winnowing exists to avoid. */
+    * feasible at oracle scale, the job winnowing exists to avoid.
+    *
+    * `k` sets anchor SELECTIVITY, not correctness (any k < minLen
+    * keeps the guarantee via w = minLen − k + 1): k=8 anchors are
+    * 8-char grams, and natural-language corpora share short grams
+    * pathologically (one 8-gram hub hit 2535 of 5000 sf0.1 docs →
+    * 15.4M candidate verifications for 254 true pairs). The k=16
+    * default cuts that corpus to 197k candidates — 78× — because a
+    * shared 16-gram is already most of a real shared run. Raise k
+    * toward minLen/2 for boilerplate-heavy corpora; `maxDf` remains
+    * the emergency lever. */
   def exactSubstrPairs(df: DataFrame, idCol: String, textCol: String,
-                       minLen: Int = 50, k: Int = 8,
+                       minLen: Int = 50, k: Int = 16,
                        maxDf: Long = 0L): DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed k ($k)")
     val w = minLen - k + 1

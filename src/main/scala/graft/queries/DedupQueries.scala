@@ -32,7 +32,7 @@ object DedupQueries {
     // winnowed path exists to avoid at scale)
     "d15_exact_substr" -> { (s, d) =>
       Dedup.exactSubstrPairs(t(s, d, "documents"), "doc_id", "text",
-          minLen = 50, k = 8)
+          minLen = 50, k = 16)
         .orderBy("a_id", "b_id")
     },
 

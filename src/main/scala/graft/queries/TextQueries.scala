@@ -84,6 +84,45 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // canonical text normalization (the pre-dedup cleanup every corpus
+    // pipeline runs before hashing): lowercase, strip punctuation to
+    // spaces, collapse whitespace runs, trim. Pure codegen'd column
+    // arithmetic, map-side only; reports the md5 of the canonical form
+    // (what d1-style exact dedup would key on post-normalization) and
+    // the token delta the cleanup caused.
+    "t24_normalize" -> { (s, d) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_hash"),
+          TextOps.wsTokenCount(col("text")).as("toks_raw"),
+          when(length(norm) === 0, lit(0L))
+            .otherwise(size(split(norm, " ")).cast("long")).as("toks_norm"))
+        .orderBy("doc_id")
+    },
+
+    // n-gram novelty vs the growing corpus (dedup-adjacent curation
+    // signal: how much of each doc is text the corpus has never seen
+    // before it, in ingestion order): per 8-gram the first doc_id that
+    // contains it (one gram-keyed min aggregation, word-count shape),
+    // joined back — novelty = fraction of the doc's distinct grams it
+    // introduced. Exact integers + one double division.
+    "t25_novelty" -> { (s, d) =>
+      // graft_shingles dedups per doc, so (doc_id, g) is already unique
+      val grams = spread(t(s, d, "documents"))
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("text"), 8)).as("g"))
+      val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firstSeen, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    },
+
     "t2_quality_score" -> { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), length(col("text")).cast("long").as("chars"),
@@ -410,6 +449,30 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "t23_bpe" -> bpeOracleSql(5),
+
+    "t24_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+        |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |     ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS norm_hash,
+        | CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks_raw,
+        | CAST(CASE WHEN length(norm) = 0 THEN 0
+        |   ELSE len(string_split(norm, ' ')) END AS BIGINT) AS toks_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    "t25_novelty" ->
+      """WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS g
+        |  FROM documents CROSS JOIN generate_series(1, 100000) AS gs(i)
+        |  WHERE i <= length(text) - 7),
+        | fs AS (SELECT g, MIN(doc_id) AS first_doc FROM g GROUP BY g)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_novel,
+        | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*) AS novelty
+        |FROM g JOIN fs USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t12_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
