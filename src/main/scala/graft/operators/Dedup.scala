@@ -392,7 +392,19 @@ object Dedup {
     * the emergency lever. */
   def exactSubstrPairs(df: DataFrame, idCol: String, textCol: String,
                        minLen: Int = 50, k: Int = 16,
-                       maxDf: Long = 0L): DataFrame = {
+                       maxDf: Long = 0L): DataFrame =
+    exactSubstrRuns(df, idCol, textCol, minLen, k, maxDf)
+      .groupBy("a_id", "b_id")
+      .agg(max(col("run")).as("lcs_len"))
+      .filter(col("lcs_len") >= minLen)
+
+  /** Verified maximal shared runs with their span positions:
+    * (a_id, b_id, sa, sb, run) — the run covers [sa, sa+run) in a and
+    * [sb, sb+run) in b, 1-based code points. One row per distinct
+    * anchor alignment; runs < minLen are NOT yet filtered (pairs
+    * filters on the max, remove filters per span). */
+  private def exactSubstrRuns(df: DataFrame, idCol: String, textCol: String,
+                              minLen: Int, k: Int, maxDf: Long): DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed k ($k)")
     val w = minLen - k + 1
     val docs = spread(df).select(col(idCol).as("doc"), col(textCol).as("txt"))
@@ -421,17 +433,71 @@ object Dedup {
     cand.join(at, "a_id").join(bt, "b_id")
       .filter(col("ta").substr(col("pa"), lit(k)) ===
         col("tb").substr(col("pb"), lit(k)))
+      .withColumn("lext", call_function("graft_lcp",
+        reverse(col("ta").substr(lit(1), col("pa") - 1)),
+        reverse(col("tb").substr(lit(1), col("pb") - 1))))
+      .withColumn("run", (col("lext") + lit(k) +
+        call_function("graft_lcp",
+          col("ta").substr(col("pa") + k, length(col("ta"))),
+          col("tb").substr(col("pb") + k, length(col("tb")))))
+        .cast("long"))
       .select(col("a_id"), col("b_id"),
-        (call_function("graft_lcp",
-            reverse(col("ta").substr(lit(1), col("pa") - 1)),
-            reverse(col("tb").substr(lit(1), col("pb") - 1))) +
-          lit(k) +
-          call_function("graft_lcp",
-            col("ta").substr(col("pa") + k, length(col("ta"))),
-            col("tb").substr(col("pb") + k, length(col("tb")))))
-          .cast("long").as("run"))
-      .groupBy("a_id", "b_id")
-      .agg(max(col("run")).as("lcs_len"))
-      .filter(col("lcs_len") >= minLen)
+        (col("pa") - col("lext")).cast("long").as("sa"),
+        (col("pb") - col("lext")).cast("long").as("sb"),
+        col("run"))
+      .distinct() // several anchors inside one run recover the same span
+  }
+
+  /** The ExactSubstr dedup ACTION (Lee et al. 2021 §4.2): remove every
+    * ≥ `minLen` span that already occurs in an earlier document —
+    * keep-first policy, the lower id keeps its text, the higher id
+    * loses the shared span. Returns (idCol, textCol) with cleaned
+    * text for every input document (unaffected docs pass through).
+    * Overlapping spans from different partners merge before cutting,
+    * so each duplicated character is removed once.
+    *
+    * Same candidate/verify machinery as exactSubstrPairs (winnowed
+    * anchors, lcp extension — exact span recovery); the cut itself is
+    * a per-doc fold over the merged span list (HOF, map-side). NOT
+    * idempotent-by-meaning (removing a span can juxtapose two
+    * previously-separated fragments into a NEW ≥minLen duplicate) but
+    * deterministic; run to fixpoint for full elimination like the
+    * reference implementation. */
+  def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
+                        minLen: Int = 50, k: Int = 16,
+                        maxDf: Long = 0L): DataFrame = {
+    val spanStruct = "array<struct<s:bigint,e:bigint>>"
+    val spans = exactSubstrRuns(df, idCol, textCol, minLen, k, maxDf)
+      .filter(col("run") >= minLen)
+      .select(col("b_id").as(idCol),
+        struct(col("sb").as("s"), (col("sb") + col("run")).as("e")).as("sp"))
+      .distinct()
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(col("sp"))).as("sps"))
+      // interval merge: sorted by (s, e); fold extends the last merged
+      // span whenever the next one starts inside it
+      .select(col(idCol), aggregate(col("sps"),
+        array().cast(spanStruct),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1).getField("e") >= x.getField("s"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1).getField("s").as("s"),
+              greatest(element_at(acc, -1).getField("e"), x.getField("e")).as("e")))))
+          .otherwise(concat(acc, array(x)))).as("merged"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol, when(col("merged").isNull, col(textCol))
+        .otherwise(
+          // cut: stitch the segments between merged spans + the tail
+          aggregate(col("merged"),
+            struct(lit(1L).as("cur"), lit("").as("out")),
+            (acc, sp) => struct(
+              sp.getField("e").as("cur"),
+              concat(acc.getField("out"),
+                col(textCol).substr(acc.getField("cur").cast("int"),
+                  (sp.getField("s") - acc.getField("cur")).cast("int")))),
+            acc => concat(acc.getField("out"),
+              col(textCol).substr(acc.getField("cur").cast("int"),
+                length(col(textCol)))))))
+      .drop("merged")
   }
 }

@@ -36,6 +36,22 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // the ExactSubstr dedup ACTION: cut every >=50-char span that
+    // already occurs in an earlier doc (keep-first); reports the
+    // affected docs' size delta. Exact output -> exact oracle (the
+    // diagonal-run spans, interval-merged per doc in SQL).
+    "d16_substr_remove" -> { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val cleaned = Dedup.exactSubstrRemove(docs, "doc_id", "text",
+        minLen = 50, k = 16)
+      docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("chars_before"))
+        .join(cleaned.select(col("doc_id"),
+          length(col("text")).cast("long").as("chars_after")), "doc_id")
+        .filter(col("chars_after") =!= col("chars_before"))
+        .orderBy("doc_id")
+    },
+
     "d3_simhash" -> { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -165,6 +181,38 @@ object DedupQueries {
         |   FROM d GROUP BY a_id, b_id, diag, grp)
         |SELECT a_id, b_id, CAST(49 + MAX(run) AS BIGINT) AS lcs_len
         |FROM runs GROUP BY a_id, b_id ORDER BY a_id, b_id""".stripMargin,
+
+    // spans = maximal diagonal runs cut from the HIGHER doc
+    // (keep-first), interval-merged per doc (gaps-and-islands)
+    "d16_substr_remove" ->
+      """WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 50) AS gram
+        |  FROM documents CROSS JOIN generate_series(1, 100000) AS gs(i)
+        |  WHERE i <= length(text) - 49),
+        | sh AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.pos AS pa, b.pos AS pb
+        |   FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        | dd AS (SELECT a_id, b_id, pa - pb AS diag, pb,
+        |    pb - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, pa - pb
+        |      ORDER BY pb) AS grp
+        |   FROM sh),
+        | runs AS (SELECT b_id AS doc, MIN(pb) AS s,
+        |    MIN(pb) + COUNT(*) + 49 AS e
+        |   FROM dd GROUP BY a_id, b_id, diag, grp),
+        | sp AS (SELECT DISTINCT doc, s, e FROM runs),
+        | mk AS (SELECT doc, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) THEN 1 ELSE 0 END AS ng
+        |   FROM sp),
+        | isl AS (SELECT doc, s, e,
+        |    SUM(ng) OVER (PARTITION BY doc ORDER BY s, e) AS island FROM mk),
+        | mg AS (SELECT doc, MIN(s) AS ms, MAX(e) AS me
+        |   FROM isl GROUP BY doc, island)
+        |SELECT doc AS doc_id, CAST(length(text) AS BIGINT) AS chars_before,
+        | CAST(length(text) - SUM(me - ms) AS BIGINT) AS chars_after
+        |FROM mg JOIN documents ON documents.doc_id = mg.doc
+        |GROUP BY doc, length(text) ORDER BY doc_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -62,6 +62,44 @@ class ExactSubstrSpec extends SparkSpec {
     assert(anchors > 0)
   }
 
+  test("exactSubstrRemove: keep-first cut, exact content") {
+    val r = new Random(17)
+    val shared = randStr(r, 60)
+    val pre2 = randStr(r, 100, "uvwxyz"); val post2 = randStr(r, 80, "uvwxyz")
+    val t3 = randStr(r, 200, "uvwxyz")
+    val docs = Seq(
+      (1L, randStr(r, 150, "klmnopqrst") + shared), // first occurrence: kept
+      (2L, pre2 + shared + post2),                  // loses the span
+      (3L, t3)                                      // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRemove(docs, "doc_id", "text",
+        minLen = 50, k = 8)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L).endsWith(shared), "keep-first doc must keep its text")
+    assert(out(2L) == pre2 + post2, "higher doc must lose exactly the span")
+    assert(out(3L) == t3, "unaffected doc must pass through")
+  }
+
+  test("exactSubstrRemove: overlapping spans from two partners merge") {
+    val r = new Random(19)
+    // doc 3 contains runA and runB overlapping (runB starts inside
+    // runA's copy): A = x...y, B = y...z, doc3 holds x...y...z
+    val a = randStr(r, 60, "abcde")
+    val b = randStr(r, 60, "fghij")
+    val joint = a + b // doc3's duplicated region: a then b, adjacent
+    val docs = Seq(
+      (1L, randStr(r, 100, "klmno") + a + randStr(r, 60, "klmno")),
+      (2L, randStr(r, 90, "pqrst") + b + randStr(r, 70, "pqrst")),
+      (3L, "Z" * 40 + joint + "Q" * 40)
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRemove(docs, "doc_id", "text",
+        minLen = 50, k = 8)
+      .as[(Long, String)].collect().toMap
+    assert(out(3L) == "Z" * 40 + "Q" * 40,
+      s"adjacent spans must merge and cut once, got ${out(3L).length} chars")
+    assert(out(1L).contains(a) && out(2L).contains(b), "first occurrences kept")
+  }
+
   test("matches brute-force LCS pairs on a repeat-heavy corpus") {
     // tiny alphabet + short docs force organic repeats
     val r = new Random(29)
