@@ -448,6 +448,76 @@ object Dedup {
       .distinct() // several anchors inside one run recover the same span
   }
 
+  /** Persistable winnowed-anchor index of a corpus: (doc, pos, h) —
+    * the exact-substring analogue of `minhashIndex` (write it as a
+    * parquet table partitioned by h-range; a daily ingest probes it
+    * without re-winnowing the corpus). One map-side scan. */
+  def winnowIndex(df: DataFrame, idCol: String, textCol: String,
+                  minLen: Int = 50, k: Int = 16): DataFrame = {
+    require(minLen > k, s"minLen ($minLen) must exceed k ($k)")
+    spread(df).select(col(idCol).as("doc"),
+        explode(call_function("graft_winnow", col(textCol),
+          lit(k), lit(minLen - k + 1))).as("a"))
+      .select(col("doc"), col("a.pos").as("pos"), col("a.h").as("h"))
+  }
+
+  /** Cross-corpus exact-substring pairs: a NEW batch probed against an
+    * EXISTING corpus anchor index (`winnowIndex` output, typically
+    * read back from parquet) — the ingest shape: only the batch is
+    * winnowed; the corpus is touched through (1) its anchor index for
+    * candidate generation and (2) a candidate-NARROWED text fetch for
+    * verification (substring extension needs real text on both sides —
+    * the honest difference from MinHash, whose signatures suffice; the
+    * fetch is bounded by candidate docs, not the corpus).
+    * Returns (corpus_id, batch_id, lcs_len ≥ minLen); within-batch /
+    * within-corpus pairs are not produced (run `exactSubstrPairs` on
+    * the batch for those). `dedupIndex` mirrors minhashLshPairsAgainst:
+    * replayed index appends would re-verify duplicated anchors —
+    * harmless for correctness here (spans dedup) but wasted work;
+    * distinct it unless the index is known append-once. */
+  def exactSubstrPairsAgainst(corpusIndex: DataFrame, corpusDocs: DataFrame,
+                              batch: DataFrame, idCol: String, textCol: String,
+                              minLen: Int = 50, k: Int = 16,
+                              maxDf: Long = 0L,
+                              dedupIndex: Boolean = true): DataFrame = {
+    val probe = winnowIndex(batch, idCol, textCol, minLen, k)
+    val idx0 = corpusIndex.select(col("doc"), col("pos"), col("h"))
+    val idx = if (dedupIndex) idx0.distinct() else idx0
+    // optional hub cap, computed on the index side (the corpus defines
+    // what is boilerplate)
+    val kept = if (maxDf > 0) {
+      val hot = idx.groupBy("h")
+        .agg(count_distinct(col("doc")).as("df"))
+        .filter(col("df") > maxDf).select("h")
+      idx.join(hot, Seq("h"), "left_anti")
+    } else idx
+    val cand = kept.alias("c")
+      .join(probe.alias("p"), col("c.h") === col("p.h") &&
+        col("c.doc") =!= col("p.doc"))
+      .select(col("c.doc").as("corpus_id"), col("c.pos").as("pa"),
+        col("p.doc").as("batch_id"), col("p.pos").as("pb"))
+      .distinct()
+    val at = spread(corpusDocs)
+      .select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
+    val bt = spread(batch)
+      .select(col(idCol).as("batch_id"), col(textCol).as("tb"))
+    cand.join(at, "corpus_id").join(bt, "batch_id")
+      .filter(col("ta").substr(col("pa"), lit(k)) ===
+        col("tb").substr(col("pb"), lit(k)))
+      .select(col("corpus_id"), col("batch_id"),
+        (call_function("graft_lcp",
+            reverse(col("ta").substr(lit(1), col("pa") - 1)),
+            reverse(col("tb").substr(lit(1), col("pb") - 1))) +
+          lit(k) +
+          call_function("graft_lcp",
+            col("ta").substr(col("pa") + k, length(col("ta"))),
+            col("tb").substr(col("pb") + k, length(col("tb")))))
+          .cast("long").as("run"))
+      .groupBy("corpus_id", "batch_id")
+      .agg(max(col("run")).as("lcs_len"))
+      .filter(col("lcs_len") >= minLen)
+  }
+
   /** The ExactSubstr dedup ACTION (Lee et al. 2021 §4.2): remove every
     * ≥ `minLen` span that already occurs in an earlier document —
     * keep-first policy, the lower id keeps its text, the higher id

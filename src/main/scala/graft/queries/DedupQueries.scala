@@ -52,6 +52,21 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // cross-corpus exact-substring: batch (doc_id % 5 == 0) probed
+    // against the corpus anchor index (the ingest shape, like d9 for
+    // MinHash); exact output -> exact oracle. dedupIndex=false: the
+    // index is freshly built this session (append-once)
+    "d17_cross_substr" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val idx = Dedup.winnowIndex(corpus, "doc_id", "text",
+        minLen = 50, k = 16)
+      Dedup.exactSubstrPairsAgainst(idx, corpus,
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          minLen = 50, k = 16, dedupIndex = false)
+        .orderBy("corpus_id", "batch_id")
+    },
+
     "d3_simhash" -> { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
@@ -213,6 +228,25 @@ object DedupQueries {
         | CAST(length(text) - SUM(me - ms) AS BIGINT) AS chars_after
         |FROM mg JOIN documents ON documents.doc_id = mg.doc
         |GROUP BY doc, length(text) ORDER BY doc_id""".stripMargin,
+
+    "d17_cross_substr" ->
+      """WITH g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 50) AS gram
+        |  FROM documents CROSS JOIN generate_series(1, 100000) AS gs(i)
+        |  WHERE i <= length(text) - 49),
+        | sh AS (SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    c.pos AS pa, b.pos AS pb
+        |   FROM g c JOIN g b ON c.gram = b.gram
+        |   WHERE c.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+        | dd AS (SELECT corpus_id, batch_id, pa - pb AS diag, pa,
+        |    pa - ROW_NUMBER() OVER (PARTITION BY corpus_id, batch_id, pa - pb
+        |      ORDER BY pa) AS grp
+        |   FROM sh),
+        | runs AS (SELECT corpus_id, batch_id, COUNT(*) AS run
+        |   FROM dd GROUP BY corpus_id, batch_id, diag, grp)
+        |SELECT corpus_id, batch_id, CAST(49 + MAX(run) AS BIGINT) AS lcs_len
+        |FROM runs GROUP BY corpus_id, batch_id
+        |ORDER BY corpus_id, batch_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

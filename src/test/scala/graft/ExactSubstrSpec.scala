@@ -100,6 +100,28 @@ class ExactSubstrSpec extends SparkSpec {
     assert(out(1L).contains(a) && out(2L).contains(b), "first occurrences kept")
   }
 
+  test("cross-corpus probe == self-join pairs restricted across the split") {
+    val r = new Random(23)
+    val raw = Seq.tabulate(40)(i => (i.toLong, randStr(r, 120, "ab")))
+    val df = raw.toDF("doc_id", "text")
+    val corpus = df.filter($"doc_id" % 3 =!= 0)
+    val batch = df.filter($"doc_id" % 3 === 0)
+    // index round-trips through parquet like a persisted artifact
+    val dir = java.nio.file.Files.createTempDirectory("widx").toString
+    Dedup.winnowIndex(corpus, "doc_id", "text", minLen = 12, k = 4)
+      .write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val got = Dedup.exactSubstrPairsAgainst(idx, corpus, batch,
+        "doc_id", "text", minLen = 12, k = 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, b, l) => (math.min(c, b), math.max(c, b), l) }.toSet
+    val want = Dedup.exactSubstrPairs(df, "doc_id", "text", minLen = 12, k = 4)
+      .as[(Long, Long, Long)].collect()
+      .filter { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) }.toSet
+    assert(want.nonEmpty, "split produced no cross pairs — broken fixture")
+    assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
   test("matches brute-force LCS pairs on a repeat-heavy corpus") {
     // tiny alphabet + short docs force organic repeats
     val r = new Random(29)
