@@ -533,6 +533,32 @@ object Dedup {
     * previously-separated fragments into a NEW ≥minLen duplicate) but
     * deterministic; run to fixpoint for full elimination like the
     * reference implementation. */
+  /** `exactSubstrRemove` iterated to FIXPOINT: cutting a span can
+    * juxtapose two fragments into a NEW ≥minLen duplicate, so full
+    * elimination needs another pass — in practice one or two (each
+    * pass removes every CURRENT duplicate span; new ones only arise
+    * from juxtaposition). Driver-controlled loop, each iteration one
+    * distributed pass + one pair-count job; stops when a pass finds no
+    * ≥minLen pair or at `maxIters` (returns whatever it has — callers
+    * wanting a guarantee check with exactSubstrPairs). Eager
+    * localCheckpoint per iteration caps lineage like the BPE loop. */
+  def exactSubstrRemoveFixpoint(df: DataFrame, idCol: String, textCol: String,
+                                minLen: Int = 50, k: Int = 16,
+                                maxDf: Long = 0L, maxIters: Int = 4): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    var cur = df
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      if (exactSubstrPairs(cur, idCol, textCol, minLen, k, maxDf)
+          .limit(1).isEmpty) done = true
+      else cur = exactSubstrRemove(cur, idCol, textCol, minLen, k, maxDf)
+        .localCheckpoint(true)
+      i += 1
+    }
+    cur
+  }
+
   def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
                         minLen: Int = 50, k: Int = 16,
                         maxDf: Long = 0L): DataFrame = {

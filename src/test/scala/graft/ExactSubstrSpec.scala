@@ -100,6 +100,35 @@ class ExactSubstrSpec extends SparkSpec {
     assert(out(1L).contains(a) && out(2L).contains(b), "first occurrences kept")
   }
 
+  test("exactSubstrRemoveFixpoint eliminates juxtaposition-created dups") {
+    val r = new Random(43)
+    // doc2 holds X···Y where ··· is shared with doc3; removing ···
+    // joins X+Y, which doc4 contains verbatim — a second pass must
+    // catch the juxtaposed duplicate the first pass created
+    val x = randStr(r, 30, "abcde"); val y = randStr(r, 30, "fghij")
+    val mid = randStr(r, 60, "klmno")
+    val docs = Seq(
+      (1L, randStr(r, 100, "pqrst") + mid + randStr(r, 60, "pqrst")),
+      (2L, x + mid + y),
+      (3L, "Q" * 80 + x + y + "R" * 80)
+    ).toDF("doc_id", "text")
+    val once = Dedup.exactSubstrRemove(docs, "doc_id", "text", minLen = 50, k = 8)
+    // pass 1: doc2 loses mid (first seen in doc1) -> doc2 becomes x+y,
+    // which now duplicates part of doc3... doc3 is LATER, so pass 2
+    // cuts x+y from doc3 (keep-first: doc2 keeps)
+    val fix = Dedup.exactSubstrRemoveFixpoint(docs, "doc_id", "text",
+        minLen = 50, k = 8)
+    assert(Dedup.exactSubstrPairs(fix, "doc_id", "text",
+      minLen = 50, k = 8).count() == 0, "fixpoint must leave no pairs")
+    val out = fix.as[(Long, String)].collect().toMap
+    assert(out(2L) == x + y, "doc2 keeps the juxtaposed first occurrence")
+    assert(out(3L) == "Q" * 80 + "R" * 80, s"doc3 must lose x+y, got ${out(3L).take(90)}")
+    // and a single pass genuinely wasn't enough (the property that
+    // makes the fixpoint loop worth having)
+    assert(Dedup.exactSubstrPairs(once, "doc_id", "text",
+      minLen = 50, k = 8).count() > 0)
+  }
+
   test("cross-corpus probe == self-join pairs restricted across the split") {
     val r = new Random(23)
     val raw = Seq.tabulate(40)(i => (i.toLong, randStr(r, 120, "ab")))
