@@ -151,6 +151,24 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
   }
 
+  test("degenerate inputs: empty corpus, short docs, identical docs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactSubstrPairs(empty, "doc_id", "text").count() == 0)
+    // shorter than minLen (and than k): no anchors, no pairs, no crash
+    val short = Seq((1L, "tiny"), (2L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrPairs(short, "doc_id", "text").count() == 0)
+    // docs of EXACTLY minLen, all identical: every pair at full length
+    val s = "ab" * 25
+    val same = Seq((1L, s), (2L, s), (3L, s)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrPairs(same, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 50L), (1L, 3L, 50L), (2L, 3L, 50L)))
+    // removal keeps the first copy, empties the rest
+    val rem = Dedup.exactSubstrRemove(same, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(rem(1L) == s && rem(2L) == "" && rem(3L) == "")
+  }
+
   test("matches brute-force LCS pairs on a repeat-heavy corpus") {
     // tiny alphabet + short docs force organic repeats
     val r = new Random(29)
