@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ql.spread
+
+/** BM25 ranked retrieval (Robertson & Zaragoza 2009, "The
+  * Probabilistic Relevance Framework: BM25 and Beyond") — the lexical
+  * side of a corpus search / decontamination-audit stack.
+  *
+  * Standard machinery: per-doc term frequencies for the query terms,
+  * per-term document frequencies, document-length normalization
+  * against the corpus mean (k1/b saturation). One honest deviation,
+  * following the repo's log-free oracle convention (t13, Dsir): the
+  * idf factor is the RATIONAL odds (N − df + 0.5)/(df + 0.5) rather
+  * than its logarithm — `ln`'s last-ulp rounding is engine-specific,
+  * and the rational form keeps every operation IEEE-mirrorable in the
+  * DuckDB oracle. Rarer terms still dominate; the saturation and
+  * length normalization are textbook BM25.
+  *
+  * Determinism: each (doc, term) contribution is a fixed-shape double
+  * expression; the per-doc score adds the ≤|terms| contributions in
+  * the FIXED literal order of `terms` (conditional single-element
+  * sums — no order-dependent double reduction). Ties break on doc id.
+  *
+  * Scale shape (100 TB): one tokenize+explode over the corpus; the
+  * query-term filter prunes it to matching tokens BEFORE any shuffle
+  * (an `isin` over a literal list, pushed into the scan projection);
+  * df and the 1-row corpus stats are broadcast; top-k is a distributed
+  * TakeOrdered. The doc-length table is the only corpus-sized
+  * aggregation. No global sort, no driver-sized state.
+  */
+object Bm25 {
+
+  /** Top-`k` docs for `terms`, BM25-scored. Output: (doc_id, dl,
+    * score, rk). Docs containing none of the terms never enter the
+    * score aggregation (score 0 by definition — omitted). */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int = 10,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, "terms must be distinct")
+    val toks = spread(docs).select(
+      col(idCol).as("doc_id"),
+      explode(filter(split(trim(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
+      .withColumn("idf_r",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(k1 + 1) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("c", col("idf_r") * col("tfn"))
+    // one row per (doc, term): each conditional sum collapses a single
+    // element, then the fixed-order fold adds them reproducibly
+    val perTerm = terms.map(t => sum(when(col("w") === t, col("c"))).as(s"c_$t"))
+    val score = terms
+      .map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val top = contrib.groupBy("doc_id", "dl")
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("score", score)
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(k)
+    // rank materializes AFTER the distributed TakeOrdered: the window
+    // runs on k rows, not the corpus
+    top.withColumn("rk", row_number()
+        .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("dl"), col("score"), col("rk"))
+  }
+}

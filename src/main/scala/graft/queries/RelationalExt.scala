@@ -388,6 +388,31 @@ object RelationalExt {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("c_nationkey")
+    },
+
+    // blocked entity resolution (the Fellegi-Sunter block-then-verify
+    // shape): candidate pairs only WITHIN a cheap deterministic block
+    // — (name's noun, size) — then edit-distance verification inside
+    // the block. The block join is a plain equi-join (shuffle on the
+    // block key, never a cross join); block cardinality is the scale
+    // lever — add blocking attributes until the largest block's pair
+    // count fits a task (same df-cap argument as d4). Threshold 1
+    // keeps exact-duplicate names and single-edit variants
+    // ("cold X" ~ "old X" — the corpus's planted near-synonyms).
+    "q_entity_resolution" -> { (s, d) =>
+      val p = t(s, d, "part").select(
+        col("p_partkey"), col("p_name"), col("p_size"),
+        substring_index(col("p_name"), " ", -1).as("noun"))
+      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("noun"), col("p_size"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+        col("noun"), col("p_size"))
+      a.join(b, Seq("noun", "p_size"))
+        .filter(col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"), col("dist"))
+        .orderBy("a_key", "b_key")
     }
   )
 
@@ -609,6 +634,18 @@ object RelationalExt {
         |WHERE c_acctbal > thr.thr
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |    AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_entity_resolution" ->
+      """WITH p AS (SELECT p_partkey, p_name, p_size,
+        |    (regexp_split_to_array(p_name, ' '))[-1] AS noun FROM part)
+        |SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        | a.p_name AS a_name, b.p_name AS b_name,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.noun = b.noun AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin
   )
 }

@@ -409,6 +409,19 @@ object TextQueries {
         .map { case (m, i) => (i + 1L, m.a, m.b, m.n, m.toksAfter) }
         .toDF("step", "a", "b", "n", "toks_after")
         .orderBy("step")
+    },
+
+    // DSIR domain-targeted selection (Xie et al. 2023): weight every
+    // doc by its hashed-unigram+bigram likelihood ratio under the
+    // English-labeled slice (target) vs the whole corpus (raw), keep
+    // the top 100. ppm fixed-point ratios — exact integers, see
+    // Dsir scaladoc for the log-free convention and the 100 TB shape
+    // (bucket stats ≤ 4096 rows broadcast; selection is TakeOrdered).
+    "t26_dsir" -> { (s, d) =>
+      graft.operators.Dsir.importanceSelect(
+          t(s, d, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", nBuckets = 4096, topK = 100)
+        .orderBy("doc_id")
     }
   )
 
@@ -449,6 +462,40 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "t23_bpe" -> bpeOracleSql(5),
+
+    // mirrors Dsir.importanceSelect bit-for-bit: same fingerprint fold
+    // (t4's convention), same add-one-smoothed ppm integer ratios
+    // (DuckDB `//` = Spark DIV on non-negative BIGINTs), same top-100
+    // (weight desc, doc_id) selection
+    "t26_dsir" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), ' +') AS a
+        |  FROM documents),
+        | uni AS (SELECT doc_id, lang, unnest(a) AS f FROM t),
+        | big AS (SELECT doc_id, lang,
+        |    a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS f
+        |  FROM t CROSS JOIN generate_series(1, 50000) AS g(i)
+        |  WHERE i <= len(a) - 1),
+        | feats AS (SELECT doc_id, lang,
+        |    list_reduce(list_transform(range(1, length(f) + 1),
+        |        i -> ascii(substr(f, CAST(i AS INT), 1))::BIGINT),
+        |      (x, y) -> (x * 31 + y) % 1000000007) % 4096 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+        |  WHERE length(f) > 0),
+        | stats AS (SELECT b, COUNT(*) AS cr,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM feats GROUP BY b),
+        | tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_r,
+        |    CAST(SUM(ct) AS BIGINT) AS n_t FROM stats),
+        | scored AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+        |    CAST(SUM(((ct + 1) * (n_r + 4096) * 1000000)
+        |             // ((cr + 1) * (n_t + 4096))) AS BIGINT) AS weight_ppm
+        |  FROM feats f JOIN stats USING (b) CROSS JOIN tot
+        |  GROUP BY f.doc_id),
+        | sel AS (SELECT doc_id FROM scored
+        |  ORDER BY weight_ppm DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_feat, weight_ppm,
+        | doc_id IN (SELECT doc_id FROM sel) AS selected
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "t24_normalize" ->
       """WITH n AS (SELECT doc_id, text,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25, RankFusion}
+
+/** BM25 retrieval + reciprocal-rank fusion (operators/Bm25.scala,
+  * operators/RankFusion.scala). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "x x y"),     // dl 3: both terms
+    (2L, "x z"),       // dl 2: one term
+    (3L, "w w w w")    // dl 4: no query term
+  ).toDF("doc_id", "text")
+
+  // the operator's arithmetic, mirrored op-for-op in plain doubles
+  private def tfn(tf: Double, dl: Double, avgdl: Double,
+                  k1: Double = 1.2, b: Double = 0.75): Double =
+    tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+  private def idf(n: Double, df: Double): Double = (n - df + 0.5) / (df + 0.5)
+
+  test("bm25: hand-computed scores, term-absent doc excluded, ranked") {
+    val got = Bm25.topK(corpus, "doc_id", "text", Seq("x", "y"), k = 10)
+      .select("doc_id", "dl", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val avgdl = 9.0 / 3
+    val s1 = idf(3, 2) * tfn(2, 3, avgdl) + idf(3, 1) * tfn(1, 3, avgdl)
+    val s2 = idf(3, 2) * tfn(1, 2, avgdl) + 0.0
+    assert(got.map(_._1) == Seq(1L, 2L)) // doc 3 never scores
+    assert(got == Seq((1L, 3L, s1, 1L), (2L, 2L, s2, 2L)))
+  }
+
+  test("bm25: rarer term dominates at equal tf") {
+    // 'rare' in 1 doc, 'common' in 3 — doc with only the rare term
+    // must outrank docs with only the common term (equal tf, dl)
+    val df = Seq((1L, "rare pad"), (2L, "common pad"), (3L, "common x"),
+      (4L, "common y")).toDF("doc_id", "text")
+    val top = Bm25.topK(df, "doc_id", "text", Seq("rare", "common"), k = 4)
+      .select("doc_id").as[Long].collect()
+    assert(top.head == 1L)
+  }
+
+  test("bm25: length normalization favors the shorter doc at equal tf") {
+    val df = Seq((1L, "q a"), (2L, "q a a a a a a a")).toDF("doc_id", "text")
+    val got = Bm25.topK(df, "doc_id", "text", Seq("q"), k = 2)
+      .select("doc_id", "rk").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 2L)
+  }
+
+  test("rrf: exact ppm fusion, doc missing from one list, tie-break") {
+    val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rk")
+    val l2 = Seq((20L, 1L), (10L, 2L)).toDF("id", "rk")
+    val got = RankFusion.rrf(Seq(l1, l2), "id", "rk", kappa = 60, topK = 10)
+      .select("id", "n_lists", "rrf_ppm")
+      .as[(Long, Long, Long)].collect().toSeq
+    def p(r: Long) = 1000000L / (60 + r)
+    // 10: 16393+16129=32522; 20: 16129+16393=32522 — tie, id order
+    assert(got == Seq(
+      (10L, 2L, p(1) + p(2)),
+      (20L, 2L, p(2) + p(1)),
+      (30L, 1L, p(3))))
+  }
+
+  test("rrf: topK truncates after fusion") {
+    val l1 = (1L to 5L).map(i => (i, i)).toDF("id", "rk")
+    val got = RankFusion.rrf(Seq(l1), "id", "rk", topK = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+}
