@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
 object RankFusion {
 
   /** Fuse ranked lists. Each input must carry (idCol, rankCol) with
-    * rank 1-based. Output: (idCol, n_lists, rrf_ppm) — the top `topK`
-    * by fused score. */
+    * rank 1-based, and ids must be DISTINCT within each list — a
+    * duplicated id would inflate its n_lists and double-count its
+    * reciprocal (retriever top-k output is distinct by construction;
+    * dedup on idCol per list first if yours is not).
+    * Output: (idCol, n_lists, rrf_ppm) — the top `topK` by fused
+    * score. */
   def rrf(lists: Seq[DataFrame], idCol: String, rankCol: String,
           kappa: Int = 60, topK: Int = 10): DataFrame = {
     require(lists.nonEmpty, "need at least one ranked list")

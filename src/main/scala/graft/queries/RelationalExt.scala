@@ -336,12 +336,17 @@ object RelationalExt {
     // some part's total shipped quantity — correlated per-part share
     // + semi-join back to the supplier dimension.
     "q20_excess_suppliers" -> { (s, d) =>
-      val li = t(s, d, "lineitem")
-      val perPartSupp = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      // ONE lineitem scan: the per-part total is a window sum over the
+      // already-reduced (partkey, suppkey) aggregate — decimal addition
+      // is exact, so sum-of-per-supplier-sums equals the direct per-part
+      // sum bit-for-bit. (The previous formulation aggregated the full
+      // fact table twice.)
+      val wPart = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      val perPartSupp = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(dec(col("l_quantity"))).as("sq"))
-      val perPart = li.groupBy(col("l_partkey").as("pk"))
-        .agg(sum(dec(col("l_quantity"))).as("tq"))
-      val excess = perPartSupp.join(perPart, col("l_partkey") === col("pk"))
+      val excess = perPartSupp
+        .withColumn("tq", sum(col("sq")).over(wPart))
         .filter(col("sq") * lit(5) > col("tq")) // sq/tq > 0.2, decimal-exact
         .select(col("l_suppkey")).distinct()
       t(s, d, "supplier")

@@ -105,16 +105,18 @@ object TextQueries {
     // n-gram novelty vs the growing corpus (dedup-adjacent curation
     // signal: how much of each doc is text the corpus has never seen
     // before it, in ingestion order): per 8-gram the first doc_id that
-    // contains it (one gram-keyed min aggregation, word-count shape),
-    // joined back — novelty = fraction of the doc's distinct grams it
-    // introduced. Exact integers + one double division.
+    // contains it, computed as a window min over the gram key — ONE
+    // shuffle of the exploded gram table, no join-back, no recompute
+    // (the agg+join formulation materialized and shuffled the
+    // corpus-sized gram table twice). Exact integers + one division.
     "t25_novelty" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       // graft_shingles dedups per doc, so (doc_id, g) is already unique
       val grams = spread(t(s, d, "documents"))
         .select(col("doc_id"),
           explode(TextOps.shingles(col("text"), 8)).as("g"))
-      val firstSeen = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firstSeen, "g")
+      grams
+        .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
@@ -473,8 +475,7 @@ object TextQueries {
         | uni AS (SELECT doc_id, lang, unnest(a) AS f FROM t),
         | big AS (SELECT doc_id, lang,
         |    a[CAST(i AS INT)] || ' ' || a[CAST(i AS INT) + 1] AS f
-        |  FROM t CROSS JOIN generate_series(1, 50000) AS g(i)
-        |  WHERE i <= len(a) - 1),
+        |  FROM t, UNNEST(range(1, len(a))) AS g(i)),
         | feats AS (SELECT doc_id, lang,
         |    list_reduce(list_transform(range(1, length(f) + 1),
         |        i -> ascii(substr(f, CAST(i AS INT), 1))::BIGINT),

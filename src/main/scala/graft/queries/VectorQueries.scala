@@ -144,9 +144,9 @@ object VectorQueries {
     // fixed-order conditional-sum score assembly, same (score desc,
     // doc_id) top-10
     "s8_bm25" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(text), ' +')) AS w
-        |  FROM documents),
+      """WITH toks AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0),
         | dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
         |  FROM toks GROUP BY doc_id),
         | corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -7,9 +7,14 @@ import graft.operators.Dsir
 class DsirSpec extends SparkSpec {
   import spark.implicits._
 
-  // the operator's fingerprint fold, reimplemented independently
-  private def fp(s: String): Long =
-    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+  // the operator's fingerprint fold, reimplemented independently —
+  // over Unicode CODE POINTS (the documented semantics), not UTF-16
+  // code units, so supplementary-plane input would expose a mismatch
+  private def fp(s: String): Long = {
+    var a = 0L
+    s.codePoints().forEach(cp => a = (a * 31 + cp.toLong) % 1000000007L)
+    a
+  }
 
   test("feature buckets: unigrams + bigrams, hashed mod nBuckets") {
     val df = Seq((1L, "ab cd ef")).toDF("id", "text")
