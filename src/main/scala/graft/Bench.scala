@@ -151,7 +151,18 @@ object Bench {
     val sp = splits.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"ann_split":$sp,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"ann_split":$sp,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}"""
+    println(line)
+    // durability: the driver keeps only a ~2000-char stdout tail, which
+    // has truncated 40 of 119 per-query medians in past rounds — also
+    // write the complete line to a file (committed with the round) so
+    // the binding artifact can never be tail-truncated. Path
+    // overridable for dev loops; failure to write must not fail the
+    // bench (read-only cwd on some runners).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_latest.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

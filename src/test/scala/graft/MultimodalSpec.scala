@@ -37,6 +37,76 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_no", "features"))
   }
 
+  // --- real codec through the same seam (VERDICT r6 item 3): bytes
+  // are genuinely encoded PNG/BMP via javax.imageio, decoded inside
+  // the mapPartitions path, features asserted against independently
+  // computed pixel math. The fake-codec tests above are untouched.
+
+  private def encodeImage(fmt: String,
+                          px: Array[Array[(Int, Int, Int)]]): Array[Byte] = {
+    val h = px.length; val w = px(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(y)(x)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  // independent re-derivation of the 8-dim feature from raw pixels
+  private def pixelFeatures(px: Array[Array[(Int, Int, Int)]]): Seq[Float] = {
+    val flat = px.flatten
+    val n = flat.length.toLong
+    val lumas = flat.map { case (r, g, b) => (299L * r + 587L * g + 114L * b) / 1000L }
+    Seq(px(0).length.toFloat, px.length.toFloat,
+      (flat.map(_._1.toLong).sum.toDouble / (n * 255.0)).toFloat,
+      (flat.map(_._2.toLong).sum.toDouble / (n * 255.0)).toFloat,
+      (flat.map(_._3.toLong).sum.toDouble / (n * 255.0)).toFloat,
+      lumas.min / 255.0f, lumas.max / 255.0f,
+      (lumas.sum.toDouble / (n * 255.0)).toFloat)
+  }
+
+  test("ImageIoCodec decodes real PNG and BMP bytes to exact pixel features") {
+    val solidRed = Array.fill(2, 4)((255, 0, 0)) // 4x2 uniform
+    val gradient = Array(Array((0, 0, 0), (100, 150, 200), (255, 255, 255)))
+    val png = encodeImage("png", solidRed)
+    val bmp = encodeImage("bmp", gradient)
+    val media = Seq((1L, png), (2L, bmp)).toDF("media_id", "media")
+    val got = Binary.extractFeatures(media, graft.multimodal.ImageIoCodec)
+      .orderBy("media_id").select("features").as[Array[Float]].collect()
+    assert(got(0).toSeq == pixelFeatures(solidRed))
+    assert(got(1).toSeq == pixelFeatures(gradient))
+    // spot-check the uniform case against hand-computed constants:
+    // luma(255,0,0) = floor(299*255/1000) = 76
+    assert(got(0).toSeq == Seq(4f, 2f, 1f, 0f, 0f, 76 / 255.0f, 76 / 255.0f, 76 / 255.0f))
+  }
+
+  test("ImageIoCodec: corrupt bytes quarantine as empty features, not task death") {
+    val ok = encodeImage("png", Array.fill(2, 2)((10, 20, 30)))
+    val corrupt = "not an image at all".getBytes("UTF-8")
+    val truncated = ok.take(16) // valid PNG magic, then cut off
+    val media = Seq((1L, ok), (2L, corrupt), (3L, truncated))
+      .toDF("media_id", "media").repartition(1) // same partition: poison must not kill neighbors
+    val got = Binary.extractFeatures(media, graft.multimodal.ImageIoCodec)
+      .orderBy("media_id").select("features").as[Array[Float]].collect()
+    assert(got(0).length == 8)
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
+  test("ImageIoCodec frame sampling: byte-range frames mostly undecodable, shape intact") {
+    // byte-range "frames" of a PNG are not themselves valid images —
+    // the real-video analogue needs keyframe seeking — but the seam
+    // must keep the row shape and quarantine convention
+    val png = encodeImage("png", Array.fill(4, 4)((1, 2, 3)))
+    val media = Seq((7L, png)).toDF("media_id", "media")
+    val frames = Binary.sampleFrames(media, 3, graft.multimodal.ImageIoCodec)
+    assert(frames.count() == 3)
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_no", "features"))
+  }
+
   test("custom MediaCodec plugs into the same pipeline") {
     // a 2-dim "codec": [byte count, ascii sum] — stands in for any real
     // decoder behind the MediaCodec seam
