@@ -80,4 +80,69 @@ object Bm25 {
         .over(Window.orderBy(desc("score"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("dl"), col("score"), col("rk"))
   }
+
+  /** Batched retrieval — the production shape (VERDICT r6 item 4):
+    * MANY queries against one corpus in a SINGLE corpus pass.
+    * `queries` carries (qIdCol, qTextCol); each query's term SET is its
+    * tokenized text (duplicates collapse — BM25 term weights are
+    * per-type, not per-occurrence).
+    *
+    * Per-query top-`k` output: (q_id, doc_id, dl, score_ppm, rk).
+    *
+    * Determinism without literal unrolling: `topK` gets fixed-order
+    * double summation from its literal term list; here term sets are
+    * data, so each (doc, term, query) contribution is quantized to
+    * ppm — ⌊(idf_r · tfn) · 10⁶⌋ as BIGINT — and the per-doc score is
+    * an EXACT integer sum, order-independent and oracle-mirrorable
+    * (same fixed-point convention as RankFusion / Dsir).
+    *
+    * Scale shape: ONE tokenize+explode over the corpus; the union of
+    * all query terms (bounded: queries are human-sized) broadcasts and
+    * prunes corpus tokens before the tf shuffle; df and corpus stats
+    * broadcast; the query fan-out join is also broadcast. Per-query
+    * top-k is a rank window partitioned by q_id — candidate counts per
+    * query are df-bounded; a stop-word-ish query term is the skew
+    * lever (cap or drop ultra-high-df terms upstream if needed). */
+  def topKQueries(docs: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, qIdCol: String, qTextCol: String,
+                  k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = spread(docs).select(
+      col(idCol).as("doc_id"),
+      explode(filter(split(trim(col(textCol)), "\\s+"),
+        w => length(w) > 0)).as("w"))
+    val qterms = queries.select(
+        col(qIdCol).as("q_id"),
+        explode(filter(split(trim(col(qTextCol)), "\\s+"),
+          w => length(w) > 0)).as("w"))
+      .distinct() // term sets
+    val terms = qterms.select("w").distinct()
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    // corpus tokens pruned to the query-term union BEFORE any shuffle
+    val tf = toks.join(broadcast(terms), "w")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(qterms), "w") // fan out to the queries wanting w
+      .join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
+      .withColumn("idf_r",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("tfn",
+        col("tf").cast("double") * lit(k1 + 1) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("c_ppm",
+        floor((col("idf_r") * col("tfn")) * lit(1e6)).cast("long"))
+    contrib.groupBy("q_id", "doc_id", "dl")
+      .agg(sum(col("c_ppm")).as("score_ppm"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("q_id")
+          .orderBy(desc("score_ppm"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("doc_id"), col("dl"), col("score_ppm"), col("rk"))
+  }
 }

@@ -97,28 +97,84 @@ object VectorQueries {
       import graft.functions.VectorOps
       val e = emb(s, d)
       val q0 = qs(s, d).filter(col("vec_id") === 0)
-      val cosL = SimilaritySearch
-        .bruteForceTopK(q0, e, "vec_id", "embedding", 50)
-        .select(col("c_id"), col("rk"))
+      // ONE corpus scan (VERDICT r6 item 8): the three rankers share
+      // the same dot products — score them all in a single pass, rank
+      // with three windows over the SAME shuffled frame (identical
+      // hashpartitioning(q_id) exchange → Spark reuses it across the
+      // list branches), and fuse. Cosine is bit-identical to s1's
+      // machinery: round(fastDot/(q_nrm·sqrt(d_cc)), 6), zero-norm
+      // candidates excluded (null → ranked last → filtered), ranks of
+      // valid rows unchanged.
       val qv = broadcast(q0.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_v")))
+        col("embedding").as("q_v"),
+        VectorOps.fastNorm(col("embedding")).as("q_nrm"),
+        VectorOps.fastDot(col("embedding"), col("embedding")).as("d_qq")))
+      val scored = spread(e).crossJoin(qv)
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          VectorOps.fastDot(col("q_v"), col("embedding")).as("d_qc"),
+          VectorOps.fastDot(col("embedding"), col("embedding")).as("d_cc"),
+          col("q_nrm"), col("d_qq"))
+        .withColumn("cos", when(col("d_cc") > 0,
+          round(col("d_qc") / (col("q_nrm") * sqrt(col("d_cc"))), 6)))
+        .withColumn("l2", (col("d_cc") - lit(2.0) * col("d_qc")) + col("d_qq"))
       val w = Window.partitionBy("q_id")
-      def top50(sc: org.apache.spark.sql.Column, asc0: Boolean) = {
-        spread(e).crossJoin(qv)
-          .select(col("q_id"), col("vec_id").as("c_id"),
-            sc.as("sc"))
-          .withColumn("rk", row_number()
-            .over(w.orderBy(if (asc0) col("sc").asc else col("sc").desc,
-              col("c_id"))).cast("long"))
-          .filter(col("rk") <= 50)
-          .select(col("c_id"), col("rk"))
-      }
-      val dotL = top50(VectorOps.fastDot(col("q_v"), col("embedding")), asc0 = false)
-      val l2L = top50(
-        (VectorOps.fastDot(col("embedding"), col("embedding"))
-          - lit(2.0) * VectorOps.fastDot(col("q_v"), col("embedding")))
-          + VectorOps.fastDot(col("q_v"), col("q_v")), asc0 = true)
-      graft.operators.RankFusion.rrf(Seq(cosL, dotL, l2L), "c_id", "rk",
+      val ranked = scored
+        .withColumn("rk_cos", row_number()
+          .over(w.orderBy(col("cos").desc_nulls_last, col("c_id"))).cast("long"))
+        .withColumn("rk_dot", row_number()
+          .over(w.orderBy(desc("d_qc"), col("c_id"))).cast("long"))
+        .withColumn("rk_l2", row_number()
+          .over(w.orderBy(col("l2").asc, col("c_id"))).cast("long"))
+      // fuse ARITHMETICALLY on the wide ranked frame — RankFusion.rrf's
+      // exact ppm convention (⌊10⁶/(60+rk)⌋ summed as integers over the
+      // lists where rk ≤ 50), but without a 3-way self-union: a union
+      // of per-list branches re-plans the scan+shuffle per branch
+      // (WindowGroupLimit specializes each branch's pre-shuffle sort,
+      // defeating exchange reuse — measured, 3 corpus scans). The
+      // operator itself stays catalog-gated via s11 + RankFusionSpec.
+      def in(listOk: org.apache.spark.sql.Column, rk: String) =
+        (when(listOk, lit(1L)).otherwise(lit(0L)),
+         when(listOk, expr(s"1000000 DIV (60 + $rk)")).otherwise(lit(0L)))
+      val (nCos, cCos) = in(col("cos").isNotNull && col("rk_cos") <= 50, "rk_cos")
+      val (nDot, cDot) = in(col("rk_dot") <= 50, "rk_dot")
+      val (nL2, cL2) = in(col("rk_l2") <= 50, "rk_l2")
+      ranked.select(col("c_id"),
+          (nCos + nDot + nL2).as("n_lists"),
+          (cCos + cDot + cL2).as("rrf_ppm"))
+        .filter(col("n_lists") > 0)
+        .orderBy(desc("rrf_ppm"), col("c_id"))
+        .limit(10)
+    },
+
+    // batched BM25 (Bm25.topKQueries): three queries, ONE corpus pass —
+    // per-query term sets fan out over a broadcast join, contributions
+    // quantized to ppm integers so per-doc scores are exact
+    // order-independent sums. Literal query table, mirrored by a
+    // VALUES CTE in the oracle.
+    "s10_bm25_queries" -> { (s, d) =>
+      import s.implicits._
+      val queries = Seq(
+        (0L, "dup spark"), (1L, "window key dup"), (2L, "spark shuffle"))
+        .toDF("q_id", "qtext")
+      graft.operators.Bm25.topKQueries(t(s, d, "documents"), "doc_id", "text",
+          queries, "q_id", "qtext", k = 10)
+        .orderBy("q_id", "rk")
+    },
+
+    // hybrid retrieval (the production fusion story): the LEXICAL
+    // ranker (BM25 top-50 over documents) fused with the VECTOR ranker
+    // (s1's exact cosine top-50 over embeddings, same id space) via
+    // RRF — BM25 as a *real* fusion input rather than s9's three
+    // vector views (VERDICT r6 item 4).
+    "s11_hybrid_fusion" -> { (s, d) =>
+      val bm25L = graft.operators.Bm25.topK(t(s, d, "documents"),
+          "doc_id", "text", terms = Seq("dup", "spark", "window", "key"), k = 50)
+        .select(col("doc_id").as("c_id"), col("rk"))
+      val cosL = SimilaritySearch
+        .bruteForceTopK(qs(s, d).filter(col("vec_id") === 0), emb(s, d),
+          "vec_id", "embedding", 50)
+        .select(col("c_id"), col("rk"))
+      graft.operators.RankFusion.rrf(Seq(bm25L, cosL), "c_id", "rk",
           kappa = 60, topK = 10)
         .orderBy(desc("rrf_ppm"), col("c_id"))
     }
@@ -203,6 +259,95 @@ object VectorQueries {
         | u AS (SELECT c_id, rk FROM cosR WHERE rk <= 50
         |  UNION ALL SELECT c_id, rk FROM dotR WHERE rk <= 50
         |  UNION ALL SELECT c_id, rk FROM l2R WHERE rk <= 50),
+        | f AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |    CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf_ppm
+        |  FROM u GROUP BY c_id)
+        |SELECT c_id, n_lists, rrf_ppm FROM f
+        |ORDER BY rrf_ppm DESC, c_id LIMIT 10""".stripMargin,
+
+    // mirrors Bm25.topKQueries op-for-op: same tokenization and
+    // rational idf/saturation as s8, contributions quantized
+    // ⌊(idf·tfn)·10⁶⌋ to BIGINT so the per-doc sum is exact and
+    // order-independent, per-query rank windows
+    "s10_bm25_queries" ->
+      """WITH queries AS (SELECT CAST(q_id AS BIGINT) AS q_id, qtext
+        |  FROM (VALUES (0, 'dup spark'), (1, 'window key dup'),
+        |    (2, 'spark shuffle')) AS v(q_id, qtext)),
+        | toks AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        | qt AS (SELECT DISTINCT q_id, w FROM (SELECT q_id,
+        |      unnest(regexp_split_to_array(trim(qtext), '\s+')) AS w
+        |    FROM queries) WHERE length(w) > 0),
+        | terms AS (SELECT DISTINCT w FROM qt),
+        | dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |  FROM toks GROUP BY doc_id),
+        | corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks JOIN terms USING (w) GROUP BY doc_id, w),
+        | dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        | c AS (SELECT qt.q_id, tf.doc_id, dl.dl,
+        |    CAST(FLOOR((((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |         + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n_docs))))))
+        |      * 1000000.0) AS BIGINT) AS c_ppm
+        |  FROM tf JOIN qt USING (w) JOIN dfq USING (w) JOIN dl USING (doc_id)
+        |  CROSS JOIN corp),
+        | sc AS (SELECT q_id, doc_id, dl, CAST(SUM(c_ppm) AS BIGINT) AS score_ppm
+        |  FROM c GROUP BY q_id, doc_id, dl),
+        | r AS (SELECT q_id, doc_id, dl, score_ppm,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rk FROM sc)
+        |SELECT q_id, doc_id, dl, score_ppm, rk FROM r WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
+
+    // mirrors s11: the s8 BM25 machinery at top-50 (same fixed-order
+    // conditional-sum score) fused with s1's rounded-cosine top-50 for
+    // vec_id=0 by integer-ppm RRF
+    "s11_hybrid_fusion" ->
+      """WITH toks AS (SELECT doc_id, w FROM (SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        | dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+        |  FROM toks GROUP BY doc_id),
+        | corp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+        | tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks WHERE w IN ('dup', 'spark', 'window', 'key')
+        |  GROUP BY doc_id, w),
+        | dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        | c AS (SELECT tf.doc_id, dl.dl, tf.w,
+        |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |      / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * (1.2 + 1.0)
+        |      / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+        |         + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(tot AS DOUBLE) / n_docs)))))
+        |    AS c
+        |  FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN corp),
+        | s AS (SELECT doc_id,
+        |    COALESCE(SUM(CASE WHEN w = 'dup' THEN c END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN w = 'spark' THEN c END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN w = 'window' THEN c END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN w = 'key' THEN c END), 0.0) AS score
+        |  FROM c GROUP BY doc_id),
+        | bm AS (SELECT doc_id AS c_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM (SELECT doc_id, score FROM s
+        |    ORDER BY score DESC, doc_id LIMIT 50)),
+        | emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        |   WHERE list_dot_product(v, v) > 0),
+        | qn AS (SELECT * FROM nn WHERE vec_id = 0),
+        | cosS AS (SELECT cd.vec_id AS c_id,
+        |    ROUND(list_dot_product(q.v, cd.v)/(q.nrm*cd.nrm), 6) AS sc
+        |  FROM qn q CROSS JOIN nn cd),
+        | cosR AS (SELECT c_id, CAST(ROW_NUMBER() OVER
+        |    (ORDER BY sc DESC, c_id) AS BIGINT) AS rk FROM cosS),
+        | u AS (SELECT c_id, rk FROM bm
+        |  UNION ALL SELECT c_id, rk FROM cosR WHERE rk <= 50),
         | f AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
         |    CAST(SUM(1000000 // (60 + rk)) AS BIGINT) AS rrf_ppm
         |  FROM u GROUP BY c_id)

@@ -48,6 +48,42 @@ class RetrievalSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 2L)
   }
 
+  test("topKQueries: hand-computed ppm scores, one corpus pass, per-query ranks") {
+    val queries = Seq((0L, "x y"), (1L, "z"), (2L, "absent")).toDF("q_id", "qtext")
+    val got = Bm25.topKQueries(corpus, "doc_id", "text", queries, "q_id", "qtext")
+      .select("q_id", "doc_id", "dl", "score_ppm", "rk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val avgdl = 9.0 / 3
+    def ppm(c: Double): Long = math.floor(c * 1e6).toLong
+    // q0 mirrors the topK test, but each term contribution quantized
+    // to ppm BEFORE the sum (order-independent integer convention)
+    val s1 = ppm(idf(3, 2) * tfn(2, 3, avgdl)) + ppm(idf(3, 1) * tfn(1, 3, avgdl))
+    val s2 = ppm(idf(3, 2) * tfn(1, 2, avgdl))
+    val z2 = ppm(idf(3, 1) * tfn(1, 2, avgdl))
+    assert(got == Seq(
+      (0L, 1L, 3L, s1, 1L), (0L, 2L, 2L, s2, 2L), // doc 3 never scores
+      (1L, 2L, 2L, z2, 1L))) // q1 matches only doc 2; q2 matches nothing
+  }
+
+  test("topKQueries: duplicate terms in the query text collapse to a set") {
+    val q1 = Seq((0L, "x x x y")).toDF("q_id", "qtext")
+    val q2 = Seq((0L, "x y")).toDF("q_id", "qtext")
+    val a = Bm25.topKQueries(corpus, "doc_id", "text", q1, "q_id", "qtext")
+      .select("doc_id", "score_ppm").as[(Long, Long)].collect().toSeq.sorted
+    val b = Bm25.topKQueries(corpus, "doc_id", "text", q2, "q_id", "qtext")
+      .select("doc_id", "score_ppm").as[(Long, Long)].collect().toSeq.sorted
+    assert(a == b)
+  }
+
+  test("topKQueries: per-query ranking agrees with single-query topK") {
+    val queries = Seq((7L, "x y")).toDF("q_id", "qtext")
+    val batched = Bm25.topKQueries(corpus, "doc_id", "text", queries, "q_id", "qtext")
+      .orderBy("rk").select("doc_id").as[Long].collect().toSeq
+    val single = Bm25.topK(corpus, "doc_id", "text", Seq("x", "y"))
+      .orderBy("rk").select("doc_id").as[Long].collect().toSeq
+    assert(batched == single)
+  }
+
   test("rrf: exact ppm fusion, doc missing from one list, tie-break") {
     val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rk")
     val l2 = Seq((20L, 1L), (10L, 2L)).toDF("id", "rk")
