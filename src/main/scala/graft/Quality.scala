@@ -153,6 +153,56 @@ object Quality {
       IvfPq.topK(embTwins, emb, "vec_id", "embedding", k = 1,
         nCells = 8, nProbe = 3, m = 8, ks = 8, iters = 3, refine = 4))
 
+    // ---- ANN recall@k on a CLUSTERED corpus (VERDICT r6 item 5) ----
+    // the sf embeddings are near-uniform, so bucketed/celled recall@k
+    // above is geometry-floored and only tracks drift. Here a
+    // deterministic mixture-of-Gaussians corpus — 50 centers uniform
+    // in [-1,1]^64 (expected pairwise distance ≈ 6.5), 10 members
+    // each, ±0.05 component noise (norm ≈ 0.23) — makes recall@k
+    // measure INDEX quality: a query's exact top-k is all in-cluster,
+    // so a correct coarse quantizer / codebook must confine the search
+    // to the right cluster, and the refine window (refine·k = 20 ≥
+    // cluster size) lets the exact re-rank recover the local ordering
+    // — the documented division of labor. (Cluster sizes must stay
+    // within the refine window: NO fixed-byte PQ code can order
+    // noise-scale distances among dozens of near-identical codes, so
+    // oversized clusters would floor the metric by construction, not
+    // by defect.) Pure column arithmetic (xxhash64): identical corpus
+    // under any partitioning. Same operator parameters as the catalog
+    // queries.
+    val clustered = spark.range(500).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j => {
+        val cent = (pmod(xxhash64(lit("c"), pmod(col("id"), lit(50)), j),
+          lit(2000001)).cast("double") / 1e6) - 1.0
+        val noise = ((pmod(xxhash64(lit("n"), col("id"), j),
+          lit(2000001)).cast("double") / 1e6) - 1.0) * 0.05
+        (cent + noise).cast("float")
+      }).as("embedding")).localCheckpoint(true)
+    val cq = clustered.filter(col("vec_id") < 5)
+    val exactC = SimilaritySearch.bruteForceTopK(
+        cq, clustered, "vec_id", "embedding", 5)
+      .select("q_id", "c_id", "rk").localCheckpoint(true)
+    def recallClustered(ann: DataFrame, k: Int): Double = {
+      val ex = exactC.filter(col("rk") <= k).select("q_id", "c_id")
+      ann.select("q_id", "c_id").intersect(ex).count().toDouble / ex.count()
+    }
+    val qc = KMeans.fitLocal(clustered, "vec_id", "embedding", k = 8, iters = 3)
+    metrics("s3_ivf_clustered_recall_at_3") = recallClustered(
+      SimilaritySearch.ivfKmeansTopK(cq, clustered, "vec_id", "embedding",
+        k = 3, nCells = 8, nProbe = 2, quantizer = Some(qc)), 3)
+    metrics("s6_pq_clustered_recall_at_5") = recallClustered(
+      ProductQuantizer.pqTopK(cq, clustered, "vec_id", "embedding",
+        k = 5, m = 8, ks = 16, refine = 4), 5)
+    metrics("s7_ivfpq_clustered_recall_at_5") = recallClustered(
+      IvfPq.topK(cq, clustered, "vec_id", "embedding", k = 5,
+        nCells = 8, nProbe = 3, m = 8, ks = 8, iters = 3, refine = 4), 5)
+    metrics("s2_lsh_clustered_recall_at_3") = recallClustered(
+      SimilaritySearch.lshTopK(cq, clustered, "vec_id", "embedding",
+        k = 3, nBits = 8), 3)
+    metrics("s5_multiprobe_clustered_recall_at_3") = recallClustered(
+      SimilaritySearch.lshTopK(cq, clustered, "vec_id", "embedding",
+        k = 3, nBits = 8, nProbes = 4), 3)
+
     // ---- d6: KMV sketch worst-group relative error ---------------
     val kmv = SparkEntry.queries("d6_kmv_distinct")(spark, sfDir)
       .select(col("est_distinct"), col("exact_distinct"))
