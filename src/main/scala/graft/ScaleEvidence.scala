@@ -403,3 +403,104 @@ object ScaleEvidence {
     spark.stop()
   }
 }
+
+/** Adversarial-scale exact-substring evidence (VERDICT r6 item 6),
+  * separate main so the 1M-doc case iterates without rerunning the
+  * whole evidence suite: every document opens with the SAME 60-char
+  * boilerplate header — the hub case where the TRUE ≥50-char-shared
+  * pair set is quadratic (every doc pairs with every doc via the
+  * header) and only the `maxDf` cap makes the computation, and the
+  * answer, meaningful. 500 planted cross pairs share a unique
+  * 12-word block beyond the header; with the cap the output must be
+  * exactly those pairs, at hub-independent cost (hub fingerprints are
+  * count-filtered before any doc list materializes). Also times
+  * `exactSubstrRemoveFixpoint` at the same scale.
+  *
+  * Run: sbt 'runMain graft.ScaleEvidenceSubstr [nDocs]' */
+object ScaleEvidenceSubstr {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val nPlant = 500
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Two hub regimes, same corpus shape otherwise — every doc opens
+    // with the SAME header, followed by a doc-unique id token and a
+    // unique 35-word hash-chain body; docs i < nPlant get a twin
+    // (i + nDocs) sharing a unique 12-word mid-doc block (~95 chars):
+    //
+    //  a) SUB-minLen hub (30-char header): the header alone is not a
+    //     ≥50 run and the unique token blocks extension past it, so
+    //     the TRUE pair set is exactly the planted pairs — recall AND
+    //     extras≈0 are both assertable, while the hub fingerprints
+    //     (df = corpus size) still stress the cap's pre-list pruning.
+    //  b) SUPER-minLen hub (59-char header): every doc pair genuinely
+    //     shares ≥50 chars — the true pair set is QUADRATIC. The cap
+    //     suppresses the hub fingerprints, so the output is the
+    //     planted (non-boilerplate) pairs plus a tail of header+ε runs
+    //     whose straddling fingerprint happens to be rare (e.g. two
+    //     ids sharing a long digit prefix) — correct ExactSubstr
+    //     semantics under the cap, reported informationally. The
+    //     production answer for such corpora is removing the
+    //     boilerplate first; the cap is what keeps THIS computation
+    //     bounded either way.
+    def words(idc: org.apache.spark.sql.Column, tag: String, from: Int, until: Int) =
+      (from until until).map(j => concat(lit(tag),
+        pmod(xxhash64(idc, lit(tag), lit(j)), lit(9973))))
+    def buildCorpus(header: String, path: String): DataFrame = {
+      val base = spark.range(nPlant, nDocs).select(col("id").as("doc_id"),
+        concat_ws(" ", lit(header) +: concat(lit("id"), col("id")) +:
+          words(col("id"), "u", 0, 35): _*).as("text"))
+      def twinText(idc: org.apache.spark.sql.Column, off: Long) =
+        concat_ws(" ", Seq(lit(header), concat(lit("id"), idc + off)) ++
+          words(idc + off, "u", 0, 12) ++
+          words(idc, "blk", 0, 12) ++
+          words(idc + off, "u", 12, 35): _*)
+      val a = spark.range(nPlant).select(col("id").as("doc_id"),
+        twinText(col("id"), 0L).as("text"))
+      val b = spark.range(nPlant).select((col("id") + nDocs).as("doc_id"),
+        twinText(col("id"), nDocs.toLong).as("text"))
+      base.union(a).union(b).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    def measure(tag: String, corpus: DataFrame): Unit = {
+      val n = corpus.count()
+      val (pairs, tPairs) = timed {
+        Dedup.exactSubstrPairs(corpus, "doc_id", "text",
+            minLen = 50, k = 16, maxDf = 64)
+          .select("a_id", "b_id").collect()
+      }
+      val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recalled = (0L until nPlant.toLong)
+        .count(i => pairSet.contains((i, i + nDocs)))
+      println(f"[1d-$tag] exact-substring hub @ $n%,d docs (maxDf=64): " +
+        f"recall $recalled/$nPlant, extras ${pairSet.size - recalled}, " +
+        f"${tPairs}%.1f s (hub pair set ${n * (n - 1) / 2}%,d never enumerated)")
+    }
+    val sub = buildCorpus("GRAFT STANDARD HEADER V2 L27JX", "target/scale/hubsub") // 30 chars
+    measure("sub", sub)
+    val sup = buildCorpus(
+      "GRAFT CORPUS STANDARD LICENSE HEADER V2 DO NOT REMOVE LINE", // 59 chars
+      "target/scale/hubsuper")
+    measure("super", sup)
+
+    val (cleaned, tFix) = timed {
+      val out = Dedup.exactSubstrRemoveFixpoint(sup, "doc_id", "text",
+        minLen = 50, k = 16, maxDf = 64, maxIters = 3)
+      out.select(sum(length(col("text")))).head().getLong(0)
+    }
+    val rawChars = sup.select(sum(length(col("text")))).head().getLong(0)
+    println(f"[1d-fix] exactSubstrRemoveFixpoint @ super-minLen hub: " +
+      f"$rawChars%,d -> $cleaned%,d chars, ${tFix}%.1f s")
+    spark.stop()
+  }
+}

@@ -412,12 +412,24 @@ object Dedup {
     val anchors = docs.select(col("doc"),
         explode(call_function("graft_winnow", col("txt"), lit(k), lit(w))).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.h").as("h"))
+    // df-cap BEFORE list materialization: a boilerplate hub (one
+    // header in every doc) makes its fingerprint's doc list corpus-
+    // sized, and collect_list-then-filter would build that list just
+    // to throw it away — at adversarial scale the build itself is the
+    // failure. The pre-pass is a bounded-state count aggregation
+    // (partial-combinable) + a semi-join on the same shuffle key, so
+    // no hub list is ever materialized.
+    val capped =
+      if (maxDf > 0)
+        anchors.join(
+          anchors.groupBy("h").agg(count_distinct(col("doc")).as("df"))
+            .filter(col("df") <= maxDf).select("h"),
+          Seq("h"), "left_semi")
+      else anchors
     // per-fingerprint (doc, pos) lists; sorted so the HOF pair
     // expansion below yields a < b without a join
-    val byHash = anchors.groupBy("h")
-      .agg(array_sort(collect_list(struct(col("doc"), col("pos")))).as("ds"),
-        count_distinct(col("doc")).as("df"))
-    val kept = if (maxDf > 0) byHash.filter(col("df") <= maxDf) else byHash
+    val kept = capped.groupBy("h")
+      .agg(array_sort(collect_list(struct(col("doc"), col("pos")))).as("ds"))
     val pairCol = flatten(transform(col("ds"), (a, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))),
         b => struct(a.getField("doc").as("a_id"), a.getField("pos").as("pa"),
