@@ -134,6 +134,19 @@ object Bench {
           refine = 4, quantizer = Some(quant7), model = Some(mdl7),
           index = Some(idx7)).count(); ()
       }
+      // lexical analogue of the ANN split: BM25 inverted-index build
+      // vs probe (train-once/probe-forever, same terms as s8_bm25)
+      import graft.operators.Bm25
+      var idx8: Bm25.Bm25Index = null
+      splits("s8_bm25_build") = medianKeep { () =>
+        val built = Bm25.buildIndex(t(spark, sfDir, "documents"), "doc_id", "text")
+        idx8 = Bm25.Bm25Index(built.postings.localCheckpoint(true),
+          built.stats.localCheckpoint(true)); ()
+      }
+      splits("s8_bm25_probe") = medianKeep { () =>
+        Bm25.topKFromIndex(idx8,
+          terms = Seq("dup", "spark", "window", "key"), k = 10).count(); ()
+      }
     } catch { case _: Throwable => () }
 
     // ms-rounded per-query times and a duplicate total at the END of

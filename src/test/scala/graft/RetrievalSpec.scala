@@ -84,6 +84,30 @@ class RetrievalSpec extends SparkSpec {
     assert(batched == single)
   }
 
+  test("inverted index: parquet round trip, probe bit-identical to inline topK") {
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    idx.postings.write.mode("overwrite").parquet(s"$dir/postings")
+    idx.stats.write.mode("overwrite").parquet(s"$dir/stats")
+    val persisted = Bm25.Bm25Index(
+      spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"))
+    val probe = Bm25.topKFromIndex(persisted, Seq("x", "y"))
+      .select("doc_id", "dl", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val inline = Bm25.topK(corpus, "doc_id", "text", Seq("x", "y"))
+      .select("doc_id", "dl", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(probe == inline) // doubles included: shared scoring tail
+  }
+
+  test("inverted index: empty-text docs carry no postings and no stats weight") {
+    val df = Seq((1L, "x y"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val idx = Bm25.buildIndex(df, "doc_id", "text")
+    assert(idx.postings.filter(col("doc_id") =!= 1L).count() == 0)
+    val st = idx.stats.as[(Long, Long)].head()
+    assert(st == ((1L, 2L))) // n_docs=1, tot=2 — same convention as topK
+  }
+
   test("rrf: exact ppm fusion, doc missing from one list, tie-break") {
     val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rk")
     val l2 = Seq((20L, 1L), (10L, 2L)).toDF("id", "rk")
