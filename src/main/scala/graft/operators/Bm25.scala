@@ -160,27 +160,66 @@ object Bm25 {
   def topKQueries(docs: DataFrame, idCol: String, textCol: String,
                   queries: DataFrame, qIdCol: String, qTextCol: String,
                   k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = spread(docs).select(
-      col(idCol).as("doc_id"),
-      explode(filter(split(trim(col(textCol)), "\\s+"),
-        w => length(w) > 0)).as("w"))
-    val qterms = queries.select(
-        col(qIdCol).as("q_id"),
-        explode(filter(split(trim(col(qTextCol)), "\\s+"),
-          w => length(w) > 0)).as("w"))
-      .distinct() // term sets
+    val toks = tokenize(docs, idCol, textCol)
+    val qterms = queryTermSets(queries, qIdCol, qTextCol)
     val terms = qterms.select("w").distinct()
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     // corpus tokens pruned to the query-term union BEFORE any shuffle
     val tf = toks.join(broadcast(terms), "w")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+    scoreRankQueries(tf, qterms, stats, k, k1, b)
+  }
+
+  /** Batched probe against a prebuilt index: `topKQueries` semantics
+    * (ppm-integer scores, per-query rank windows) with no tokenize and
+    * no corpus-sized aggregation — the postings scan is pruned to the
+    * union of query terms by a broadcast semi-join. The full
+    * production combo: build the index once, then every query batch
+    * is one pruned-scan + one shortlist shuffle. */
+  def topKQueriesFromIndex(index: Bm25Index, queries: DataFrame,
+                           qIdCol: String, qTextCol: String,
+                           k: Int = 10, k1: Double = 1.2,
+                           b: Double = 0.75): DataFrame = {
+    val qterms = queryTermSets(queries, qIdCol, qTextCol)
+    val terms = qterms.select("w").distinct()
+    val tf = index.postings.join(broadcast(terms), Seq("w"), "left_semi")
+    scoreRankQueries(tf, qterms, index.stats, k, k1, b)
+  }
+
+  /** Incremental maintenance: merge indexes of DISJOINT doc sets (the
+    * append-only ingest shape — a new batch's index unions in; doc
+    * updates require delete + re-add upstream). Postings union, stats
+    * add: exactly `buildIndex` of the union corpus. */
+  def mergeIndexes(a: Bm25Index, b: Bm25Index): Bm25Index =
+    Bm25Index(
+      a.postings.unionByName(b.postings),
+      a.stats.unionByName(b.stats)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot")).as("tot")))
+
+  /** Query term SETS: tokenized, per-query distinct (BM25 weights are
+    * per-type, not per-occurrence). */
+  private def queryTermSets(queries: DataFrame, qIdCol: String, qTextCol: String) =
+    queries.select(
+        col(qIdCol).as("q_id"),
+        explode(filter(split(trim(col(qTextCol)), "\\s+"),
+          w => length(w) > 0)).as("w"))
+      .distinct()
+
+  /** Shared batched scoring tail (`tf`: one row per (doc, queried
+    * term) with dl; `qterms` fans docs out to the queries wanting the
+    * term). Same double-op order as `scoreRank`, contributions
+    * quantized ⌊c·10⁶⌋ so per-(query, doc) sums are exact integers —
+    * the oracle contract for s10. */
+  private def scoreRankQueries(tf: DataFrame, qterms: DataFrame,
+                               stats: DataFrame, k: Int,
+                               k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val contrib = tf
       .join(broadcast(qterms), "w") // fan out to the queries wanting w
       .join(broadcast(dfreq), "w")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("tot").cast("double") / col("n_docs"))
       .withColumn("idf_r",
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /

@@ -108,6 +108,37 @@ class RetrievalSpec extends SparkSpec {
     assert(st == ((1L, 2L))) // n_docs=1, tot=2 — same convention as topK
   }
 
+  test("batched probe from index == topKQueries from raw corpus") {
+    val queries = Seq((0L, "x y"), (1L, "z w")).toDF("q_id", "qtext")
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val fromIdx = Bm25.topKQueriesFromIndex(idx, queries, "q_id", "qtext")
+      .select("q_id", "doc_id", "dl", "score_ppm", "rk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val direct = Bm25.topKQueries(corpus, "doc_id", "text", queries, "q_id", "qtext")
+      .select("q_id", "doc_id", "dl", "score_ppm", "rk")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(fromIdx == direct && fromIdx.nonEmpty)
+  }
+
+  test("incremental merge of disjoint batches == index of the union corpus") {
+    val batch1 = corpus.filter(col("doc_id") <= 2L)
+    val batch2 = corpus.filter(col("doc_id") > 2L)
+    val merged = Bm25.mergeIndexes(
+      Bm25.buildIndex(batch1, "doc_id", "text"),
+      Bm25.buildIndex(batch2, "doc_id", "text"))
+    val full = Bm25.buildIndex(corpus, "doc_id", "text")
+    def canonP(i: Bm25.Bm25Index) = i.postings
+      .select("w", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSeq.sorted
+    assert(canonP(merged) == canonP(full))
+    assert(merged.stats.as[(Long, Long)].head() ==
+      full.stats.as[(Long, Long)].head())
+    // and probing the merged index is identical to probing the full one
+    val q = Seq((0L, "x y z")).toDF("q_id", "qtext")
+    assert(Bm25.topKQueriesFromIndex(merged, q, "q_id", "qtext").collect().toSeq ==
+      Bm25.topKQueriesFromIndex(full, q, "q_id", "qtext").collect().toSeq)
+  }
+
   test("rrf: exact ppm fusion, doc missing from one list, tie-break") {
     val l1 = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rk")
     val l2 = Seq((20L, 1L), (10L, 2L)).toDF("id", "rk")
