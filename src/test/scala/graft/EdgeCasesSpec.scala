@@ -31,6 +31,47 @@ class EdgeCasesSpec extends SparkSpec {
       Seq.empty[(Long, Double)].toDF("id", "w"), "id", "w", k = 5).count() == 0)
   }
 
+  test("bm25 batched/indexed paths on degenerate inputs") {
+    import graft.operators.Bm25
+    val corpus = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    // whitespace-only query tokenizes to no terms: absent from output,
+    // no exception; well-formed queries in the same batch unaffected
+    val qs = Seq((0L, "   "), (1L, "y")).toDF("q_id", "qtext")
+    val out = Bm25.topKQueries(corpus, "doc_id", "text", qs, "q_id", "qtext")
+      .select("q_id").distinct().as[Long].collect().toSeq
+    assert(out == Seq(1L))
+    // empty corpus: empty output and an index that probes empty
+    val idx = Bm25.buildIndex(noDocs, "doc_id", "text")
+    assert(Bm25.topKQueries(noDocs, "doc_id", "text", qs, "q_id", "qtext").count() == 0)
+    assert(Bm25.topKFromIndex(idx, Seq("x")).count() == 0)
+    assert(Bm25.topKQueriesFromIndex(idx, qs, "q_id", "qtext").count() == 0)
+    // merging an empty batch into a live index is identity
+    val live = Bm25.buildIndex(corpus, "doc_id", "text")
+    val merged = Bm25.mergeIndexes(live, idx)
+    assert(merged.postings.count() == live.postings.count())
+    assert(merged.stats.as[(Long, Long)].head() ==
+      live.stats.as[(Long, Long)].head())
+  }
+
+  test("image codec extremes: 1x1 black and white decode to exact features") {
+    def onePx(r: Int, g: Int, bl: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, (r << 16) | (g << 8) | bl)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq((1L, onePx(0, 0, 0)), (2L, onePx(255, 255, 255)))
+      .toDF("media_id", "media")
+    val f = graft.multimodal.Binary
+      .extractFeatures(media, graft.multimodal.ImageIoCodec)
+      .orderBy("media_id").select("features").as[Array[Float]].collect()
+    assert(f(0).toSeq == Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))
+    // luma(255,255,255) = (299+587+114)*255/1000 = 255 exactly
+    assert(f(1).toSeq == Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f))
+  }
+
   test("semantic dedup with a supplied quantizer handles an empty corpus") {
     val noVec = Seq.empty[(Long, Array[Float])].toDF("id", "v")
     val quant = Seq((0L, Seq(1.0, 0.0))).toDF("cell", "cv")
