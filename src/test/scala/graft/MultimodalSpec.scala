@@ -107,6 +107,53 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_no", "features"))
   }
 
+  test("ImageOps.resize: exact nearest-neighbor pixels, down and up") {
+    // 4x4 quadrant pattern: each 2x2 block a distinct color
+    val q = Array((255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0))
+    val px4 = Array.tabulate(4, 4)((y, x) => q((y / 2) * 2 + (x / 2)))
+    val media = Seq((1L, encodeImage("png", px4))).toDF("media_id", "media")
+    val down = graft.multimodal.ImageOps.resize(media, 2, 2)
+      .select("media").as[Array[Byte]].head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(down))
+    // nearest-neighbor: target (x,y) <- source (2x, 2y) = each quadrant's top-left
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (r, g, b) = q(y * 2 + x)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == ((r << 16) | (g << 8) | b))
+    }
+    // upscale 1x1 -> 3x3: every pixel the source color
+    val one = Seq((2L, encodeImage("png", Array(Array((7, 8, 9)))))).toDF("media_id", "media")
+    val up = graft.multimodal.ImageOps.resize(one, 3, 3)
+      .select("media").as[Array[Byte]].head()
+    val imgUp = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    for (y <- 0 until 3; x <- 0 until 3)
+      assert((imgUp.getRGB(x, y) & 0xFFFFFF) == ((7 << 16) | (8 << 8) | 9))
+  }
+
+  test("ImageOps.resize: corrupt payload yields null media, not task death") {
+    val media = Seq(
+      (1L, encodeImage("png", Array.fill(2, 2)((1, 2, 3)))),
+      (2L, "junk".getBytes("UTF-8"))).toDF("media_id", "media").repartition(1)
+    val out = graft.multimodal.ImageOps.resize(media, 4, 4)
+      .orderBy("media_id")
+      .select(col("media").isNull, col("meta.n_bytes"))
+      .as[(Boolean, Long)].collect()
+    assert(!out(0)._1 && out(0)._2 > 0L)
+    assert(out(1)._1 && out(1)._2 == 0L)
+  }
+
+  test("resize composes with the codec: features of the resized column") {
+    // resize then feature-extract through the SAME seam — the
+    // pipeline shape (transform -> extract) over one opaque column
+    val px = Array.fill(4, 4)((10, 20, 30))
+    val media = Seq((1L, encodeImage("png", px))).toDF("media_id", "media")
+    val f = Binary.extractFeatures(
+        graft.multimodal.ImageOps.resize(media, 2, 2),
+        graft.multimodal.ImageIoCodec)
+      .select("features").as[Array[Float]].head()
+    assert(f.toSeq == pixelFeatures(Array.fill(2, 2)((10, 20, 30))))
+  }
+
   test("custom MediaCodec plugs into the same pipeline") {
     // a 2-dim "codec": [byte count, ascii sum] — stands in for any real
     // decoder behind the MediaCodec seam
