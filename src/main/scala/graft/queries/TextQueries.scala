@@ -413,6 +413,22 @@ object TextQueries {
         .orderBy("step")
     },
 
+    // tokenizer APPLICATION at corpus scale: train 5 merges (t23's
+    // machinery), then encode every document — per-doc token counts
+    // under the TRAINED tokenizer, the token-budget statistic packing
+    // and mix-budget stages consume. Encoding is map-side (merges fold
+    // per word; no shuffle beyond the train step's vocab table); the
+    // oracle replays the same 5 merges and joins each word occurrence
+    // to its final segmentation length.
+    "t27_bpe_encode" -> { (s, d) =>
+      val (steps, _) =
+        graft.operators.Bpe.trainDetailed(t(s, d, "documents"), "text", 5)
+      graft.operators.Bpe.encode(spread(t(s, d, "documents")), "text",
+          steps.map(st => (st.a, st.b)))
+        .select(col("doc_id"), col("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // DSIR domain-targeted selection (Xie et al. 2023): weight every
     // doc by its hashed-unigram+bigram likelihood ratio under the
     // English-labeled slice (target) vs the whole corpus (raw), keep
@@ -427,13 +443,15 @@ object TextQueries {
     }
   )
 
-  /** t23's oracle: 5 unrolled BPE iterations. Each iteration counts
-    * adjacent pairs over the word table, picks argmax with the
-    * (n desc, a, b) tie-break, and re-segments via a left-to-right
+  /** Shared BPE-oracle CTEs: `k` unrolled iterations over the word
+    * table. Each iteration counts adjacent pairs, picks argmax with
+    * the (n desc, a, b) tie-break, and re-segments via a left-to-right
     * list_reduce fold into a chr(1)-delimited string (append = new
     * token, merge = concat onto the last token) — the same greedy
-    * overlap order as Bpe.applyMerge. */
-  private def bpeOracleSql(k: Int): String = {
+    * overlap order as Bpe.applyMerge. The word string `w` rides
+    * through every v$i so t27 can map per-doc occurrences to their
+    * final segmentation lengths. */
+  private def bpeOracleCtes(k: Int): String = {
     val iters = (1 to k).map { i =>
       s"""p$i AS (SELECT u.pr.a AS a, u.pr.b AS b, CAST(SUM(v.cnt) AS BIGINT) AS n
          |  FROM v${i - 1} v, UNNEST(list_transform(range(1, len(v.syms)),
@@ -441,29 +459,49 @@ object TextQueries {
          |                     b := v.syms[CAST(j AS INT) + 1]))) AS u(pr)
          |  GROUP BY 1, 2),
          | b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-         | v$i AS (SELECT string_split(list_reduce(v.syms, (acc, s) -> CASE
+         | v$i AS (SELECT v.w, string_split(list_reduce(v.syms, (acc, s) -> CASE
          |     WHEN s = b.b AND (string_split(acc, chr(1)))[-1] = b.a THEN acc || s
          |     ELSE acc || chr(1) || s END), chr(1)) AS syms, v.cnt
          |   FROM v${i - 1} v CROSS JOIN b$i b),
          | tk$i AS (SELECT CAST(SUM(len(syms) * cnt) AS BIGINT) AS toks FROM v$i)"""
         .stripMargin
     }.mkString(",\n")
+    s"""words AS (SELECT u.w AS w FROM documents,
+       |    UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+       |  WHERE len(u.w) > 0),
+       | v0 AS (SELECT w, list_transform(range(1, len(w) + 1),
+       |    i2 -> substr(w, CAST(i2 AS INT), 1)) AS syms,
+       |    COUNT(*) AS cnt FROM words GROUP BY w),
+       |$iters""".stripMargin
+  }
+
+  /** t23's oracle: the shared CTEs + the per-step trajectory rows. */
+  private def bpeOracleSql(k: Int): String = {
     val rows = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS step, a, b, n, (SELECT toks FROM tk$i) AS toks_after FROM b$i")
       .mkString("\nUNION ALL\n")
-    s"""WITH words AS (SELECT u.w AS w FROM documents,
-       |    UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
-       |  WHERE len(u.w) > 0),
-       | v0 AS (SELECT list_transform(range(1, len(w) + 1),
-       |    i2 -> substr(w, CAST(i2 AS INT), 1)) AS syms,
-       |    COUNT(*) AS cnt FROM words GROUP BY w),
-       |$iters
+    s"""WITH ${bpeOracleCtes(k)}
        |$rows
        |ORDER BY step""".stripMargin
   }
 
+  /** t27's oracle: the shared CTEs + per-doc token counts — each word
+    * occurrence joins its final (v$k) segmentation length; docs with
+    * no tokens keep 0 via the left join. */
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""WITH ${bpeOracleCtes(k)},
+       | toks AS (SELECT doc_id, u.w AS w FROM documents,
+       |    UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS u(w)
+       |  WHERE len(u.w) > 0),
+       | perdoc AS (SELECT t.doc_id, CAST(SUM(len(v.syms)) AS BIGINT) AS n
+       |  FROM toks t JOIN v$k v USING (w) GROUP BY t.doc_id)
+       |SELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS bpe_tokens
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t23_bpe" -> bpeOracleSql(5),
+    "t27_bpe_encode" -> bpeEncodeOracleSql(5),
 
     // mirrors Dsir.importanceSelect bit-for-bit: same fingerprint fold
     // (t4's convention), same add-one-smoothed ppm integer ratios
