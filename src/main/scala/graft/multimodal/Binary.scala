@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns + typed metadata, with decode / feature-extraction /
   * frame-sampling as batched per-partition transforms.
   *
-  * The actual codecs (image/audio/video decode) are STUBBED with a
-  * deterministic fake — this container has no media libraries — but the
-  * Spark-side contract is real: schema, per-partition batching, and
-  * the UDF signature match what a production decode (e.g. over Arrow
-  * batches) would use.
+  * Codecs plug in behind the [[MediaCodec]] seam: the default used by
+  * the catalog queries is a deterministic fake (hash-derived features,
+  * reproducible anywhere), and [[ImageIoCodec]] is a real pure-JVM
+  * javax.imageio decoder (PNG/BMP/GIF — pixel-math-verified in
+  * MultimodalSpec) behind the same interface. The Spark-side contract
+  * is identical either way: schema, per-partition batching, and the
+  * open-once-per-task decoder lifecycle a production native decoder
+  * (e.g. over Arrow batches) would use.
   */
 object Binary {
 

@@ -12,10 +12,10 @@ import graft.ql.spread
   * FREQUENCY table, not the corpus. One corpus-sized word-count
   * aggregation (the word-count shuffle, map-side combining) reduces
   * 100 TB of text to a vocab-bounded (word, count) table — a few
-  * million rows regardless of corpus size — and every merge iteration
-  * runs on that table: explode adjacent symbol pairs, weight by word
-  * count, pick the argmax pair (ONE collected row per iteration — the
-  * model trickles to the driver, the data never does).
+  * million rows regardless of corpus size. That table collects ONCE
+  * and the whole merge loop finishes locally on the driver: zero
+  * Spark jobs per merge, so a production 32k-merge vocab costs one
+  * distributed aggregation instead of 64k scheduler round trips.
   *
   * Segmentations are array<string> symbol columns; applying a merge
   * (a, b) is a left-to-right fold that joins an adjacent (a, b) into
@@ -81,33 +81,91 @@ object Bpe {
                     numMerges: Int): (Seq[MergeStep], DataFrame) =
     core(corpus, textCol, numMerges, stats = true)
 
+  /** Spark's UTF8String binary ordering (unsigned UTF-8 byte compare)
+    * — the tie-break the distributed `orderBy(asc("a"), asc("b"))`
+    * used, preserved exactly so trained merge sequences are stable
+    * across the r7→r8 local-finish rework. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Greedy left-to-right merge of adjacent (a, b) → ab — the local
+    * twin of [[applyMerge]]'s fold, same overlap semantics. */
+  private def mergeWord(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** ONE corpus-sized Spark job (the word-count shuffle), then a
+    * driver-local merge loop over the collected vocab-bounded table.
+    * The r7 shape ran 2 Spark jobs per merge — 64k scheduler round
+    * trips at a production 32k-merge vocab; the paper's own insight is
+    * that after the word count the training state is a frequency dict
+    * a driver holds comfortably (a few million short rows for any
+    * corpus — the table is bounded by DISTINCT words, not corpus
+    * size). Merge selection replays the distributed tie-break exactly:
+    * max weighted adjacency count, ties broken (a, b) ascending in
+    * UTF8 binary order. */
   private def core(corpus: DataFrame, textCol: String, numMerges: Int,
                    stats: Boolean): (Seq[MergeStep], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var vocab = wordTable(corpus, textCol).localCheckpoint(true)
+    val spark = corpus.sparkSession
+    val vocab: Array[(Array[String], Long)] =
+      wordTable(corpus, textCol).select(col("syms"), col("cnt")).collect()
+        .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
     val merges = Seq.newBuilder[MergeStep]
     var done = false
-    for (i <- 1 to numMerges if !done) {
-      val best = vocab
-        .select(col("cnt"), explode(pairs(col("syms"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("cnt")).as("n"))
-        .orderBy(desc("n"), asc("a"), asc("b"))
-        .limit(1).collect()
-      if (best.isEmpty) done = true // every word fully merged
+    for (_ <- 1 to numMerges if !done) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]
+      for ((syms, cnt) <- vocab) {
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + cnt)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true // every word fully merged
       else {
-        val (a, b) = (best.head.getString(0), best.head.getString(1))
-        val next = vocab.select(applyMerge(col("syms"), a, b).as("syms"), col("cnt"))
-        vocab = if (stats || i % 4 == 0 || i == numMerges) next.localCheckpoint(true)
-                else next
-        val toks = if (stats)
-          vocab.select(sum(size(col("syms")).cast("long") * col("cnt")))
-            .collect().head.getLong(0)
-        else -1L
-        merges += MergeStep(a, b, best.head.getLong(2), toks)
+        var best: ((String, String), Long) = null
+        for (e <- counts) {
+          if (best == null || e._2 > best._2 ||
+              (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+                (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((a, b), n) = best
+        var toks = 0L
+        var k = 0
+        while (k < vocab.length) {
+          val merged = mergeWord(vocab(k)._1, a, b)
+          vocab(k) = (merged, vocab(k)._2)
+          toks += merged.length.toLong * vocab(k)._2
+          k += 1
+        }
+        merges += MergeStep(a, b, n, if (stats) toks else -1L)
       }
     }
-    (merges.result(), vocab)
+    import spark.implicits._
+    val finalVocab = vocab.toSeq.map { case (s, c) => (s.toSeq, c) }
+      .toDF("syms", "cnt")
+    (merges.result(), finalVocab)
   }
 
   /** Apply trained merges to a text column: adds `bpe_tokens` (count)

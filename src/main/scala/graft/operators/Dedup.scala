@@ -418,14 +418,19 @@ object Dedup {
     // to throw it away — at adversarial scale the build itself is the
     // failure. The pre-pass is a bounded-state count aggregation
     // (partial-combinable) + a semi-join on the same shuffle key, so
-    // no hub list is ever materialized.
+    // no hub list is ever materialized. The anchor frame feeds BOTH
+    // sides of that semi-join and the aggregated side cannot reuse the
+    // raw side's exchange, so checkpoint it first — otherwise the
+    // graft_winnow fingerprinting of the whole corpus runs twice
+    // (ADVICE r7: a 2× tax on the common non-hub path).
     val capped =
-      if (maxDf > 0)
-        anchors.join(
-          anchors.groupBy("h").agg(count_distinct(col("doc")).as("df"))
+      if (maxDf > 0) {
+        val a = anchors.localCheckpoint(true)
+        a.join(
+          a.groupBy("h").agg(count_distinct(col("doc")).as("df"))
             .filter(col("df") <= maxDf).select("h"),
           Seq("h"), "left_semi")
-      else anchors
+      } else anchors
     // per-fingerprint (doc, pos) lists; sorted so the HOF pair
     // expansion below yields a < b without a join
     val kept = capped.groupBy("h")

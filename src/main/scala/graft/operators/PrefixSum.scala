@@ -7,7 +7,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 /** Distributed global running sum — the scale-correct form of
   * `SUM(x) OVER (ORDER BY ...)` with no PARTITION BY. An
   * un-partitioned Spark window moves the WHOLE dataset into one task
-  * (the classic 100 TB trap); this operator keeps every pass parallel:
+  * (the classic 100 TB trap); this operator keeps every pass parallel
+  * and executes its input exactly ONCE (eager localCheckpoint up
+  * front — count, boundary sample, shuffle, partials and the final
+  * pass all read the checkpointed blocks, never the source):
   *
   *  1. collect a deterministic hash-sample of the order keys and cut
   *     it into numPartitions literal range boundaries (one small job;
@@ -61,12 +64,19 @@ object PrefixSum {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val key = struct(orderCols.map(col): _*)
 
+    // 0. ONE upstream execution. Count, boundary sample, the bucketing
+    // shuffle, partials, and the final pass all read these blocks; the
+    // source (and any expression feeding `delta` — for p4 that's a
+    // tokenizer over the whole corpus) is never scanned again. Without
+    // this the operator cost three source scans per call.
+    val src = df.localCheckpoint(true)
+
     // 1. deterministic bounded boundary sample -> nPart-1 literal cut
-    // points. The count is one columnless scan; the sample filter is
-    // partition-layout-independent (pure hash of the order key), so
+    // points. Count + sample are cheap block scans; the sample filter
+    // is partition-layout-independent (pure hash of the order key), so
     // the cut set — and therefore the bucket layout — is reproducible.
-    val mod = effectiveSampleMod(df.count(), sampleMod, nPart)
-    val sampleRows = df
+    val mod = effectiveSampleMod(src.count(), sampleMod, nPart)
+    val sampleRows = src
       .filter(pmod(xxhash64(key), lit(mod)) === 0)
       .select(orderCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
@@ -83,14 +93,15 @@ object PrefixSum {
 
     // 2. bucket against the literals; whole buckets hash to partitions.
     // Eager localCheckpoint: the partials job (step 3) and the final
-    // pass (step 4) both consume this layout — without it the input
-    // scan + shuffle + sort would execute twice (blocks free when the
-    // plan drops out of scope; the literal boundaries additionally
-    // guarantee both passes agree even if a caller re-executes).
+    // pass (step 4) both consume this layout — without it the
+    // shuffle + sort over the src blocks would execute twice (blocks
+    // free when the plan drops out of scope; the literal boundaries
+    // additionally guarantee both passes agree even if a caller
+    // re-executes).
     val bucket =
       if (cuts.isEmpty) lit(0)
       else cuts.map(b => when(key >= b, 1).otherwise(0)).reduce(_ + _)
-    val bucketed = df.withColumn("__b", bucket)
+    val bucketed = src.withColumn("__b", bucket)
       .repartition(nPart, col("__b"))
       .sortWithinPartitions((col("__b") +: orderCols.map(col)): _*)
       .localCheckpoint(true)

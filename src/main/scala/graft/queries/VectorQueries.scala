@@ -103,8 +103,9 @@ object VectorQueries {
       // hashpartitioning(q_id) exchange → Spark reuses it across the
       // list branches), and fuse. Cosine is bit-identical to s1's
       // machinery: round(fastDot/(q_nrm·sqrt(d_cc)), 6), zero-norm
-      // candidates excluded (null → ranked last → filtered), ranks of
-      // valid rows unchanged.
+      // candidates AND a zero-norm query excluded (null → ranked last
+      // → filtered; ungated, a zero query gives 0/0 = NaN, which Spark
+      // desc-sorts ABOVE every double), ranks of valid rows unchanged.
       val qv = broadcast(q0.select(col("vec_id").as("q_id"),
         col("embedding").as("q_v"),
         VectorOps.fastNorm(col("embedding")).as("q_nrm"),
@@ -114,7 +115,7 @@ object VectorQueries {
           VectorOps.fastDot(col("q_v"), col("embedding")).as("d_qc"),
           VectorOps.fastDot(col("embedding"), col("embedding")).as("d_cc"),
           col("q_nrm"), col("d_qq"))
-        .withColumn("cos", when(col("d_cc") > 0,
+        .withColumn("cos", when(col("q_nrm") > 0 && col("d_cc") > 0,
           round(col("d_qc") / (col("q_nrm") * sqrt(col("d_cc"))), 6)))
         .withColumn("l2", (col("d_cc") - lit(2.0) * col("d_qc")) + col("d_qq"))
       val w = Window.partitionBy("q_id")
