@@ -44,6 +44,46 @@ object ImageOps {
             .as("n_bytes")).as("meta"))
   }
 
+  /** Deterministic synthetic RGB corpus: one `w`×`h` PNG per input
+    * `media_id`, channel values from pure integer (id, x, y)
+    * arithmetic — r = (7·id + 11·x + 13·y) mod 256, g = (5·id + 3·x +
+    * 7·y) mod 256, b = (3·id + 5·x + y) mod 256. PNG is lossless, so
+    * every downstream decode sees exactly these pixels; an oracle can
+    * replay them in SQL without touching the container bytes. This is
+    * the generator for REAL-codec evidence (m5_image_pipeline), not a
+    * production operator. */
+  def synthesize(ids: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, s"dims must be positive, got ${w}x$h")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("media_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
+        it.map(id => (id, synthOne(id, w, h)))
+      }
+      .toDF("media_id", "media")
+  }
+
+  private[multimodal] def synthOne(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (((7 * id + 11 * x + 13 * y) % 256) + 256) % 256
+        val g = (((5 * id + 3 * x + 7 * y) % 256) + 256) % 256
+        val b = (((3 * id + 5 * x + y) % 256) + 256) % 256
+        img.setRGB(x, y, ((r.toInt << 16) | (g.toInt << 8) | b.toInt))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private[multimodal] def resizeOne(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

@@ -219,6 +219,68 @@ object EventQueries {
         .agg(min(col("media_id")).as("keep_media"),
           count(lit(1)).as("n_frames"))
         .orderBy("fingerprint")
+    },
+
+    // JSONL interchange round trip with quarantine (M4, previously
+    // spec-only): stage the corpus as JSONL with a deterministic fault
+    // — every doc_id % 97 == 0 line loses its closing brace — then read
+    // it back through the real permissive-mode parse. Clean rows prove
+    // the JSON round trip (ids + text length survive); quarantined rows
+    // prove capture-not-drop AND salvageability (the raw line is kept,
+    // so the id is re-extractable by regexp — the triage a production
+    // crawl pipeline runs on its quarantine frame). One staged write +
+    // one cached read; the oracle replays the fault rule on the parquet
+    // source directly.
+    "m4_jsonl_quarantine" -> { (s, d) =>
+      import graft.sources.Jsonl
+      import org.apache.spark.sql.types._
+      val dir = java.nio.file.Files.createTempDirectory("graft-m4-jsonl").toString
+      val line = to_json(struct(col("doc_id"), col("lang"), col("text")))
+      t(s, d, "documents")
+        .select(when(col("doc_id") % 97 === 0,
+            line.substr(lit(1), length(line) - 1)).otherwise(line).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("text", StringType)))
+      val (clean, quar) = Jsonl.readWithQuarantine(s, dir, schema)
+      val a = clean.agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_ids"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+        .select(lit("clean").as("status"), col("n"), col("sum_ids"), col("sum_chars"))
+      val b = quar.agg(count(lit(1)).as("n"),
+        sum(regexp_extract(col(Jsonl.CorruptCol), "\"doc_id\":(\\d+)", 1)
+          .cast("long")).as("sum_ids"))
+        .select(lit("quarantined").as("status"), col("n"), col("sum_ids"),
+          lit(null).cast("long").as("sum_chars"))
+      a.unionByName(b).orderBy("status")
+    },
+
+    // the REAL-codec pipeline under the exact oracle (M2/M5, previously
+    // spec-only for genuine bytes): synthesize a 16×12 PNG per doc_id
+    // whose pixels are pure integer (id,x,y) arithmetic, NN-resize to
+    // 8×6 (source pixel (2x,2y) by the ⌊x·srcW/dstW⌋ rule), re-encode,
+    // then decode through ImageIoCodec's mapPartitions path. The 8-dim
+    // float features are inverted back to their integer accumulators
+    // (channel sums ≤ 12240 < 2^24, so the float round trip is exact),
+    // and DuckDB replays decode→resize→decode from the pixel formula
+    // alone — PNG being lossless is what the oracle is checking.
+    "m5_image_pipeline" -> { (s, d) =>
+      import graft.multimodal.{ImageIoCodec, ImageOps}
+      val n = lit((8 * 6 * 255).toDouble)
+      val png = ImageOps.synthesize(
+        t(s, d, "documents").select(col("doc_id").as("media_id")), 16, 12)
+      val feats = Binary.extractFeatures(ImageOps.resize(png, 8, 6), ImageIoCodec)
+      def f(i: Int) = element_at(col("features"), i + 1).cast("double")
+      feats.select(col("media_id"),
+          f(0).cast("long").as("w"), f(1).cast("long").as("h"),
+          round(f(2) * n).cast("long").as("sum_r"),
+          round(f(3) * n).cast("long").as("sum_g"),
+          round(f(4) * n).cast("long").as("sum_b"),
+          round(f(5) * 255).cast("long").as("min_luma"),
+          round(f(6) * 255).cast("long").as("max_luma"),
+          round(f(7) * n).cast("long").as("sum_luma"))
+        .orderBy("media_id")
     }
   )
 
@@ -400,7 +462,45 @@ object EventQueries {
       s"""$frameCte
         |SELECT fingerprint, MIN(media_id) AS keep_media,
         | COUNT(*) AS n_frames
-        |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin
+        |FROM fp GROUP BY fingerprint ORDER BY fingerprint""".stripMargin,
+
+    // replays m4's deterministic fault rule (doc_id % 97 = 0 corrupted)
+    // directly on the parquet source: clean rows keep their id + text
+    // length through the JSON round trip; quarantined rows are counted
+    // and their ids salvaged from the raw line
+    "m4_jsonl_quarantine" ->
+      """SELECT 'clean' AS status, COUNT(*) AS n,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        | CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 97 <> 0
+        |UNION ALL
+        |SELECT 'quarantined', COUNT(*), CAST(SUM(doc_id) AS BIGINT),
+        | CAST(NULL AS BIGINT)
+        |FROM documents WHERE doc_id % 97 = 0
+        |ORDER BY status""".stripMargin,
+
+    // replays m5's synthesize→resize→decode pixel math from the integer
+    // formula: resized pixel (x,y) is source pixel (2x,2y) of the
+    // 16×12 synth image for this doc_id; luma is the integer Rec.601
+    // fold the codec computes
+    "m5_image_pipeline" ->
+      """WITH px AS (
+        | SELECT d.doc_id AS media_id,
+        |  ((7*d.doc_id + 11*(2*t1.x) + 13*(2*t2.y)) % 256 + 256) % 256 AS r,
+        |  ((5*d.doc_id + 3*(2*t1.x) + 7*(2*t2.y)) % 256 + 256) % 256 AS g,
+        |  ((3*d.doc_id + 5*(2*t1.x) + (2*t2.y)) % 256 + 256) % 256 AS b
+        | FROM documents d, range(8) t1(x), range(6) t2(y)
+        |), lm AS (
+        | SELECT media_id, r, g, b, (299*r + 587*g + 114*b) // 1000 AS luma
+        | FROM px
+        |)
+        |SELECT media_id, CAST(8 AS BIGINT) AS w, CAST(6 AS BIGINT) AS h,
+        | CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+        | CAST(SUM(b) AS BIGINT) AS sum_b,
+        | CAST(MIN(luma) AS BIGINT) AS min_luma,
+        | CAST(MAX(luma) AS BIGINT) AS max_luma,
+        | CAST(SUM(luma) AS BIGINT) AS sum_luma
+        |FROM lm GROUP BY media_id ORDER BY media_id""".stripMargin
   )
 
   /** Shared m2/m3 oracle fragment: per-frame signed 64-bit fold. */
