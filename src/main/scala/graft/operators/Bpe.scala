@@ -27,8 +27,23 @@ import graft.ql.spread
   * Determinism: pair selection breaks count ties on (a asc, b asc),
   * and the per-iteration pair counts are exact integer sums — merges
   * are reproducible under any partitioning (BpeSpec pins the classic
-  * textbook merge sequence and partition invariance). */
+  * textbook merge sequence and partition invariance).
+  *
+  * Driver-memory bound: "vocab-bounded" is only unconditionally true
+  * for well-behaved text — open-web corpora grow distinct "words"
+  * (URLs, hashes, typos) roughly with corpus size. The collect is
+  * therefore bounded explicitly: a `minCount` frequency floor drops
+  * the long junk tail inside the distributed aggregation (the
+  * standard trainer knob — singleton words cannot win a merge against
+  * any repeated pair structure worth keeping), and a deterministic
+  * top-`maxVocabRows` cap (cnt desc, word asc) hard-limits what ever
+  * reaches the driver. Both are applied BEFORE the collect, on the
+  * cluster side. */
 object Bpe {
+
+  /** Default hard cap on collected vocab rows (~a few hundred MB of
+    * driver heap at typical word lengths). */
+  val DefaultMaxVocabRows: Int = 8000000
 
   /** Left-to-right BPE merge of adjacent (a, b) → ab over a symbol
     * array. */
@@ -68,18 +83,23 @@ object Bpe {
     * table (syms, cnt)). Each iteration: one pair-count aggregation
     * over the word table + one 1-row collect; the table re-segments
     * via the fold and checkpoints every few rounds to cap lineage. */
-  def train(corpus: DataFrame, textCol: String,
-            numMerges: Int): (Seq[(String, String)], DataFrame) = {
-    val (steps, vocab) = core(corpus, textCol, numMerges, stats = false)
+  def train(corpus: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 1L,
+            maxVocabRows: Int = DefaultMaxVocabRows)
+      : (Seq[(String, String)], DataFrame) = {
+    val (steps, vocab) =
+      core(corpus, textCol, numMerges, stats = false, minCount, maxVocabRows)
     (steps.map(s => (s.a, s.b)), vocab)
   }
 
   /** Like [[train]] but each step carries its pair count and the
-    * post-merge corpus token count (one extra vocab-bounded job per
-    * iteration) — the per-step trajectory t23_bpe reports. */
-  def trainDetailed(corpus: DataFrame, textCol: String,
-                    numMerges: Int): (Seq[MergeStep], DataFrame) =
-    core(corpus, textCol, numMerges, stats = true)
+    * post-merge corpus token count — the per-step trajectory t23_bpe
+    * reports. */
+  def trainDetailed(corpus: DataFrame, textCol: String, numMerges: Int,
+                    minCount: Long = 1L,
+                    maxVocabRows: Int = DefaultMaxVocabRows)
+      : (Seq[MergeStep], DataFrame) =
+    core(corpus, textCol, numMerges, stats = true, minCount, maxVocabRows)
 
   /** Spark's UTF8String binary ordering (unsigned UTF-8 byte compare)
     * — the tie-break the distributed `orderBy(asc("a"), asc("b"))`
