@@ -63,13 +63,18 @@ object Bpe {
         (x, y) => struct(x.as("a"), y.as("b"))),
       p => p.getField("b").isNotNull)
 
-  /** The vocab-bounded training table: (syms = single-char symbol
-    * array, cnt = word frequency). */
-  def wordTable(corpus: DataFrame, textCol: String): DataFrame =
+  /** Distinct-word frequencies: (w, cnt). One corpus-sized shuffle
+    * with map-side combine; everything downstream runs on this table. */
+  private def wordCounts(corpus: DataFrame, textCol: String): DataFrame =
     spread(corpus)
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** The vocab-bounded training table: (syms = single-char symbol
+    * array, cnt = word frequency). */
+  def wordTable(corpus: DataFrame, textCol: String): DataFrame =
+    wordCounts(corpus, textCol)
       .select(split(col("w"), "").as("syms"), col("cnt"))
 
   /** One learned merge: the pair, its weighted adjacency count at
@@ -143,11 +148,23 @@ object Bpe {
     * max weighted adjacency count, ties broken (a, b) ascending in
     * UTF8 binary order. */
   private def core(corpus: DataFrame, textCol: String, numMerges: Int,
-                   stats: Boolean): (Seq[MergeStep], DataFrame) = {
+                   stats: Boolean, minCount: Long, maxVocabRows: Int)
+      : (Seq[MergeStep], DataFrame) = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxVocabRows >= 1, s"maxVocabRows must be >= 1, got $maxVocabRows")
     val spark = corpus.sparkSession
+    // Both bounds run cluster-side, before anything reaches the driver:
+    // the frequency floor inside the aggregation's output, the cap as a
+    // deterministic top-k (cnt desc, then w asc in UTF8 binary order —
+    // the same ordering utf8Lt replays in the merge loop).
     val vocab: Array[(Array[String], Long)] =
-      wordTable(corpus, textCol).select(col("syms"), col("cnt")).collect()
+      wordCounts(corpus, textCol)
+        .filter(col("cnt") >= minCount)
+        .orderBy(desc("cnt"), asc("w"))
+        .limit(maxVocabRows)
+        .select(split(col("w"), "").as("syms"), col("cnt"))
+        .collect()
         .map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
     val merges = Seq.newBuilder[MergeStep]
     var done = false

@@ -407,8 +407,11 @@ object Dedup {
                               minLen: Int, k: Int, maxDf: Long): DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed k ($k)")
     val w = minLen - k + 1
+    // NOT checkpointed: the verify sides below re-scan this plan, but
+    // that re-scan is a plain read (no winnowing) — cheap next to a
+    // corpus-sized eager materialization per call, which the fixpoint
+    // loop would repeat every iteration (VERDICT r8 item 2).
     val docs = spread(df).select(col(idCol).as("doc"), col(textCol).as("txt"))
-      .localCheckpoint(true) // anchors + both verify sides
     val anchors = docs.select(col("doc"),
         explode(call_function("graft_winnow", col("txt"), lit(k), lit(w))).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.h").as("h"))
@@ -557,8 +560,12 @@ object Dedup {
     * from juxtaposition). Driver-controlled loop, each iteration one
     * distributed pass + one pair-count job; stops when a pass finds no
     * ≥minLen pair or at `maxIters` (returns whatever it has — callers
-    * wanting a guarantee check with exactSubstrPairs). Eager
-    * localCheckpoint per iteration caps lineage like the BPE loop. */
+    * wanting a guarantee check with exactSubstrPairs). Each iteration
+    * materializes the verified-runs table ONCE (it is pair-sized, tiny
+    * next to the corpus) and uses it for both the emptiness check and
+    * the cut — the winnow+verify pipeline never runs twice on the same
+    * text. Eager localCheckpoint per iteration caps lineage like the
+    * BPE loop. */
   def exactSubstrRemoveFixpoint(df: DataFrame, idCol: String, textCol: String,
                                 minLen: Int = 50, k: Int = 16,
                                 maxDf: Long = 0L, maxIters: Int = 4): DataFrame = {
@@ -567,10 +574,11 @@ object Dedup {
     var i = 0
     var done = false
     while (i < maxIters && !done) {
-      if (exactSubstrPairs(cur, idCol, textCol, minLen, k, maxDf)
-          .limit(1).isEmpty) done = true
-      else cur = exactSubstrRemove(cur, idCol, textCol, minLen, k, maxDf)
+      val runs = exactSubstrRuns(cur, idCol, textCol, minLen, k, maxDf)
+        .filter(col("run") >= minLen)
         .localCheckpoint(true)
+      if (runs.limit(1).isEmpty) done = true
+      else cur = cutRuns(cur, idCol, textCol, runs).localCheckpoint(true)
       i += 1
     }
     cur
@@ -578,10 +586,19 @@ object Dedup {
 
   def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
                         minLen: Int = 50, k: Int = 16,
-                        maxDf: Long = 0L): DataFrame = {
+                        maxDf: Long = 0L): DataFrame =
+    cutRuns(df, idCol, textCol,
+      exactSubstrRuns(df, idCol, textCol, minLen, k, maxDf)
+        .filter(col("run") >= minLen))
+
+  /** Cut every b-side span of `runs` (exactSubstrRuns rows already
+    * filtered to ≥ minLen) out of `df` — keep-first: the lower id keeps
+    * its text. Overlapping spans merge before cutting so each
+    * duplicated character is removed once. */
+  private def cutRuns(df: DataFrame, idCol: String, textCol: String,
+                      runs: DataFrame): DataFrame = {
     val spanStruct = "array<struct<s:bigint,e:bigint>>"
-    val spans = exactSubstrRuns(df, idCol, textCol, minLen, k, maxDf)
-      .filter(col("run") >= minLen)
+    val spans = runs
       .select(col("b_id").as(idCol),
         struct(col("sb").as("s"), (col("sb") + col("run")).as("e")).as("sp"))
       .distinct()

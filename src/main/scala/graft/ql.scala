@@ -15,13 +15,23 @@ object ql {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events table with its TIMESTAMP(NANOS) `ts` surfaced as a proper
-    * timestamp. Requires spark.sql.legacy.parquet.nanosAsLong=true (set
-    * in Verify/Bench/test sessions); ns → µs floor-divide matches the
-    * truncation DuckDB applies when reading the same file. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** events table with its `ts` surfaced as a proper session-tz
+    * timestamp, whatever the file encodes: TIMESTAMP(NANOS) arrives as
+    * long under spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Verify/Bench/test sessions) and floor-divides ns → µs — the same
+    * truncation DuckDB applies reading the same file — while
+    * TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ and needs only the
+    * NTZ → TIMESTAMP cast (value-preserving under the UTC session tz).
+    * Branching on the observed schema keeps every events query working
+    * across driver testdata regenerations that switch the encoding. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Exact 2-dp decimal view of a double measure column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")

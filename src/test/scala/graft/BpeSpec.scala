@@ -75,4 +75,28 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq(("a", "b")))
     assert(vocab.select(size(col("syms"))).as[Int].head() == 1)
   }
+
+  test("minCount floor drops the junk tail before it reaches training") {
+    // the distinct singletons share the (z,q) prefix and would dominate
+    // pair counts if kept ((z,q)=5 vs (a,b)=2); with minCount=2 only
+    // "ab" (x2) survives, so the first merge must come from it.
+    val docs = Seq("ab ab zq1x zq2x zq3x zq4x zq5x").toDF("text")
+    val (mAll, _) = Bpe.train(docs, "text", 1)
+    assert(mAll == Seq(("z", "q"))) // unbounded: 5 singleton words win
+    val (mFloor, vocab) = Bpe.train(docs, "text", 1, minCount = 2L)
+    assert(mFloor == Seq(("a", "b")))
+    assert(vocab.count() == 1L, "singletons must not reach the driver")
+  }
+
+  test("maxVocabRows caps the collect deterministically (cnt desc, w asc)") {
+    val docs = Seq("cc cc cc bb bb aa bb aa dd").toDF("text")
+    // counts: bb=3, cc=3, aa=2, dd=1; top-2 by (cnt desc, w asc) = bb, cc
+    val (merges, vocab) = Bpe.train(docs, "text", 1, maxVocabRows = 2)
+    assert(vocab.count() == 2L)
+    // bb and cc tie at 3; (b,b) wins the pair tie-break over (c,c)
+    assert(merges == Seq(("b", "b")))
+    val segs = vocab.select(array_join(col("syms"), "|")).as[String]
+      .collect().toSet
+    assert(segs == Set("bb", "c|c"), s"got $segs")
+  }
 }
