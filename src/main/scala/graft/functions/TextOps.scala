@@ -60,6 +60,44 @@ object TextOps {
       lit(0.3) * least(lit(1.0), stop * 10.0 / tokens)
   }
 
+  /** HTML → clean text extraction (the crawl-pipeline stage BEFORE
+    * every other text operator: raw HTML in, prose out). Deterministic
+    * and fully SQL-mirrorable — a fixed regex cascade + a line-density
+    * filter, no parser state:
+    *
+    *  1. script/style elements vanish whole (their content is code,
+    *     not prose);
+    *  2. block-element closers and <br> become newlines, so the
+    *     line structure of the page survives tag stripping;
+    *  3. every remaining tag becomes a space;
+    *  4. the five named entities that appear in running text decode
+    *     (amp last, so "&amp;lt;" cannot double-decode into a tag);
+    *  5. each line collapses interior whitespace, and only lines with
+    *     at least `minWords` whitespace words survive — the classic
+    *     line-density boilerplate filter (nav bars, button labels and
+    *     footers are short lines; prose is long lines).
+    *
+    * Every regex is in the dialect subset Java regex and RE2 interpret
+    * identically (no backrefs, no lookaround; inline (?s) for the
+    * dotall block match), so the DuckDB oracle replays the cascade
+    * bit-for-bit. Map-side only; codegen'd (regexp + HOFs). */
+  def htmlExtract(c: Column, minWords: Int = 5): Column = {
+    val noScript = regexp_replace(c,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val blocksToNl = regexp_replace(noScript,
+      "</(p|div|li|ul|ol|h[1-6]|table|tr|blockquote)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocksToNl, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (e, ch)) =>
+        replace(col0, lit(e), lit(ch)) }
+    val lines = transform(split(decoded, "\n"),
+      l => trim(regexp_replace(l, "[ \\t]+", " ")))
+    val kept = filter(lines,
+      l => size(split(l, " ")) >= minWords && length(l) > 0)
+    array_join(kept, "\n")
+  }
+
   /** Rolling polynomial hash fingerprint (mod 1e9+7, base 31) — the
     * document-fingerprinting primitive; order-sensitive by design.
     * Native codegen'd expression (graft.plans.Fingerprint): one

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_deflate_size(text[, level])` — DEFLATE-compressed byte size
+  * of a string's UTF-8 bytes (java.util.zip.Deflater, raw stream, no
+  * zlib header). The standard compression-ratio quality signal next to
+  * t17/t18: natural prose lands around ratio 0.3–0.6, degenerate
+  * machine-generated repetition far below, high-entropy noise near (or
+  * above) 1.0 — both tails are junk for LLM training data (the Gopher
+  * and CCNet pipelines both gate on it).
+  *
+  * Map-side only, no state: each row compresses independently into a
+  * counting sink, so the expression streams at any scale. Level is a
+  * compile-time literal (default 6, zlib's own default); size — not
+  * the compressed bytes — is returned, which is all the ratio needs
+  * and keeps row width bounded.
+  *
+  * Determinism: a fixed Deflater level on a fixed input is
+  * deterministic within a JVM, and the SPREAD between repetitive and
+  * high-entropy text is enormous (10×+), so quality thresholds are
+  * robust to zlib build differences; the spec pins ordering/band
+  * properties, not exact byte counts. */
+case class DeflateSize(child: Expression, level: Int) extends UnaryExpression {
+  require(level >= 0 && level <= 9,
+    s"graft_deflate_size level must be in [0, 9], got $level")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_deflate_size expects string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_deflate_size"
+
+  override def nullSafeEval(input: Any): Any =
+    DeflateSize.compute(input.asInstanceOf[UTF8String], level)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.DeflateSize.compute($c, $level);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateSize {
+  /** Shared by interpreted eval and generated code. One Deflater per
+    * call (they are cheap next to the compression itself and a
+    * per-thread cache would pin native zlib memory for idle threads);
+    * `nowrap = true` drops the 6-byte zlib framing so tiny strings
+    * measure their DEFLATE payload, not the header. */
+  def compute(s: UTF8String, level: Int): Long = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}

@@ -247,6 +247,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Winnow(children.head, intLit(children(1), "k"), intLit(children(2), "w"))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      (children: Seq[Expression]) => {
+        val level =
+          if (children.length < 2) 6
+          else children(1) match {
+            case e if e.foldable => e.eval() match {
+              case i: Int => i
+              case l: Long => l.toInt
+              case other => throw new IllegalArgumentException(
+                s"graft_deflate_size level must be an int literal, got $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "graft_deflate_size level must be a literal")
+          }
+        DeflateSize(children.head, level)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_lcp"),
       new ExpressionInfo(classOf[LongestCommonPrefix].getName, "graft_lcp"),
       (children: Seq[Expression]) =>

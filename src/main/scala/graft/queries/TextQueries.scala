@@ -102,6 +102,58 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // HTML/boilerplate extraction (the crawl stage BEFORE t24: raw
+    // HTML in, prose out). The page is built deterministically from
+    // the row itself — title/nav/footer chrome, script+style noise,
+    // entity-bearing running text, the doc's text as <p> paragraphs —
+    // then TextOps.htmlExtract strips elements, restores line
+    // structure, decodes entities and drops low-density lines. The
+    // oracle replays the same construction and cascade in DuckDB, so
+    // the comparison is exact (md5 of the cleaned text). Map-side
+    // only: regexps + HOFs, no shuffle before the output sort.
+    "t28_html_extract" -> { (s, d) =>
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), did, lit("</title>"),
+        lit("<style>p{margin:0}.nav{display:flex}</style>"),
+        lit("<script>var lang=\""), col("lang"), lit("\";if(2<3){x()}</script>"),
+        lit("</head><body><div class=\"nav\"><a href=\"/\">home</a> <a href=\"/c\">corpus</a></div>"),
+        lit("<h1>Doc "), did, lit("</h1>"),
+        lit("<p>Entities &amp; markers &lt;escaped&gt; appear in running text here</p>"),
+        lit("<p>"), replace(col("text"), lit(". "), lit(".</p><p>")), lit("</p>"),
+        lit("<div class=\"footer\">&copy; 2026 &amp; Co</div></body></html>"))
+      t(s, d, "documents")
+        .withColumn("html", html)
+        .withColumn("clean", TextOps.htmlExtract(col("html"), minWords = 5))
+        .select(col("doc_id"), md5(col("clean")).as("clean_hash"),
+          length(col("clean")).cast("long").as("clean_chars"),
+          when(length(col("clean")) === 0, lit(0L))
+            .otherwise(size(split(col("clean"), "\n")).cast("long")).as("n_lines"),
+          // integer DIV (= DuckDB //): double division + cast could
+          // round the wrong way at exact-quotient boundaries
+          expr("CAST(length(clean) AS BIGINT) * 1000000 DIV length(html)")
+            .as("retained_ppm"))
+        .orderBy("doc_id")
+    },
+
+    // compression-ratio quality signal (the Gopher/CCNet degenerate-
+    // text gate t17/t18 complement): DEFLATE size over raw UTF-8 size
+    // as an integer ppm ratio. Repetitive machine junk compresses far
+    // below prose; high-entropy noise lands near 1e6. Native codegen'd
+    // expression, map-side only. zlib output is JVM-build-dependent →
+    // rows-only; DeflateSpec pins the band structure and determinism.
+    "t29_compress_ratio" -> { (s, d) =>
+      val raw = octet_length(col("text")).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), raw.as("raw_bytes"),
+          call_function("graft_deflate_size", col("text"), lit(6))
+            .as("deflate_bytes"))
+        .withColumn("ratio_ppm",
+          expr("deflate_bytes * 1000000 DIV greatest(raw_bytes, 1)"))
+        .withColumn("degenerate", col("ratio_ppm") < 200000L)
+        .orderBy("doc_id")
+    },
+
     // n-gram novelty vs the growing corpus (dedup-adjacent curation
     // signal: how much of each doc is text the corpus has never seen
     // before it, in ingestion order): per 8-gram the first doc_id that
@@ -535,6 +587,41 @@ object TextQueries {
         |SELECT doc_id, n_feat, weight_ppm,
         | doc_id IN (SELECT doc_id FROM sel) AS selected
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the same page construction + regex cascade as the Spark side;
+    // RE2 and java.util.regex agree on this dialect subset (no
+    // backrefs/lookaround, inline (?s) for the dotall block match)
+    "t28_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |   '<html><head><title>Doc ' || doc_id || '</title>'
+        |   || '<style>p{margin:0}.nav{display:flex}</style>'
+        |   || '<script>var lang="' || lang || '";if(2<3){x()}</script>'
+        |   || '</head><body><div class="nav"><a href="/">home</a> <a href="/c">corpus</a></div>'
+        |   || '<h1>Doc ' || doc_id || '</h1>'
+        |   || '<p>Entities &amp; markers &lt;escaped&gt; appear in running text here</p>'
+        |   || '<p>' || replace(text, '. ', '.</p><p>') || '</p>'
+        |   || '<div class="footer">&copy; 2026 &amp; Co</div></body></html>' AS html
+        |  FROM documents),
+        | x AS (SELECT doc_id, html,
+        |   replace(replace(replace(replace(replace(
+        |     regexp_replace(regexp_replace(regexp_replace(html,
+        |       '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |       '</(p|div|li|ul|ol|h[1-6]|table|tr|blockquote)>|<br[^>]*>', chr(10), 'g'),
+        |       '<[^>]*>', ' ', 'g'),
+        |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+        |     '&amp;', '&') AS dec
+        |  FROM h),
+        | c AS (SELECT doc_id, html,
+        |   array_to_string(list_filter(list_transform(string_split(dec, chr(10)),
+        |       l -> trim(regexp_replace(l, '[ \t]+', ' ', 'g'))),
+        |     l -> len(string_split(l, ' ')) >= 5 AND length(l) > 0), chr(10)) AS clean
+        |  FROM x)
+        |SELECT doc_id, md5(clean) AS clean_hash,
+        | CAST(length(clean) AS BIGINT) AS clean_chars,
+        | CAST(CASE WHEN length(clean) = 0 THEN 0
+        |   ELSE len(string_split(clean, chr(10))) END AS BIGINT) AS n_lines,
+        | CAST(length(clean) * 1000000 // length(html) AS BIGINT) AS retained_ppm
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "t24_normalize" ->
       """WITH n AS (SELECT doc_id, text,
