@@ -407,11 +407,15 @@ object Dedup {
                               minLen: Int, k: Int, maxDf: Long): DataFrame = {
     require(minLen > k, s"minLen ($minLen) must exceed k ($k)")
     val w = minLen - k + 1
-    // NOT checkpointed: the verify sides below re-scan this plan, but
-    // that re-scan is a plain read (no winnowing) — cheap next to a
-    // corpus-sized eager materialization per call, which the fixpoint
-    // loop would repeat every iteration (VERDICT r8 item 2).
-    val docs = spread(df).select(col(idCol).as("doc"), col(textCol).as("txt"))
+    // NOT checkpointed: the verify sides below re-scan the raw input,
+    // but that re-scan is a plain read (no winnowing) — cheap next to
+    // a corpus-sized eager materialization per call, which the
+    // fixpoint loop would repeat every iteration (VERDICT r8 item 2).
+    // spread() wraps only the winnow side (kernel parallelism); the
+    // verify sides feed key-partitioned join exchanges, where an extra
+    // round-robin repartition underneath is pure cost.
+    val raw = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    val docs = spread(raw)
     val anchors = docs.select(col("doc"),
         explode(call_function("graft_winnow", col("txt"), lit(k), lit(w))).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.h").as("h"))
@@ -448,8 +452,8 @@ object Dedup {
       .distinct()
     // verify + extend: anchor content equality kills hash collisions;
     // extension = left lcp (reversed prefixes) + k + right lcp
-    val at = docs.select(col("doc").as("a_id"), col("txt").as("ta"))
-    val bt = docs.select(col("doc").as("b_id"), col("txt").as("tb"))
+    val at = raw.select(col("doc").as("a_id"), col("txt").as("ta"))
+    val bt = raw.select(col("doc").as("b_id"), col("txt").as("tb"))
     cand.join(at, "a_id").join(bt, "b_id")
       .filter(col("ta").substr(col("pa"), lit(k)) ===
         col("tb").substr(col("pb"), lit(k)))
