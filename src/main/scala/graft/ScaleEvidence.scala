@@ -642,3 +642,67 @@ object ScaleEvidenceSubstr {
     spark.stop()
   }
 }
+
+/** Crawl-stage throughput evidence (r10): the two operators a raw-web
+  * pipeline runs FIRST — t28's HTML extraction cascade and t29's
+  * DEFLATE ratio gate — timed over 1M synthetic pages. Both are
+  * map-side only (regex/HOF and a native expression), so docs/sec here
+  * is the per-core number that multiplies straight out to a cluster:
+  * no shuffle, no state, nothing that changes shape at 100 TB.
+  *
+  * Run: sbt 'runMain graft.ScaleEvidenceCrawl [nDocs]' */
+object ScaleEvidenceCrawl {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.TextOps
+
+    // synthetic pages in the t28 chrome: ~40 hash-vocab words split
+    // into <p> sentences + nav/footer/script/style noise per page
+    val body = concat_ws(" ", (0 until 40).map(j => concat(lit("w"),
+      pmod(xxhash64(col("id"), lit(j)), lit(9973)),
+      when(pmod(xxhash64(lit("dot"), col("id"), lit(j)), lit(8)) === 0,
+        lit(". ")).otherwise(lit("")))): _*)
+    val pages = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat(lit("<html><head><title>Page "), col("id").cast("string"),
+        lit("</title><style>p{margin:0}</style><script>var t=1;if(t<2){go()}</script>"),
+        lit("</head><body><div class=\"nav\"><a href=\"/\">home</a> <a href=\"/x\">next</a></div><p>"),
+        regexp_replace(body, "\\. ", ".</p><p>"),
+        lit("</p><div class=\"footer\">&copy; 2026 &amp; Co</div></body></html>")).as("html"))
+    pages.write.mode("overwrite").parquet("target/scale/pages")
+    val corpus = spark.read.parquet("target/scale/pages")
+    val htmlBytes = corpus.select(sum(octet_length(col("html")))).head().getLong(0)
+
+    val (cleanStats, tExtract) = timed {
+      corpus.select(TextOps.htmlExtract(col("html"), 5).as("clean"))
+        .agg(count(lit(1)), sum(length(col("clean"))))
+        .head()
+    }
+    println(f"[crawl-html] htmlExtract @ $nDocs%,d pages " +
+      f"(${htmlBytes / 1e6}%.0f MB html): ${tExtract}%.1f s = " +
+      f"${nDocs / tExtract}%,.0f pages/s, " +
+      f"${cleanStats.getLong(1)}%,d clean chars retained")
+
+    val (ratioStats, tDeflate) = timed {
+      corpus.select(
+          (call_function("graft_deflate_size", col("html"), lit(6)) * 1000000L
+            / octet_length(col("html"))).as("ppm"))
+        .agg(min(col("ppm")), expr("percentile(ppm, 0.5)"), max(col("ppm")))
+        .head()
+    }
+    println(f"[crawl-deflate] graft_deflate_size @ $nDocs%,d pages: " +
+      f"${tDeflate}%.1f s = ${htmlBytes / 1e6 / tDeflate}%.0f MB/s, " +
+      f"ratio ppm min/med/max ${ratioStats.get(0)}/${ratioStats.get(1)}/${ratioStats.get(2)}")
+    spark.stop()
+  }
+}
