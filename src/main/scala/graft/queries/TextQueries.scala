@@ -154,6 +154,66 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // paragraph-level dedup (the C4/CCNet pass BETWEEN doc-level d1
+    // and substring-level d16: remove repeated paragraphs, keep the
+    // doc): paragraphs are fixed 10-word segments (the corpus has no
+    // newlines — t14's chunking convention), keep-first = a segment
+    // survives iff its doc is the FIRST doc containing that exact
+    // text. One segment-keyed window shuffle + one doc-keyed
+    // reassembly — the gram-table shape (t25) that scales linearly.
+    "t30_paragraph_dedup" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val words = split(col("text"), " ")
+      val segArr = transform(
+        sequence(lit(0), ceil(size(words) / 10.0).cast("int") - 1),
+        i => array_join(slice(words, i * 10 + 1, lit(10)), " "))
+      val segs = spread(t(s, d, "documents"))
+        .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+      val kept = segs
+        .withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy("seg")))
+        .withColumn("keep", col("doc_id") === col("first_doc"))
+      kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("seg_idx"), col("seg"))))),
+              p => p.getField("seg")),
+            " ")).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+
+    // PII redaction (the privacy scrub every released corpus runs):
+    // deterministic dirty-column construction (an email + two phone
+    // shapes injected around the doc's text — the corpus itself is
+    // synthetic and PII-free), then sequential regex redaction: emails
+    // first, phones on the email-redacted text (counts can't overlap).
+    // Same Java/RE2-shared dialect as t28 → exact oracle on counts,
+    // redacted-text md5, and the char delta. Map-side only.
+    "t31_pii_redact" -> { (s, d) =>
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phoneRe = "\\+?[0-9][0-9() .-]{6,}[0-9]"
+      val dirty = concat(
+        lit("contact user"), col("doc_id").cast("string"),
+        lit("@example.com "), col("text"),
+        lit(" call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" or (020) 7946 0958 now"))
+      t(s, d, "documents")
+        .withColumn("dirty", dirty)
+        .withColumn("r1", regexp_replace(col("dirty"), emailRe, "<EMAIL>"))
+        .withColumn("clean", regexp_replace(col("r1"), phoneRe, "<PHONE>"))
+        .select(col("doc_id"),
+          regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_email"),
+          regexp_count(col("r1"), lit(phoneRe)).cast("long").as("n_phone"),
+          md5(col("clean")).as("clean_hash"),
+          (length(col("dirty")) - length(col("clean"))).cast("long")
+            .as("chars_removed"))
+        .orderBy("doc_id")
+    },
+
     // n-gram novelty vs the growing corpus (dedup-adjacent curation
     // signal: how much of each doc is text the corpus has never seen
     // before it, in ingestion order): per 8-gram the first doc_id that
@@ -587,6 +647,49 @@ object TextQueries {
         |SELECT doc_id, n_feat, weight_ppm,
         | doc_id IN (SELECT doc_id FROM sel) AS selected
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // 10-word segments via 1-based inclusive list slicing (DuckDB
+    // ws[a:b] ≡ Spark slice(ws, a, 10)); keep-first via min-doc per
+    // exact segment text; ordered FILTER list ≡ the sorted
+    // collect_list reassembly
+    "t30_paragraph_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        | segs AS (SELECT doc_id, CAST(g.i AS BIGINT) AS seg_idx,
+        |    array_to_string(ws[(CAST(g.i AS INT)*10+1):(CAST(g.i AS INT)*10+10)], ' ') AS seg
+        |  FROM w, UNNEST(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS g(i)),
+        | f AS (SELECT seg, MIN(doc_id) AS first_doc FROM segs GROUP BY seg),
+        | k AS (SELECT s.doc_id, s.seg_idx, s.seg, s.doc_id = f.first_doc AS keep
+        |   FROM segs s JOIN f USING (seg))
+        |SELECT doc_id, COUNT(*) AS n_segs,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | md5(COALESCE(
+        |     array_to_string(list(seg ORDER BY seg_idx) FILTER (WHERE keep), ' '),
+        |     '')) AS clean_hash
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same dirty-column construction + sequential email-then-phone
+    // redaction; regexp_extract_all length ≡ Spark regexp_count
+    "t31_pii_redact" ->
+      """WITH dirt AS (SELECT doc_id,
+        |   'contact user' || doc_id || '@example.com ' || text || ' call +1-555-'
+        |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |   || ' or (020) 7946 0958 now' AS dirty
+        |  FROM documents),
+        | r AS (SELECT doc_id, dirty,
+        |   regexp_replace(dirty,
+        |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS r1
+        |  FROM dirt),
+        | c AS (SELECT doc_id, dirty, r1,
+        |   regexp_replace(r1, '\+?[0-9][0-9() .-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |  FROM r)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(dirty,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(r1,
+        |   '\+?[0-9][0-9() .-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+        | md5(clean) AS clean_hash,
+        | CAST(length(dirty) - length(clean) AS BIGINT) AS chars_removed
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the same page construction + regex cascade as the Spark side;
     // RE2 and java.util.regex agree on this dialect subset (no
