@@ -79,6 +79,30 @@ object PipelineQueries {
     // the end-to-end cleanse a training-data user runs: quality gate →
     // exact dedup (keep min doc_id per content hash) → deterministic
     // 1-in-3 sample → per-predicted-language yield report
+    // the raw-web ingest chain end to end (what a crawl-fed corpus
+    // actually runs, in order): synthetic page (t28's construction) →
+    // HTML extraction (t28) → canonical normalization (t24's cascade)
+    // → exact dedup on the normalized hash (keep-first, p1's window)
+    // → per-language yield. Every stage is deterministic arithmetic,
+    // so the COMPOSITION stays oracle-exact; one window shuffle + one
+    // group aggregation after a map-only cascade.
+    "p7_crawl_pipeline" -> { (s, d) =>
+      val body = TextOps.htmlExtract(TextQueries.htmlPage, minWords = 5)
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("body")), "[^a-z0-9 ]", " "), " +", " "))
+      val w = Window.partitionBy(md5(col("norm"))).orderBy("doc_id")
+      t(s, d, "documents")
+        .withColumn("body", body)
+        .withColumn("norm", norm)
+        .withColumn("rn", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_pages"),
+          sum((col("rn") === 1).cast("long")).as("n_kept"),
+          sum(when(col("rn") === 1, length(col("norm"))).otherwise(0))
+            .cast("long").as("chars_kept"))
+        .orderBy("lang")
+    },
+
     "p1_corpus_pipeline" -> { (s, d) =>
       val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
       t(s, d, "documents")
@@ -207,6 +231,26 @@ object PipelineQueries {
         |  MAX(budget) AS budget,
         |  CAST(CAST(SUM(toks) AS BIGINT) AS DOUBLE) / MAX(budget) AS utilization
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the same chain in DuckDB: page → extract → normalize → dedup →
+    // yield; built from the shared t28 SQL mirrors
+    "p7_crawl_pipeline" ->
+      s"""WITH h AS (SELECT doc_id, lang, ${TextQueries.htmlPageSql} AS html
+        |  FROM documents),
+        | b AS (SELECT doc_id, lang, ${TextQueries.htmlExtractSql("html")} AS body
+        |  FROM h),
+        | n AS (SELECT doc_id, lang,
+        |   trim(regexp_replace(regexp_replace(lower(body), '[^a-z0-9 ]', ' ', 'g'),
+        |     ' +', ' ', 'g')) AS norm
+        |  FROM b),
+        | dd AS (SELECT doc_id, lang, norm,
+        |   ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+        |  FROM n)
+        |SELECT lang, COUNT(*) AS n_pages,
+        | CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN rn = 1 THEN length(norm) ELSE 0 END) AS BIGINT)
+        |   AS chars_kept
+        |FROM dd GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p1_corpus_pipeline" ->
       s"""WITH q AS (SELECT doc_id, text, (${TextQueries.qualitySql}) AS q

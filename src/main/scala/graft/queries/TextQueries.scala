@@ -31,6 +31,50 @@ object TextQueries {
       |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
       |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE))""".stripMargin
 
+  /** Deterministic synthetic page around a documents row — the t28/p7
+    * crawl-stage input: chrome + script/style noise + entity-bearing
+    * running text + the doc's text as `<p>` paragraphs. */
+  private[queries] def htmlPage: org.apache.spark.sql.Column = {
+    val did = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), did, lit("</title>"),
+      lit("<style>p{margin:0}.nav{display:flex}</style>"),
+      lit("<script>var lang=\""), col("lang"), lit("\";if(2<3){x()}</script>"),
+      lit("</head><body><div class=\"nav\"><a href=\"/\">home</a> <a href=\"/c\">corpus</a></div>"),
+      lit("<h1>Doc "), did, lit("</h1>"),
+      lit("<p>Entities &amp; markers &lt;escaped&gt; appear in running text here</p>"),
+      lit("<p>"), replace(col("text"), lit(". "), lit(".</p><p>")), lit("</p>"),
+      lit("<div class=\"footer\">&copy; 2026 &amp; Co</div></body></html>"))
+  }
+
+  /** SQL mirror of [[htmlPage]] (DuckDB `||` concatenation). NOTE the
+    * concatenation operator sits at END of line: these helpers are
+    * interpolated into templates that run their OWN stripMargin, which
+    * would truncate a leading `||` to `|`. */
+  private[queries] val htmlPageSql: String =
+    """'<html><head><title>Doc ' || doc_id || '</title>' ||
+      '<style>p{margin:0}.nav{display:flex}</style>' ||
+      '<script>var lang="' || lang || '";if(2<3){x()}</script>' ||
+      '</head><body><div class="nav"><a href="/">home</a> <a href="/c">corpus</a></div>' ||
+      '<h1>Doc ' || doc_id || '</h1>' ||
+      '<p>Entities &amp; markers &lt;escaped&gt; appear in running text here</p>' ||
+      '<p>' || replace(text, '. ', '.</p><p>') || '</p>' ||
+      '<div class="footer">&copy; 2026 &amp; Co</div></body></html>'"""
+
+  /** SQL mirror of `TextOps.htmlExtract(col, 5)` applied to `src` —
+    * the same regex cascade + line-density filter in DuckDB. */
+  private[queries] def htmlExtractSql(src: String): String =
+    s"""array_to_string(list_filter(list_transform(string_split(
+       |     replace(replace(replace(replace(replace(
+       |       regexp_replace(regexp_replace(regexp_replace($src,
+       |         '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |         '</(p|div|li|ul|ol|h[1-6]|table|tr|blockquote)>|<br[^>]*>', chr(10), 'g'),
+       |         '<[^>]*>', ' ', 'g'),
+       |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+       |       '&amp;', '&'), chr(10)),
+       |     l -> trim(regexp_replace(l, '[ \t]+', ' ', 'g'))),
+       |   l -> len(string_split(l, ' ')) >= 5 AND length(l) > 0), chr(10))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact heavy hitters from a bounded-state sketch: pass 1 runs the
     // native Misra-Gries aggregate (k counters TOTAL, map-side
@@ -112,18 +156,8 @@ object TextQueries {
     // the comparison is exact (md5 of the cleaned text). Map-side
     // only: regexps + HOFs, no shuffle before the output sort.
     "t28_html_extract" -> { (s, d) =>
-      val did = col("doc_id").cast("string")
-      val html = concat(
-        lit("<html><head><title>Doc "), did, lit("</title>"),
-        lit("<style>p{margin:0}.nav{display:flex}</style>"),
-        lit("<script>var lang=\""), col("lang"), lit("\";if(2<3){x()}</script>"),
-        lit("</head><body><div class=\"nav\"><a href=\"/\">home</a> <a href=\"/c\">corpus</a></div>"),
-        lit("<h1>Doc "), did, lit("</h1>"),
-        lit("<p>Entities &amp; markers &lt;escaped&gt; appear in running text here</p>"),
-        lit("<p>"), replace(col("text"), lit(". "), lit(".</p><p>")), lit("</p>"),
-        lit("<div class=\"footer\">&copy; 2026 &amp; Co</div></body></html>"))
       t(s, d, "documents")
-        .withColumn("html", html)
+        .withColumn("html", htmlPage)
         .withColumn("clean", TextOps.htmlExtract(col("html"), minWords = 5))
         .select(col("doc_id"), md5(col("clean")).as("clean_hash"),
           length(col("clean")).cast("long").as("clean_chars"),
@@ -695,30 +729,8 @@ object TextQueries {
     // RE2 and java.util.regex agree on this dialect subset (no
     // backrefs/lookaround, inline (?s) for the dotall block match)
     "t28_html_extract" ->
-      """WITH h AS (SELECT doc_id,
-        |   '<html><head><title>Doc ' || doc_id || '</title>'
-        |   || '<style>p{margin:0}.nav{display:flex}</style>'
-        |   || '<script>var lang="' || lang || '";if(2<3){x()}</script>'
-        |   || '</head><body><div class="nav"><a href="/">home</a> <a href="/c">corpus</a></div>'
-        |   || '<h1>Doc ' || doc_id || '</h1>'
-        |   || '<p>Entities &amp; markers &lt;escaped&gt; appear in running text here</p>'
-        |   || '<p>' || replace(text, '. ', '.</p><p>') || '</p>'
-        |   || '<div class="footer">&copy; 2026 &amp; Co</div></body></html>' AS html
-        |  FROM documents),
-        | x AS (SELECT doc_id, html,
-        |   replace(replace(replace(replace(replace(
-        |     regexp_replace(regexp_replace(regexp_replace(html,
-        |       '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
-        |       '</(p|div|li|ul|ol|h[1-6]|table|tr|blockquote)>|<br[^>]*>', chr(10), 'g'),
-        |       '<[^>]*>', ' ', 'g'),
-        |     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
-        |     '&amp;', '&') AS dec
-        |  FROM h),
-        | c AS (SELECT doc_id, html,
-        |   array_to_string(list_filter(list_transform(string_split(dec, chr(10)),
-        |       l -> trim(regexp_replace(l, '[ \t]+', ' ', 'g'))),
-        |     l -> len(string_split(l, ' ')) >= 5 AND length(l) > 0), chr(10)) AS clean
-        |  FROM x)
+      s"""WITH h AS (SELECT doc_id, $htmlPageSql AS html FROM documents),
+        | c AS (SELECT doc_id, html, ${htmlExtractSql("html")} AS clean FROM h)
         |SELECT doc_id, md5(clean) AS clean_hash,
         | CAST(length(clean) AS BIGINT) AS clean_chars,
         | CAST(CASE WHEN length(clean) = 0 THEN 0

@@ -59,6 +59,18 @@ class HtmlExtractSpec extends SparkSpec {
       "plain text with no markup at all")
   }
 
+  test("p7 crawl pipeline: per-lang yield covers the corpus, dedup sane") {
+    val out = SparkEntry.queries("p7_crawl_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.select(col("n_pages"), col("n_kept"), col("chars_kept"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, k, c) =>
+      assert(k >= 1 && k <= n, "keep-first keeps at least one per group")
+      assert(c > 0, "extraction must retain prose")
+    }
+  }
+
   test("t28 catalog query: every doc retains content, chrome dropped") {
     val out = SparkEntry.queries("t28_html_extract")(
       spark, "/root/testdata/sf0.001")
