@@ -211,6 +211,25 @@ object Quality {
       SimilaritySearch.ivfTopK(clusteredL.filter(col("vec_id") < 5),
         clusteredL, "vec_id", "embedding", "label", 3), 3)
 
+    // ---- t29: DEFLATE-ratio band positions (rows-only by nature) --
+    // the degenerate-text gate works iff the three regimes stay in
+    // separated bands: repeated-token junk far below the corpus's
+    // prose-ish ratio, hash-chain noise far above it. Medians as
+    // fractions of 1e6; drift here means the zlib build or the gate
+    // threshold needs a look.
+    def medianRatio(df: DataFrame): Double =
+      df.select((call_function("graft_deflate_size", col("text"), lit(6))
+          .cast("double") / greatest(octet_length(col("text")), lit(1))
+          .cast("double")).as("r"))
+        .agg(percentile(col("r"), lit(0.5))).head().getDouble(0)
+    metrics("t29_ratio_junk") = medianRatio(
+      spark.range(50).select(
+        concat_ws(" ", Seq.fill(200)(lit("spam")): _*).as("text")))
+    metrics("t29_ratio_docs") = medianRatio(docs)
+    metrics("t29_ratio_noise") = medianRatio(
+      spark.range(50).select(concat_ws(" ", (0 until 60).map(j =>
+        hex(xxhash64(col("id"), lit(j)))): _*).as("text")))
+
     // ---- d6: KMV sketch worst-group relative error ---------------
     val kmv = SparkEntry.queries("d6_kmv_distinct")(spark, sfDir)
       .select(col("est_distinct"), col("exact_distinct"))
