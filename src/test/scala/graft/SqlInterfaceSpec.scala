@@ -3,6 +3,25 @@ package graft
 /** The engine through plain spark.sql: registered views + extension
   * functions compose in SQL text. */
 class SqlInterfaceSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("ql.events surfaces ts under BOTH parquet encodings") {
+    // micros (the current driver testdata): TIMESTAMP_NTZ -> session-tz
+    val cur = ql.events(spark, "/root/testdata/sf0.001")
+    assert(cur.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // nanos-as-long (the pre-r9 encoding, kept working): a fixture
+    // parquet with a raw long ts must floor-divide to the same micros
+    val dir = java.nio.file.Files.createTempDirectory("graft_evts").toString
+    Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val legacy = ql.events(spark, dir)
+    assert(legacy.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(legacy.select(unix_micros(col("ts"))).head().getLong(0) ==
+      1700000000123456L)
+  }
 
   test("registerAll exposes every table and extension fn to SQL") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
