@@ -248,6 +248,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // URL canonicalization (the crawl dedup KEY step beside t28/t31:
+    // a page's identity for frontier dedup and recrawl detection):
+    // fragment off, scheme+host lowercased, www. and default-port
+    // stripped, tracking params (utm_*, ref=) dropped, remaining
+    // params sorted, trailing /index.html collapsed. The dirty URL is
+    // built deterministically from the row (mixed case, tracking
+    // params, :443, #fragment all present); split_part/HOF string ops
+    // shared by both engines → exact oracle. Map-side only.
+    "t32_url_canonicalize" -> { (s, d) =>
+      val url = concat(
+        lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7)).cast("string"),
+        lit(".COM:443/Docs/"), col("lang"), lit("/"),
+        col("doc_id").cast("string"),
+        lit("/index.html?utm_source=feed&ref=tw"),
+        pmod(col("doc_id"), lit(3)).cast("string"),
+        lit("&b=2&a=1#sec"))
+      val nofrag = split_part(col("url"), lit("#"), lit(1))
+      val base = split_part(nofrag, lit("?"), lit(1))
+      val query = split_part(nofrag, lit("?"), lit(2))
+      val scheme = lower(split_part(base, lit("://"), lit(1)))
+      val hostpath = split_part(base, lit("://"), lit(2))
+      val rawHost = split_part(hostpath, lit("/"), lit(1))
+      val host = regexp_replace(
+        regexp_replace(lower(rawHost), "^www\\.", ""), ":(443|80)$", "")
+      val path = regexp_replace(
+        substring(hostpath, length(rawHost) + 1, lit(100000)), "/index\\.html$", "/")
+      val canonQ = array_join(array_sort(filter(split(query, "&"),
+        p => !startswith(p, lit("utm_")) && !startswith(p, lit("ref=")))), "&")
+      val canon = concat(scheme, lit("://"), host, path,
+        when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+      t(s, d, "documents")
+        .withColumn("url", url)
+        .select(col("doc_id"), col("url"), canon.as("canon_url"),
+          md5(canon).as("url_key"))
+        .orderBy("doc_id")
+    },
+
     // n-gram novelty vs the growing corpus (dedup-adjacent curation
     // signal: how much of each doc is text the corpus has never seen
     // before it, in ingestion order): per 8-gram the first doc_id that
@@ -681,6 +718,38 @@ object TextQueries {
         |SELECT doc_id, n_feat, weight_ppm,
         | doc_id IN (SELECT doc_id FROM sel) AS selected
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // same split_part/HOF pipeline; DuckDB's list_sort and Spark's
+    // array_sort are both UTF8-binary on these ASCII params
+    "t32_url_canonicalize" ->
+      """WITH u AS (SELECT doc_id,
+        |   'HTTPS://WWW.Example' || (doc_id % 7) || '.COM:443/Docs/' || lang
+        |   || '/' || doc_id || '/index.html?utm_source=feed&ref=tw'
+        |   || (doc_id % 3) || '&b=2&a=1#sec' AS url
+        |  FROM documents),
+        | p AS (SELECT doc_id, url,
+        |   split_part(split_part(url, '#', 1), '?', 1) AS base,
+        |   split_part(split_part(url, '#', 1), '?', 2) AS query
+        |  FROM u),
+        | q AS (SELECT doc_id, url,
+        |   lower(split_part(base, '://', 1)) AS scheme,
+        |   split_part(base, '://', 2) AS hostpath,
+        |   split_part(split_part(base, '://', 2), '/', 1) AS raw_host,
+        |   query
+        |  FROM p),
+        | c AS (SELECT doc_id, url,
+        |   scheme || '://'
+        |   || regexp_replace(regexp_replace(lower(raw_host), '^www\.', ''),
+        |        ':(443|80)$', '')
+        |   || regexp_replace(substr(hostpath, length(raw_host) + 1, 100000),
+        |        '/index\.html$', '/')
+        |   || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon
+        |  FROM (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      x -> NOT starts_with(x, 'utm_') AND NOT starts_with(x, 'ref='))),
+        |      '&') AS cq FROM q))
+        |SELECT doc_id, url, canon AS canon_url, md5(canon) AS url_key
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // 10-word segments via 1-based inclusive list slicing (DuckDB
     // ws[a:b] ≡ Spark slice(ws, a, 10)); keep-first via min-doc per

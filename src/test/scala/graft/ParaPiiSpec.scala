@@ -71,6 +71,23 @@ class ParaPiiSpec extends SparkSpec {
     assert(r._3 == "write <EMAIL> or <EMAIL>, dial <PHONE> x", s"got ${r._3}")
   }
 
+  test("t32 catalog query: canonical form drops chrome, keeps identity") {
+    val out = SparkEntry.queries("t32_url_canonicalize")(
+      spark, "/root/testdata/sf0.001")
+    val rows = out.select("doc_id", "canon_url").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, c) =>
+      assert(c.startsWith("https://example") && c.contains(s"/$id/"),
+        s"identity must survive: $c")
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("ref=") &&
+        !c.contains(":443") && !c.contains("www.") && !c.contains("index.html"),
+        s"chrome must not: $c")
+      assert(c.endsWith("?a=1&b=2"), s"params sorted, tracking dropped: $c")
+    }
+    assert(rows.map(_._2).distinct.length == rows.length,
+      "doc identity keeps canon URLs distinct")
+  }
+
   test("t31 catalog query: exactly the injected PII found in every row") {
     val out = SparkEntry.queries("t31_pii_redact")(
       spark, "/root/testdata/sf0.001")
