@@ -197,12 +197,8 @@ object TextQueries {
     // reassembly — the gram-table shape (t25) that scales linearly.
     "t30_paragraph_dedup" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val words = split(col("text"), " ")
-      val segArr = transform(
-        sequence(lit(0), ceil(size(words) / 10.0).cast("int") - 1),
-        i => array_join(slice(words, i * 10 + 1, lit(10)), " "))
-      val segs = spread(t(s, d, "documents"))
-        .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+      val segs = graft.operators.ParaDedup.segments(
+        t(s, d, "documents"), "doc_id", "text")
       val kept = segs
         .withColumn("first_doc",
           min(col("doc_id")).over(Window.partitionBy("seg")))
