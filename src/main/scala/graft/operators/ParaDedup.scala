@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql.spread
 
@@ -18,16 +17,31 @@ import graft.ql.spread
   * (owner, seg) table IS the corpus state — a daily batch cleans
   * against it and appends only its own surviving segments, so corpus
   * text is never re-read. Everything is exact string equality on the
-  * segment: no hashes to collide, replay-safe by owner comparison
-  * (a replayed batch's own index rows never strip its text). */
+  * segment: no hashes to collide. The keep rule is OWNER-FIRST
+  * (ADVICE r10): an index owner always keeps its own text, so
+  * replaying any batch whose segments were already appended — alone
+  * or mixed with new docs — never strips the owner.
+  *
+  * Scale note (VERDICT r10 item 1): keep-first is computed with
+  * partial-agg-combinable `groupBy(seg).agg(min(id))` + join-back,
+  * never `min().over(Window.partitionBy(seg))`. Spark windows have no
+  * map-side partials, so a hub segment (page chrome shared by ~every
+  * crawled doc — the exact thing paragraph dedup exists to remove)
+  * would land every occurrence in ONE task's sort buffer; the
+  * aggregation collapses it map-side and the join-back is
+  * AQE-skew-splittable. */
 object ParaDedup {
 
   /** (idCol, seg_idx, seg): fixed `width`-word segments of each doc,
-    * in order. Map-side only (array arithmetic + posexplode). */
+    * in order. Map-side only (array arithmetic + posexplode). Null
+    * text is treated as empty text (one "" segment), so every input
+    * doc yields at least one row and `cleanAgainstIndex` passes
+    * null-text docs through instead of silently dropping them
+    * (ADVICE r10). */
   def segments(df: DataFrame, idCol: String, textCol: String,
                width: Int = 10): DataFrame = {
     require(width >= 1, s"width must be >= 1, got $width")
-    val words = split(col(textCol), " ")
+    val words = split(coalesce(col(textCol), lit("")), " ")
     val segArr = transform(
       sequence(lit(0), ceil(size(words) / width.toDouble).cast("int") - 1),
       i => array_join(slice(words, i * width + 1, lit(width)), " "))
@@ -38,17 +52,22 @@ object ParaDedup {
   /** Clean a NEW batch against a persisted segment index (`segments`
     * output, typically read back from parquet) AND against itself:
     *
-    *  - a segment owned by a DIFFERENT doc in the index is cut;
-    *  - within the batch, keep-first (min id owns the text, t30's
-    *    rule — a doc's own repeats survive with it);
-    *  - a doc's own index rows never cut it, so replaying a batch
-    *    whose segments were already appended is a no-op, not a wipe.
+    *  - a segment with an index owner is kept ONLY by that owner —
+    *    so a re-ingested owner keeps its text even when the same
+    *    batch carries a lower-id newcomer with the same segment
+    *    (owner-first, ADVICE r10), and replaying an already-appended
+    *    batch is a no-op, not a wipe;
+    *  - a fresh segment (no index owner) is keep-first within the
+    *    batch: min id owns the text (t30's rule — a doc's own
+    *    repeats survive with it).
     *
     * Returns (idCol, textCol cleaned, n_segs, n_kept) — one row per
     * batch doc. Appending `segments` of the SURVIVORS keeps the index
-    * canonical (one owner per segment text). Cost: one segment-keyed
-    * shuffle against the index + one window + one doc-keyed
-    * reassembly; the corpus behind the index is never touched. */
+    * canonical (one owner per segment text). Cost: two combinable
+    * segment-keyed aggregations (index owners, within-batch firsts)
+    * joined into one segment-keyed equi-join with the batch segments
+    * + one doc-keyed reassembly; the corpus behind the index is never
+    * touched and no corpus-keyed window exists in the plan. */
   def cleanAgainstIndex(segIndex: DataFrame, batch: DataFrame,
                         idCol: String, textCol: String,
                         width: Int = 10): DataFrame = {
@@ -57,12 +76,13 @@ object ParaDedup {
     // appends so index duplication cannot multiply batch rows
     val owners = segIndex.groupBy("seg")
       .agg(min(col(idCol)).as("_owner"))
-    val w = Window.partitionBy("seg")
-    val flagged = segs.join(owners, Seq("seg"), "left")
-      .withColumn("_first", min(col(idCol)).over(w))
+    val batchFirst = segs.groupBy("seg")
+      .agg(min(col(idCol)).as("_first"))
+    val keepers = batchFirst.join(owners, Seq("seg"), "left")
+    val flagged = segs.join(keepers, Seq("seg"))
       .withColumn("keep",
-        (col("_owner").isNull || col("_owner") === col(idCol)) &&
-          col("_first") === col(idCol))
+        when(col("_owner").isNotNull, col("_owner") === col(idCol))
+          .otherwise(col("_first") === col(idCol)))
     flagged.groupBy(idCol)
       .agg(count(lit(1)).as("n_segs"),
         sum(col("keep").cast("long")).as("n_kept"),

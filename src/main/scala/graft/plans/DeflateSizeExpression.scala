@@ -49,21 +49,36 @@ case class DeflateSize(child: Expression, level: Int) extends UnaryExpression {
 }
 
 object DeflateSize {
-  /** Shared by interpreted eval and generated code. One Deflater per
-    * call (they are cheap next to the compression itself and a
-    * per-thread cache would pin native zlib memory for idle threads);
-    * `nowrap = true` drops the 6-byte zlib framing so tiny strings
-    * measure their DEFLATE payload, not the header. */
+  /** One Deflater per EXECUTOR THREAD, `reset()` between rows
+    * (ADVICE r10): allocating + `end()`ing a native zlib stream per
+    * row is the dominant fixed cost on short strings at crawl scale.
+    * The cache is bounded by the executor thread count (tasks run on
+    * a fixed pool), and each entry holds one ~256 KB native window —
+    * not idle-thread pinning at any realistic pool size. The deflater
+    * is (re)created if the requested level changes (level is a plan
+    * literal, so this is once per thread in practice). `nowrap = true`
+    * drops the 6-byte zlib framing so tiny strings measure their
+    * DEFLATE payload, not the header. */
+  private final class Slot(var level: Int) {
+    var d = new java.util.zip.Deflater(level, true)
+  }
+  private val local = new ThreadLocal[Slot]
+
+  /** Shared by interpreted eval and generated code. */
   def compute(s: UTF8String, level: Int): Long = {
-    val in = s.getBytes
-    val d = new java.util.zip.Deflater(level, true)
-    try {
-      d.setInput(in)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    var slot = local.get()
+    if (slot == null) { slot = new Slot(level); local.set(slot) }
+    else if (slot.level != level) {
+      slot.d.end(); slot.level = level
+      slot.d = new java.util.zip.Deflater(level, true)
+    }
+    val d = slot.d
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ql._
 import graft.functions.TextOps
@@ -82,34 +81,53 @@ object PipelineQueries {
     // the raw-web ingest chain end to end (what a crawl-fed corpus
     // actually runs, in order): synthetic page (t28's construction) →
     // HTML extraction (t28) → canonical normalization (t24's cascade)
-    // → exact dedup on the normalized hash (keep-first, p1's window)
-    // → per-language yield. Every stage is deterministic arithmetic,
-    // so the COMPOSITION stays oracle-exact; one window shuffle + one
-    // group aggregation after a map-only cascade.
+    // → exact dedup on the normalized hash → per-language yield.
+    // Keep-first is ONE combinable groupBy(hash).min(struct) — the
+    // min struct leads with the unique doc_id, so the winner row IS
+    // row_number()=1, but a duplicate hub page collapses map-side
+    // instead of filling one window task (VERDICT r10 item 1); the
+    // per-lang report then joins two lang-cardinality aggregates.
+    // Every stage is deterministic arithmetic, so the COMPOSITION
+    // stays oracle-exact.
     "p7_crawl_pipeline" -> { (s, d) =>
       val body = TextOps.htmlExtract(TextQueries.htmlPage, minWords = 5)
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("body")), "[^a-z0-9 ]", " "), " +", " "))
-      val w = Window.partitionBy(md5(col("norm"))).orderBy("doc_id")
-      t(s, d, "documents")
+      val pages = t(s, d, "documents")
         .withColumn("body", body)
         .withColumn("norm", norm)
-        .withColumn("rn", row_number().over(w))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_pages"),
-          sum((col("rn") === 1).cast("long")).as("n_kept"),
-          sum(when(col("rn") === 1, length(col("norm"))).otherwise(0))
-            .cast("long").as("chars_kept"))
+        .select(col("doc_id"), col("lang"), col("norm"))
+      val winners = pages
+        .groupBy(md5(col("norm")).as("h"))
+        .agg(min(struct(col("doc_id"), col("lang"),
+          length(col("norm")).cast("long").as("len"))).as("w"))
+        .select(col("w.lang").as("lang"), col("w.len").as("len"))
+      val perLang = pages.groupBy("lang").agg(count(lit(1)).as("n_pages"))
+      val keptLang = winners.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("len")).cast("long").as("chars_kept"))
+      perLang.join(keptLang, Seq("lang"), "left")
+        .select(col("lang"), col("n_pages"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
         .orderBy("lang")
     },
 
+    // quality gate → exact dedup → deterministic sample → yield.
+    // Same keep-first shape as p7: groupBy(md5(text)).min(struct
+    // (doc_id, …)) replaces the keyed window — identical survivors
+    // (min doc_id per hash group), but partial-agg combinable so the
+    // corpus's hottest duplicate cannot pin one task (VERDICT r10
+    // item 1).
     "p1_corpus_pipeline" -> { (s, d) =>
-      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-      t(s, d, "documents")
+      val kept = t(s, d, "documents")
         .withColumn("q", TextOps.qualityScore(col("text")))
         .filter(col("q") >= 0.45)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(struct(col("doc_id"), col("q"), col("text"))).as("w"))
+        .select(col("w.doc_id").as("doc_id"), col("w.q").as("q"),
+          col("w.text").as("text"))
+      kept
         .filter(col("doc_id") % 3 === 0)
         .select(TextOps.langId(col("text")).as("lang_pred"),
           TextOps.wsTokenCount(col("text")).as("toks"), col("q"))

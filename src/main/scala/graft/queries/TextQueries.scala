@@ -193,15 +193,18 @@ object TextQueries {
     // doc): paragraphs are fixed 10-word segments (the corpus has no
     // newlines — t14's chunking convention), keep-first = a segment
     // survives iff its doc is the FIRST doc containing that exact
-    // text. One segment-keyed window shuffle + one doc-keyed
-    // reassembly — the gram-table shape (t25) that scales linearly.
+    // text. First owner per segment via a partial-agg-combinable
+    // groupBy(seg).min joined back (AQE-skew-splittable) — NOT a
+    // segment-keyed window: windows have no map-side partials, so a
+    // hub segment (boilerplate chrome present in ~every web doc, the
+    // very thing paragraph dedup exists for) would pile every
+    // occurrence into ONE task's sort buffer (VERDICT r10 item 1).
     "t30_paragraph_dedup" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val segs = graft.operators.ParaDedup.segments(
         t(s, d, "documents"), "doc_id", "text")
-      val kept = segs
-        .withColumn("first_doc",
-          min(col("doc_id")).over(Window.partitionBy("seg")))
+      val owners = segs.groupBy("seg")
+        .agg(min(col("doc_id")).as("first_doc"))
+      val kept = segs.join(owners, Seq("seg"))
         .withColumn("keep", col("doc_id") === col("first_doc"))
       kept.groupBy("doc_id")
         .agg(count(lit(1)).as("n_segs"),
@@ -266,8 +269,13 @@ object TextQueries {
       val scheme = lower(split_part(base, lit("://"), lit(1)))
       val hostpath = split_part(base, lit("://"), lit(2))
       val rawHost = split_part(hostpath, lit("/"), lit(1))
-      val host = regexp_replace(
-        regexp_replace(lower(rawHost), "^www\\.", ""), ":(443|80)$", "")
+      // default-port stripping is SCHEME-AWARE (VERDICT r10 item 8):
+      // :443 is only the default for https, :80 only for http — any
+      // other (scheme, port) combination is identity-bearing and kept
+      val noWww = regexp_replace(lower(rawHost), "^www\\.", "")
+      val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+        .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+        .otherwise(noWww)
       val path = regexp_replace(
         substring(hostpath, length(rawHost) + 1, lit(100000)), "/index\\.html$", "/")
       val canonQ = array_join(array_sort(filter(split(query, "&"),
@@ -284,21 +292,25 @@ object TextQueries {
     // n-gram novelty vs the growing corpus (dedup-adjacent curation
     // signal: how much of each doc is text the corpus has never seen
     // before it, in ingestion order): per 8-gram the first doc_id that
-    // contains it, computed as a window min over the gram key — ONE
-    // shuffle of the exploded gram table, no join-back, no recompute
-    // (the agg+join formulation materialized and shuffled the
-    // corpus-sized gram table twice). Exact integers + one division.
+    // contains it. NO window and NO join-back of the gram table: a
+    // doc's novel-gram count is just how many grams it OWNS, so
+    // groupBy(g).min(doc_id) (combinable — a hub gram collapses
+    // map-side instead of filling one task's window sort buffer,
+    // VERDICT r10 item 1) re-aggregated by owner gives n_novel, a
+    // doc-keyed count gives n_grams, and the final join is between two
+    // doc-cardinality tables. Exact integers + one division.
     "t25_novelty" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       // graft_shingles dedups per doc, so (doc_id, g) is already unique
       val grams = spread(t(s, d, "documents"))
         .select(col("doc_id"),
           explode(TextOps.shingles(col("text"), 8)).as("g"))
-      grams
-        .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy("g")))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      val perDoc = grams.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy("g").agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty",
           col("n_novel").cast("double") / col("n_grams"))
         .orderBy("doc_id")
@@ -735,8 +747,11 @@ object TextQueries {
         |  FROM p),
         | c AS (SELECT doc_id, url,
         |   scheme || '://'
-        |   || regexp_replace(regexp_replace(lower(raw_host), '^www\.', ''),
-        |        ':(443|80)$', '')
+        |   || CASE WHEN scheme = 'https' THEN regexp_replace(
+        |          regexp_replace(lower(raw_host), '^www\.', ''), ':443$', '')
+        |        WHEN scheme = 'http' THEN regexp_replace(
+        |          regexp_replace(lower(raw_host), '^www\.', ''), ':80$', '')
+        |        ELSE regexp_replace(lower(raw_host), '^www\.', '') END
         |   || regexp_replace(substr(hostpath, length(raw_host) + 1, 100000),
         |        '/index\.html$', '/')
         |   || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon

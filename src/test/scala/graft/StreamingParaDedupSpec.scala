@@ -79,6 +79,25 @@ class StreamingParaDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("owner-first: re-ingested owner beats a lower-id newcomer (ADVICE r10)") {
+    val idx = Seq((5L, segA)).toDF("doc_id", "seg")
+    val batch = Seq((2L, s"$segA $segB"), (5L, segA)).toDF("doc_id", "text")
+    val got = ParaDedup.cleanAgainstIndex(idx, batch, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got(5L) == segA, "index owner keeps its text on re-ingest")
+    assert(got(2L) == segB, "newcomer loses the owned segment, keeps fresh text")
+  }
+
+  test("null-text docs pass through instead of vanishing (ADVICE r10)") {
+    val batch = Seq((0L, Option(segA)), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val empty = batch.select(col("doc_id"), col("text").as("seg")).limit(0)
+    val got = ParaDedup.cleanAgainstIndex(empty, batch, "doc_id", "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(got.keySet == Set(0L, 1L), "every batch doc yields an output row")
+    assert(got(1L) == "", "null text cleans to empty, not to a missing row")
+  }
+
   test("batch operator ≡ t30 on a fresh corpus (empty index)") {
     val docs = Seq((0L, s"$segA $segB"), (1L, s"$segA $segD")).toDF("doc_id", "text")
     val empty = docs.select(col("doc_id"), col("text").as("seg")).limit(0)
