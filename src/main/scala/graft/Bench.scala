@@ -147,6 +147,23 @@ object Bench {
         Bm25.topKFromIndex(idx8,
           terms = Seq("dup", "spark", "window", "key"), k = 10).count(); ()
       }
+      // paragraph-dedup index split (VERDICT r10 item 5): persisted
+      // segment-index build vs incremental-batch clean — the ParaDedup
+      // ingest path (t30 is the fresh-corpus special case). 90% of
+      // documents build the index; the other 10% probe as a daily batch.
+      import graft.operators.ParaDedup
+      var segIdx: DataFrame = null
+      val paraDocs = t(spark, sfDir, "documents")
+      splits("t30_para_build") = medianKeep { () =>
+        segIdx = ParaDedup.segments(
+            paraDocs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+          .select("doc_id", "seg").localCheckpoint(true); ()
+      }
+      splits("t30_para_probe") = medianKeep { () =>
+        ParaDedup.cleanAgainstIndex(segIdx,
+          paraDocs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+          .count(); ()
+      }
     } catch { case _: Throwable => () }
 
     // ms-rounded per-query times and a duplicate total at the END of

@@ -703,6 +703,43 @@ object ScaleEvidenceCrawl {
     println(f"[crawl-deflate] graft_deflate_size @ $nDocs%,d pages: " +
       f"${tDeflate}%.1f s = ${htmlBytes / 1e6 / tDeflate}%.0f MB/s, " +
       f"ratio ppm min/med/max ${ratioStats.get(0)}/${ratioStats.get(1)}/${ratioStats.get(2)}")
+
+    // ---- planted-hub paragraph dedup (VERDICT r10 items 1+6): one
+    // 10-word boilerplate segment present in EVERY doc — the key
+    // distribution paragraph dedup exists for (cookie banners, "enable
+    // javascript" chrome). With the r11 groupBy(seg).min keep-first the
+    // hub collapses into per-partition partials before the shuffle;
+    // the pre-r11 keyed window would have sorted every occurrence of
+    // the hub in ONE task's buffer. Expected outcome: each batch doc
+    // keeps exactly its 2 unique segments, the hub survives only with
+    // its index owner.
+    import graft.operators.ParaDedup
+    val hub = (1 to 10).map(i => s"hub$i").mkString(" ")
+    val uniqWords = concat_ws(" ", (0 until 20).map(j => concat(lit("u"),
+      pmod(xxhash64(col("id"), lit(j + 1000)), lit(1000000000L)))): _*)
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        concat(lit(hub + " "), uniqWords).as("text"))
+      .write.mode("overwrite").parquet("target/scale/paradocs")
+    val pd = spark.read.parquet("target/scale/paradocs")
+    val half = nDocs / 2
+    val (idxCnt, tParaBuild) = timed {
+      ParaDedup.segments(pd.filter(col("doc_id") < half), "doc_id", "text")
+        .select("doc_id", "seg")
+        .write.mode("overwrite").parquet("target/scale/paraidx")
+      spark.read.parquet("target/scale/paraidx").count()
+    }
+    val (paraRes, tParaClean) = timed {
+      ParaDedup.cleanAgainstIndex(spark.read.parquet("target/scale/paraidx"),
+          pd.filter(col("doc_id") >= half), "doc_id", "text")
+        .agg(count(lit(1)), sum(col("n_segs")), sum(col("n_kept"))).head()
+    }
+    val batchN = nDocs - half
+    println(f"[crawl-para] paragraph-dedup hub @ $nDocs%,d docs " +
+      f"(hub segment in EVERY doc, ${half}%,d-doc index / $batchN%,d-doc batch): " +
+      f"index build ${tParaBuild}%.1f s ($idxCnt%,d segs), " +
+      f"clean ${tParaClean}%.1f s; batch kept ${paraRes.getLong(2)}%,d of " +
+      f"${paraRes.getLong(1)}%,d segs (expect ${2L * batchN}%,d of " +
+      f"${3L * batchN}%,d -- hub cut in every batch doc)")
     spark.stop()
   }
 }

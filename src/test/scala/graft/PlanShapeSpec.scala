@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape golden tests (VERDICT r8 item 8 / r10 item 4): pin the
+  * physical-plan shape — shuffle count, broadcast count, WindowExec
+  * count, parquet scan count — of the catalog's heaviest queries plus
+  * the keep-first family fixed in r11. A future edit that adds a
+  * shuffle, turns a broadcast into a shuffle join, or reintroduces a
+  * corpus-keyed window (the r10 `weak` finding: windows have no
+  * map-side partials, so a hub key lands in ONE task) fails here, at
+  * test time, not in the round bench.
+  *
+  * Counts are over the STATIC plan (built, not executed — AQE may
+  * still collapse exchanges at runtime, which only improves on the
+  * pinned shape). sf0.001 keeps plan construction cheap; join
+  * strategy choices are size-driven only through these same files, so
+  * the pin is deterministic for the committed testdata. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    self ++ p.subqueries.flatMap(flatten)
+  }
+
+  /** (shuffles, broadcasts, windows, parquet scans) of the built plan. */
+  private def shape(df: DataFrame): (Int, Int, Int, Int) = {
+    val nodes = flatten(df.queryExecution.executedPlan)
+    (nodes.count(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.count(_.isInstanceOf[BroadcastExchangeLike]),
+      nodes.count(_.isInstanceOf[WindowExec]),
+      nodes.count(_.isInstanceOf[FileSourceScanExec]))
+  }
+
+  // name -> (shuffles, broadcasts, windows, scans). The golden values
+  // ARE the audit: e.g. t30's 4 shuffles = segment agg + join-back +
+  // doc reassembly + output sort, 0 windows by construction.
+  private val golden: Map[String, (Int, Int, Int, Int)] = Map(
+    // ---- the five r11 keep-first fixes: windows MUST stay 0.
+    // (broadcast joins here are sf0.001 size decisions on the agg
+    // side; at scale AQE plans the same joins as shuffle joins)
+    "t30_paragraph_dedup" -> (5, 1, 0, 2),
+    "t25_novelty" -> (6, 1, 0, 2),
+    "p1_corpus_pipeline" -> (3, 0, 0, 1),
+    "p7_crawl_pipeline" -> (4, 1, 0, 2),
+    // ---- the 10 heaviest catalog queries (BENCH_r10 ranking).
+    // Iterative operators (d7/d10/d12) run their rounds during plan
+    // CONSTRUCTION and read localCheckpointed blocks, so their scan
+    // count reflects the final assembly stage, not the per-round
+    // scans; the pin still catches added shuffles/windows there.
+    "d15_exact_substr" -> (5, 2, 0, 3),
+    "d16_substr_remove" -> (7, 3, 0, 5),
+    "d17_cross_substr" -> (7, 3, 0, 4),
+    "d7_dup_clusters" -> (3, 0, 0, 1),
+    "d12_pagerank" -> (1, 0, 0, 0),
+    "p6_cluster_keep_best" -> (4, 1, 0, 2),
+    "m5_image_pipeline" -> (1, 1, 0, 2),
+    "q20_excess_suppliers" -> (4, 1, 1, 2),
+    "d10_triangles" -> (20, 2, 0, 0),
+    "s11_hybrid_fusion" -> (16, 5, 2, 7)
+  )
+
+  test("heavy-query plan shapes stay pinned (shuffles/broadcasts/windows/scans)") {
+    val actuals = golden.keys.toSeq.sorted.map { name =>
+      name -> shape(SparkEntry.queries(name)(spark, sfDir))
+    }
+    val diffs = actuals.filter { case (n, s) => s != golden(n) }
+    assert(diffs.isEmpty,
+      "plan shape drift (actual vs golden):\n" + diffs.map { case (n, s) =>
+        s"  $n: actual $s vs golden ${golden(n)}"
+      }.mkString("\n") +
+        "\nfull actuals:\n" + actuals.map { case (n, s) => s"  $n -> $s" }
+        .mkString("\n"))
+  }
+
+  test("keep-first family plans contain no WindowExec at all") {
+    for (name <- Seq("t30_paragraph_dedup", "t25_novelty",
+        "p1_corpus_pipeline", "p7_crawl_pipeline")) {
+      val nodes = flatten(
+        SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
+      assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+        s"$name regained a window — hub keys would serialize into one task")
+    }
+  }
+
+  test("ParaDedup.cleanAgainstIndex plan has no WindowExec") {
+    import spark.implicits._
+    val batch = Seq((1L, "a b c d e f g h i j k l"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val idx = Seq((0L, "a b c d e f g h i j")).toDF("doc_id", "seg")
+    val nodes = flatten(
+      graft.operators.ParaDedup.cleanAgainstIndex(idx, batch, "doc_id", "text")
+        .queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]))
+  }
+}
