@@ -14,13 +14,22 @@ import org.apache.spark.sql.functions._
   * arithmetic, so an external SQL engine reproduces the exact same
   * sample; no engine-specific RNG or hash). Rank ties break on the id.
   *
-  * Scale shape: ONE shuffle — the per-stratum window sort. The greedy
-  * prefix rule (`cumulative tokens BEFORE this doc < budget`) admits at
-  * most one budget-crossing document per stratum, the standard greedy
-  * knapsack-prefix semantics. Strata counts are bounded (languages /
-  * sources), so per-partition windows are the natural partitioning at
-  * any corpus size; a skewed mega-stratum would use a two-level
-  * (salted prefix-sum) variant of the same rule.
+  * Scale shape (r11): `SUM() OVER (PARTITION BY stratum ORDER BY
+  * rank)` would drag a mega-stratum ("en" is half of any LLM corpus)
+  * through ONE task's sort. Instead the cumsum is two-level: the rank
+  * is a hash permutation and therefore UNIFORM on [0, p), so fixed
+  * arithmetic range-buckets `rank·N/p` split every stratum evenly with
+  * no sampling pass — (stratum, bucket) sums are a partial-agg
+  * combinable aggregate, their per-stratum exclusive prefix is a
+  * window over ≤ `numBuckets` tiny rows, and the within-bucket window
+  * runs on stratum/N-sized groups. Everything stays declarative (no
+  * jobs at plan-construction time) and the integers are identical to
+  * the single-window formulation. At larger corpus scale raise
+  * `numBuckets` (groups shrink ∝ 1/N; the offset table grows only to
+  * strata·N tiny rows). The greedy prefix rule (`cumulative tokens
+  * BEFORE this doc < budget`) admits at most one budget-crossing
+  * document per stratum, the standard greedy knapsack-prefix
+  * semantics.
   */
 object CorpusMix {
 
@@ -38,16 +47,32 @@ object CorpusMix {
     * replays it exactly. */
   def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
                         tokenCol: String, budgets: Map[String, Long],
-                        defaultBudget: Long): DataFrame = {
-    val rank = ((col(idCol) % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
-    val w = Window.partitionBy(col(strataCol)).orderBy(rank, col(idCol))
+                        defaultBudget: Long, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val p = 1000000007L
+    val rank = ((col(idCol) % lit(p)) * lit(2654435761L)) % lit(p)
     val budget = budgets.foldRight(lit(defaultBudget): org.apache.spark.sql.Column) {
       case ((s, b), els) => when(col(strataCol) === s, lit(b)).otherwise(els)
     }
-    df.withColumn("__rank", rank)
+    // rank < p and numBuckets ≤ 2^31, so rank·N < 2^62: no overflow;
+    // the mapping is monotone in rank, so (bucket, rank, id) and
+    // (rank, id) induce the same total order within a stratum
+    val base = df.withColumn("__rank", rank)
+      .withColumn("__tok", col(tokenCol).cast("long"))
+      .withColumn("__bkt", (col("__rank") * lit(numBuckets.toLong)) / lit(p))
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(strataCol), col("__bkt"))
+      .agg(sum(col("__tok")).as("__bs"))
+      .withColumn("__off", coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+      .drop("__bs")
+    val wIn = Window.partitionBy(col(strataCol), col("__bkt"))
+      .orderBy(col("__rank"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(offsets, Seq(strataCol, "__bkt"))
       .withColumn("__cum_before",
-        coalesce(sum(col(tokenCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
+        col("__off") + coalesce(sum(col("__tok")).over(wIn), lit(0L)))
       .filter(col("__cum_before") < budget)
+      .drop("__bkt", "__off", "__tok")
   }
 }

@@ -141,4 +141,113 @@ object PrefixSum {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** KEYED running sum: `SUM(delta) OVER (PARTITION BY resetCol ORDER
+    * BY orderCols)` — the scale-correct form when a key's group can be
+    * corpus-sized (a mega-stratum: "en" in a language-keyed corpus
+    * mix). A keyed Spark window sorts each key's ENTIRE group in one
+    * task; here the global order (resetCol, orderCols...) is bucketed
+    * exactly like `runningSumLong`, and accumulation re-seeds whenever
+    * the reset key changes.
+    *
+    * Cross-bucket seeding stays driver-tiny at ANY strata cardinality:
+    * strata are contiguous in the global order, so only the ONE
+    * stratum that spans each bucket boundary needs an offset. A
+    * per-bucket (first, last) reset-key aggregate (nPart rows)
+    * identifies those spanning strata; only THEIR per-bucket sums are
+    * collected (≤ nPart·nPart worst case, ~nPart in practice) — never
+    * a per-stratum collect. Non-spanning strata start at 0 inside
+    * their bucket. `resetCol` values must be non-null (null is a
+    * MIN/MAX-invisible key and would break boundary detection). */
+  def runningSumLongKeyed(df: DataFrame, resetCol: String,
+                          orderCols: Seq[String], delta: String,
+                          out: String, sampleMod: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val allOrder = resetCol +: orderCols
+    val key = struct(allOrder.map(col): _*)
+
+    val src = df.localCheckpoint(true)
+    val mod = effectiveSampleMod(src.count(), sampleMod, nPart)
+    val sampleRows = src
+      .filter(pmod(xxhash64(key), lit(mod)) === 0)
+      .select(allOrder.map(col): _*)
+      .orderBy(allOrder.map(col): _*)
+      .collect()
+    val cuts: Seq[Column] =
+      if (sampleRows.isEmpty) Seq.empty
+      else (1 until nPart).flatMap { i =>
+        val idx = (i.toLong * sampleRows.length / nPart).toInt
+        if (idx == 0) None
+        else Some(struct(allOrder.zipWithIndex.map { case (c, j) =>
+          lit(sampleRows(idx).get(j)).as(c)
+        }: _*))
+      }
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else cuts.map(b => when(key >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucketed = src.withColumn("__b", bucket)
+      .repartition(nPart, col("__b"))
+      .sortWithinPartitions((col("__b") +: allOrder.map(col)): _*)
+      .localCheckpoint(true)
+
+    // strata spanning a bucket boundary: last key of bucket b ==
+    // first key of bucket b+1 (nPart-row aggregate, driver-tiny)
+    val bounds = bucketed.groupBy(col("__b"))
+      .agg(min(col(resetCol)).as("f"), max(col(resetCol)).as("l"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.get(1), r.get(2))))
+      .toMap
+    val spanning: Set[Any] = bounds.keys.toSeq.sorted.sliding(2).collect {
+      case Seq(a, b) if java.util.Objects.equals(bounds(a)._2, bounds(b)._1) =>
+        bounds(a)._2
+    }.toSet
+    // exclusive per-bucket prefix of each spanning stratum's sums
+    val offsets: Map[(Int, Any), Long] =
+      if (spanning.isEmpty) Map.empty
+      else {
+        val spanSeq = spanning.toSeq
+        val partials = bucketed
+          .filter(col(resetCol).isInCollection(spanSeq))
+          .groupBy(col("__b"), col(resetCol))
+          .agg(sum(col(delta)).as("s"))
+          .collect()
+          .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
+        partials.groupBy(_._2).flatMap { case (k, rows) =>
+          var acc = 0L
+          rows.sortBy(_._1).map { case (b, _, s) =>
+            val o = ((b, k): (Int, Any)) -> acc
+            acc += s
+            o
+          }
+        }
+      }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    val inSchema = bucketed.schema
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == "__b") :+
+        StructField(out, LongType, nullable = false))
+    val deltaIdx = inSchema.fieldIndex(delta)
+    val bIdx = inSchema.fieldIndex("__b")
+    val rIdx = inSchema.fieldIndex(resetCol)
+    val keepIdx = inSchema.fields.indices.filterNot(_ == bIdx)
+
+    bucketed.mapPartitions { rows =>
+      var curB = -1
+      var curK: Any = null
+      var started = false
+      var run = 0L
+      rows.map { r =>
+        val b = r.getInt(bIdx)
+        val k = r.get(rIdx)
+        if (b != curB || !started || !java.util.Objects.equals(k, curK)) {
+          run = bcOffsets.value.getOrElse((b, k), 0L)
+          curB = b; curK = k; started = true
+        }
+        run += r.getLong(deltaIdx)
+        Row.fromSeq(keepIdx.map(r.get) :+ run)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

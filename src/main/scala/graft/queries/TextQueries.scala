@@ -456,20 +456,27 @@ object TextQueries {
     // conditional probability cnt / count(w1 ·), top 20. Token stream
     // stays partitioned by doc (per-doc windows are tiny); the
     // (w1, w2) count is the word-count shape — map-side combine, one
-    // vocab-sized shuffle; integer counts → the double division is
-    // bit-exact in any engine.
+    // vocab-sized shuffle. The w1 denominator is a combinable
+    // groupBy(w1) aggregate joined back — NOT sum().over(partitionBy
+    // (w1)): w1 is a vocab key with guaranteed hubs ("the" precedes a
+    // large fraction of the vocabulary), and a keyed window would sort
+    // every ("the", ·) bigram row in one task (r11, the t30 finding
+    // applied to the one remaining hub-keyed window). Integer counts →
+    // the double division is bit-exact in any engine.
     "t15_bigram_lm" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val toks = t(s, d, "documents")
         .select(col("doc_id"),
           posexplode(split(trim(col("text")), " +")).as(Seq("pos", "w")))
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
+      val bigrams = toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
         .filter(col("w2").isNotNull)
         .select(col("w").as("w1"), col("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-        .withColumn("p_cond", col("cnt").cast("double") /
-          sum(col("cnt")).over(Window.partitionBy("w1")))
+      val denom = bigrams.groupBy("w1").agg(sum(col("cnt")).as("w1_tot"))
+      bigrams.join(denom, "w1")
+        .withColumn("p_cond", col("cnt").cast("double") / col("w1_tot"))
+        .select(col("w1"), col("w2"), col("cnt"), col("p_cond"))
         .orderBy(desc("cnt"), asc("w1"), asc("w2"))
         .limit(20)
     },

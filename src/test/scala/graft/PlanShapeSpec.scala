@@ -52,6 +52,17 @@ class PlanShapeSpec extends SparkSpec {
     "t25_novelty" -> (6, 1, 0, 2),
     "p1_corpus_pipeline" -> (3, 0, 0, 1),
     "p7_crawl_pipeline" -> (4, 1, 0, 2),
+    // r11 proactive fixes. t15: the 2 windows are the per-DOC lead
+    // (bounded by doc length) appearing once per join branch in the
+    // STATIC plan — both branches consume the same bigram-count
+    // exchange, which AQE reuses at runtime, so one actually executes;
+    // the w1-keyed hub window is gone. t10: two-level bucketed cumsum —
+    // its 2 windows are BOUNDED (per-stratum offset prefix over ≤
+    // numBuckets tiny rows; within-(stratum,bucket) cumsum over
+    // stratum/numBuckets-sized groups); the lang-keyed mega-stratum
+    // window is gone.
+    "t15_bigram_lm" -> (5, 1, 2, 2),
+    "t10_mix_budget" -> (5, 1, 2, 2),
     // ---- the 10 heaviest catalog queries (BENCH_r10 ranking).
     // Iterative operators (d7/d10/d12) run their rounds during plan
     // CONSTRUCTION and read localCheckpointed blocks, so their scan

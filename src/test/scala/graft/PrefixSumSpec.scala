@@ -46,6 +46,54 @@ class PrefixSumSpec extends SparkSpec {
     assert(PrefixSum.runningSumLong(df, Seq("k"), "d", "run").count() == 0)
   }
 
+  test("keyed: matches the stratum-window running sum, mega-stratum included") {
+    // one mega-stratum ("en" = 60% of rows — the corpus-mix reality
+    // that makes the keyed WINDOW a single-task trap), several small
+    // ones, signed deltas, shuffled input order
+    val rnd = new Random(47)
+    val data = (1 to 8000).map { i =>
+      val s = if (rnd.nextInt(10) < 6) "en"
+        else Seq("de", "fr", "es", "zh")(rnd.nextInt(4))
+      (s, rnd.nextLong(), (rnd.nextInt(11) - 5).toLong)
+    }
+    val df = data.toDF("lang", "k", "d").repartition(13)
+    val got = PrefixSum.runningSumLongKeyed(df, "lang", Seq("k"), "d", "run")
+      .orderBy("lang", "k").as[(String, Long, Long, Long)].collect()
+    val w = Window.partitionBy("lang").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("run", sum($"d").over(w))
+      .orderBy("lang", "k").as[(String, Long, Long, Long)].collect()
+    assert(got.sameElements(want))
+  }
+
+  test("keyed: invariant under input partitioning") {
+    val rnd = new Random(53)
+    val data = (1 to 3000).map(i =>
+      (s"s${rnd.nextInt(3)}", rnd.nextLong(), 1L))
+    val a = PrefixSum.runningSumLongKeyed(data.toDF("s", "k", "d").repartition(2),
+      "s", Seq("k"), "d", "run").orderBy("s", "k")
+      .as[(String, Long, Long, Long)].collect()
+    val b = PrefixSum.runningSumLongKeyed(data.toDF("s", "k", "d").repartition(29),
+      "s", Seq("k"), "d", "run").orderBy("s", "k")
+      .as[(String, Long, Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("keyed: single stratum spanning every bucket ≡ global running sum") {
+    // the extreme: ONE stratum (all rows share the key) must reduce to
+    // the global prefix sum, exercising multi-bucket carry chains
+    val df = (1 to 6000).map(i => ("only", i.toLong, 2L)).toDF("s", "k", "d")
+    val got = PrefixSum.runningSumLongKeyed(df, "s", Seq("k"), "d", "run")
+      .orderBy("k").select("k", "run").as[(Long, Long)].collect()
+    assert(got.zipWithIndex.forall { case ((k, run), i) =>
+      k == i + 1 && run == 2L * (i + 1) })
+  }
+
+  test("keyed: empty input") {
+    val df = Seq.empty[(String, Long, Long)].toDF("s", "k", "d")
+    assert(PrefixSum.runningSumLongKeyed(df, "s", Seq("k"), "d", "run").count() == 0)
+  }
+
   test("boundary sample is size-bounded independent of n") {
     // the r5 scale-killer: the old sample was ~n/64 keys collected to
     // the driver — 10¹² rows would OOM it. The effective modulus must
