@@ -740,6 +740,44 @@ object ScaleEvidenceCrawl {
       f"clean ${tParaClean}%.1f s; batch kept ${paraRes.getLong(2)}%,d of " +
       f"${paraRes.getLong(1)}%,d segs (expect ${2L * batchN}%,d of " +
       f"${3L * batchN}%,d -- hub cut in every batch doc)")
+
+    // ---- corpus-mix mega-stratum (r11): 60% of docs in ONE language
+    // (the real LLM-corpus distribution). The two-level bucketed
+    // cumsum must agree row-for-row with the single-window
+    // formulation while never sorting the mega-stratum in one task.
+    import graft.operators.CorpusMix
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 6, lit("en"))
+          .otherwise(concat(lit("l"), pmod(col("id"), lit(4)))).as("lang"),
+        (pmod(xxhash64(lit("mix"), col("id")), lit(400L)) + 20L).as("toks"))
+      .write.mode("overwrite").parquet("target/scale/mixdocs")
+    val md = spark.read.parquet("target/scale/mixdocs")
+    val budgets = Map("en" -> 40000000L)
+    val (mixRes, tMix) = timed {
+      CorpusMix.tokenBudgetSample(md, "lang", "doc_id", "toks",
+          budgets, defaultBudget = 10000000L)
+        .agg(count(lit(1)), sum(col("toks")).cast("long")).head()
+    }
+    val (winRes, tWin) = timed {
+      import org.apache.spark.sql.expressions.Window
+      val rank = ((col("doc_id") % lit(1000000007L)) * lit(2654435761L)) % lit(1000000007L)
+      val w = Window.partitionBy("lang").orderBy(rank, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val budget = when(col("lang") === "en", lit(40000000L)).otherwise(lit(10000000L))
+      md.withColumn("__cb", coalesce(sum(col("toks")).over(w), lit(0L)))
+        .filter(col("__cb") < budget)
+        .agg(count(lit(1)), sum(col("toks")).cast("long")).head()
+    }
+    assert(mixRes.getLong(0) == winRes.getLong(0) &&
+      mixRes.getLong(1) == winRes.getLong(1),
+      s"two-level mix diverged from window formulation: $mixRes vs $winRes")
+    println(f"[crawl-mix] token-budget mix @ $nDocs%,d docs (60%% en " +
+      f"mega-stratum): two-level bucketed ${tMix}%.1f s vs keyed window " +
+      f"${tWin}%.1f s, identical keep set (${mixRes.getLong(0)}%,d docs / " +
+      f"${mixRes.getLong(1)}%,d tokens). The window wins locally while " +
+      "the whole stratum fits one task's sort; the bucketed shape caps " +
+      "every task at stratum/1024 and is the one that survives when it " +
+      "doesn't.")
     spark.stop()
   }
 }
