@@ -45,7 +45,7 @@ import graft.operators.ProductQuantizer.PqModel
 object IvfPq {
 
   /** Collect a (cell, cv) quantizer frame to the driver-side model. */
-  private def collectCoarse(quantizer: DataFrame): Seq[(Long, Seq[Double])] =
+  private[graft] def collectCoarse(quantizer: DataFrame): Seq[(Long, Seq[Double])] =
     quantizer.select(col("cell").cast("long"), col("cv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
 
@@ -78,6 +78,47 @@ object IvfPq {
     val cellAttrs = cellScores.map { case (cell, _) => cell -> col(s"__cc$cell") }
     scored.select(col("c_id"), KMeans.argmaxCell(cellAttrs).as("cell"),
       array(codes: _*).as("codes"))
+  }
+
+  /** Incremental ingest (r11 — the ANN twin of `Bm25.mergeIndexes` /
+    * the minhash/winnow/bloom/segment index appends): encode a NEW
+    * batch with the SAME persisted artifacts and union it in. The
+    * result is bit-identical to `buildIndex` over the union corpus,
+    * because cell assignment and codes are per-row functions of
+    * (vector, coarse, model) alone — exactly what the global-codebook
+    * design (vs FAISS residual IVFPQ) buys: residual codes couple each
+    * row to its cell centroid, so THEIR append would go stale on any
+    * quantizer refit. Disjoint id sets are the caller's contract (as
+    * for Bm25.mergeIndexes); deletes are an anti-join upstream. */
+  def appendBatch(index: DataFrame, batch: DataFrame, idCol: String,
+                  vecCol: String, coarse: Seq[(Long, Seq[Double])],
+                  model: PqModel): DataFrame =
+    index.unionByName(buildIndex(batch, idCol, vecCol, coarse, model))
+
+  /** The REFIT TRIGGER for the ingest loop: per-vector PQ
+    * quantization self-score in ppm — ⌊10⁶ · Σⱼ maxᶜ dot(vⱼ, cbⱼ[c])⌋
+    * over unit vectors, i.e. the ADC score a vector assigns its own
+    * codes. The absolute level depends on codebook resolution (a
+    * coarse ks=16 model sits well under 10⁶ even in-distribution);
+    * the refit signal is the RELATIVE drop — a drifting batch's
+    * sub-vectors stop landing near any codeword and the mean falls
+    * measurably BEFORE probe recall degrades (IvfPqSpec measures a
+    * 2.5x fall on a re-clustered batch), telling ops to refit +
+    * rebuild. Appends meanwhile stay exact — the codes are just
+    * coarser. Same one-pass literal-codebook codegen shape as
+    * `buildIndex`; map-side only. */
+  def quantizationSelfScorePpm(batch: DataFrame, idCol: String,
+                               vecCol: String, model: PqModel): DataFrame = {
+    val sd = model.subDim
+    val u = ProductQuantizer.unitPrep(batch, idCol, vecCol, "c", doSpread = true)
+    val perSub = (0 until model.m).map { j =>
+      val scores = ProductQuantizer
+        .subScores(model, j, slice(col("c_v"), j * sd + 1, sd)).map(_._2)
+      greatest(scores: _*)
+    }
+    u.select(col("c_id"),
+      floor(perSub.reduce(_ + _) * lit(1000000.0)).cast("long")
+        .as("self_adc_ppm"))
   }
 
   /** IVF-PQ top-k: probe `nProbe` cells, ADC-score their codes, exact

@@ -75,4 +75,52 @@ class IvfPqSpec extends SparkSpec {
       .orderBy("q_id", "rk").as[(Long, Long, Double, Long)].collect().toSeq
     assert(inline == repart, "results must not depend on physical partitioning")
   }
+
+  test("incremental append ≡ full rebuild, probes included (r11)") {
+    val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
+    val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
+    val cm = IvfPq.collectCoarse(coarse)
+    val old = clustered.filter($"vec_id" % 5 =!= 0)
+    val batch = clustered.filter($"vec_id" % 5 === 0)
+    val appended = IvfPq.appendBatch(
+      IvfPq.buildIndex(old, "vec_id", "embedding", cm, model),
+      batch, "vec_id", "embedding", cm, model)
+    val rebuilt = IvfPq.buildIndex(clustered, "vec_id", "embedding", cm, model)
+    val a = appended.select(col("c_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    val b = rebuilt.select(col("c_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(a == b, "append must be bit-identical to rebuilding over the union")
+    // a probe against the appended index ≡ against the rebuilt one
+    val queries = clustered.filter($"vec_id" % 60 === 0)
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
+          nProbe = 2, quantizer = Some(coarse), model = Some(model),
+          index = Some(idx))
+        .orderBy("q_id", "rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(probe(appended.localCheckpoint(true)) ==
+      probe(rebuilt.localCheckpoint(true)))
+  }
+
+  test("quantization self-score flags drift before refit (r11)") {
+    val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
+    def meanPpm(df: org.apache.spark.sql.DataFrame): Double =
+      IvfPq.quantizationSelfScorePpm(df, "vec_id", "embedding", model)
+        .agg(avg(col("self_adc_ppm"))).head().getDouble(0)
+    val inDist = meanPpm(clustered)
+    // drifted batch: a DIFFERENT cluster structure the codebooks never saw
+    val rnd = new Random(91)
+    val driftCenters = (0 until 6).map(_ => Array.fill(32)(rnd.nextGaussian() * 5))
+    val drifted = driftCenters.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 60).map(i => ((10000 + ci * 60 + i).toLong,
+        c.map(x => (x + rnd.nextGaussian() * 1.5).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val outDist = meanPpm(drifted)
+    // absolute self-scores sit well below 10⁶ for a coarse ks=16
+    // codebook (measured ~469k here) — the refit signal is the
+    // RELATIVE drop on a drifted batch (measured ~191k: a 2.5x fall)
+    assert(inDist > 400000.0, s"training distribution self-score low: $inDist")
+    assert(inDist - outDist > 150000.0,
+      s"drift not visible: in-dist $inDist vs drifted $outDist")
+  }
 }
