@@ -72,4 +72,59 @@ object Packing {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** First-fit-decreasing packing (r11): per shard, documents in
+    * (`tokCol` DESC, orderCols) order each go to the FIRST open bin
+    * with room, else open a new one — the classic FFD ≤ 11/9·OPT+6/9
+    * guarantee vs next-fit's 2×OPT (decreasing order is what defeats
+    * next-fit's half-empty-bin tail). A document larger than `budget`
+    * opens a bin alone and nothing else ever fits there.
+    *
+    * Same plan skeleton as [[packNextFit]] (shard-hash shuffle,
+    * in-partition sort, one imperative pass, nothing on the driver);
+    * extra state per task is the current shard's open-bin fill array —
+    * ≤ shardTokens/budget longs — and the first-fit scan is linear in
+    * open bins, so shards should be sized to keep bins in the
+    * thousands (production packing runs shard to file-sized outputs
+    * anyway). Determinism: (`tokCol` DESC, orderCols) must totally
+    * order each shard — orderCols breaks token-count ties. */
+  def packFirstFitDecreasing(df: DataFrame, shardCol: String,
+                             orderCols: Seq[String], tokCol: String,
+                             budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val arranged = df
+      .repartition(nPart, col(shardCol))
+      .sortWithinPartitions(
+        col(shardCol) +: col(tokCol).desc +: orderCols.map(col): _*)
+    val inSchema = arranged.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("bin", LongType, nullable = false))
+    val shardIdx = inSchema.fieldIndex(shardCol)
+    val tokIdx = inSchema.fieldIndex(tokCol)
+    arranged.mapPartitions { rows =>
+      var curShard: Any = null
+      var started = false
+      var fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.map { r =>
+        val s = r.get(shardIdx)
+        if (!started || s != curShard) {
+          curShard = s; started = true
+          fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        if (r.isNullAt(tokIdx))
+          throw new IllegalArgumentException(
+            s"packFirstFitDecreasing: null token count (row ${r.toSeq.take(4)})")
+        val toks = r.getLong(tokIdx)
+        if (toks < 0L)
+          throw new IllegalArgumentException(
+            s"packFirstFitDecreasing: negative token count $toks (row ${r.toSeq.take(4)})")
+        var i = 0
+        while (i < fills.length && fills(i) + toks > budget) i += 1
+        if (i == fills.length) fills += toks else fills(i) += toks
+        Row.fromSeq(r.toSeq :+ i.toLong)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

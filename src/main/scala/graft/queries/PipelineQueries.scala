@@ -181,6 +181,24 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("fill"),
           min(col("doc_id")).as("head_doc"))
         .orderBy("shard", "bin")
+    },
+
+    // first-fit-decreasing shard packing (r11): p5's corpus and budget
+    // under the BETTER heuristic — FFD's 11/9·OPT+6/9 vs next-fit's
+    // 2×OPT. Same operator skeleton (shard shuffle + imperative pass,
+    // bins pack in parallel per shard); the oracle replays the exact
+    // first-fit scan with a recursive CTE carrying the open-bin fill
+    // LIST as state (list_position over a fits-mask finds the bin).
+    "p8_pack_ffd" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("shard"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("toks"))
+      Packing.packFirstFitDecreasing(docs, "shard", Seq("doc_id"), "toks",
+          budget = 2048L)
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("fill"),
+          min(col("doc_id")).as("head_doc"))
+        .orderBy("shard", "bin")
     }
   )
 
@@ -318,6 +336,43 @@ object PipelineQueries {
         |       THEN s.bin + 1 ELSE s.bin END,
         |     CASE WHEN s.fill > 0 AND s.fill + o.toks > 2048
         |       THEN o.toks ELSE s.fill + o.toks END
+        |   FROM st s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1)
+        |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS fill,
+        |  MIN(doc_id) AS head_doc
+        |FROM st GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // the recursive CTE carries each shard's open-bin fill list as
+    // STATE: a fits-mask (list_transform) + list_position finds the
+    // first open bin with room (this DuckDB returns 0, not NULL, on a
+    // missing element — hence the `< 1` guard), slicing rebuilds the
+    // list with the chosen bin's fill bumped, append opens a new bin
+    "p8_pack_ffd" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, doc_id % 8 AS shard,
+        |   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks
+        |  FROM documents),
+        | ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY shard
+        |     ORDER BY toks DESC, doc_id) AS rn FROM tok),
+        | st AS (
+        |   SELECT shard, rn, doc_id, toks, CAST(0 AS BIGINT) AS bin,
+        |     [toks] AS fills
+        |   FROM ord WHERE rn = 1
+        |   UNION ALL
+        |   SELECT o.shard, o.rn, o.doc_id, o.toks,
+        |     CASE WHEN COALESCE(list_position(
+        |         list_transform(s.fills, f -> f + o.toks <= 2048), true), 0) < 1
+        |       THEN CAST(len(s.fills) AS BIGINT)
+        |       ELSE CAST(list_position(
+        |         list_transform(s.fills, f -> f + o.toks <= 2048), true) - 1 AS BIGINT) END,
+        |     CASE WHEN COALESCE(list_position(
+        |         list_transform(s.fills, f -> f + o.toks <= 2048), true), 0) < 1
+        |       THEN list_append(s.fills, o.toks)
+        |       ELSE list_concat(list_concat(
+        |         s.fills[:list_position(
+        |           list_transform(s.fills, f -> f + o.toks <= 2048), true) - 1],
+        |         [s.fills[list_position(
+        |           list_transform(s.fills, f -> f + o.toks <= 2048), true)] + o.toks]),
+        |         s.fills[list_position(
+        |           list_transform(s.fills, f -> f + o.toks <= 2048), true) + 1:]) END
         |   FROM st s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1)
         |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS fill,
         |  MIN(doc_id) AS head_doc
