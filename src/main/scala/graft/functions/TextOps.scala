@@ -135,4 +135,38 @@ object TextOps {
       array_distinct(transform(
         sequence(lit(1), length(c) - (k - 1)),
         i => c.substr(i, lit(k)))))
+
+  /** Canonical URL — a crawled page's identity for frontier dedup and
+    * recrawl detection (t32's cascade as a library function, r11):
+    * fragment off, scheme + host lowercased, `www.` stripped,
+    * SCHEME-AWARE default-port stripping (`:443` only for https,
+    * `:80` only for http — any other (scheme, port) pair is
+    * identity-bearing), tracking params (`utm_*`, `ref=`) dropped,
+    * remaining params byte-order sorted, trailing `/index.html`
+    * collapsed to `/`. Map-side column arithmetic only (split_part +
+    * HOFs — every step reproducible in any SQL engine).
+    *
+    * Contract: input must be an ABSOLUTE URL (`scheme://host...`),
+    * the only thing a crawl frontier ever holds — relative URLs are
+    * resolved against their base at extraction time, before this
+    * function. */
+  def canonicalizeUrl(url: Column): Column = {
+    val nofrag = split_part(url, lit("#"), lit(1))
+    val base = split_part(nofrag, lit("?"), lit(1))
+    val query = split_part(nofrag, lit("?"), lit(2))
+    val scheme = lower(split_part(base, lit("://"), lit(1)))
+    val hostpath = split_part(base, lit("://"), lit(2))
+    val rawHost = split_part(hostpath, lit("/"), lit(1))
+    val noWww = regexp_replace(lower(rawHost), "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      substring(hostpath, length(rawHost) + 1, lit(100000)),
+      "/index\\.html$", "/")
+    val canonQ = array_join(array_sort(filter(split(query, "&"),
+      p => !startswith(p, lit("utm_")) && !startswith(p, lit("ref=")))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
 }

@@ -248,13 +248,13 @@ object TextQueries {
     },
 
     // URL canonicalization (the crawl dedup KEY step beside t28/t31:
-    // a page's identity for frontier dedup and recrawl detection):
-    // fragment off, scheme+host lowercased, www. and default-port
-    // stripped, tracking params (utm_*, ref=) dropped, remaining
-    // params sorted, trailing /index.html collapsed. The dirty URL is
-    // built deterministically from the row (mixed case, tracking
-    // params, :443, #fragment all present); split_part/HOF string ops
-    // shared by both engines → exact oracle. Map-side only.
+    // a page's identity for frontier dedup and recrawl detection) —
+    // the TextOps.canonicalizeUrl library cascade (r11: extracted,
+    // scheme-aware default ports, edge-cases specced in ParaPiiSpec).
+    // The dirty URL is built deterministically from the row (mixed
+    // case, tracking params, :443, #fragment all present);
+    // split_part/HOF string ops shared by both engines → exact
+    // oracle. Map-side only.
     "t32_url_canonicalize" -> { (s, d) =>
       val url = concat(
         lit("HTTPS://WWW.Example"), pmod(col("doc_id"), lit(7)).cast("string"),
@@ -263,25 +263,7 @@ object TextQueries {
         lit("/index.html?utm_source=feed&ref=tw"),
         pmod(col("doc_id"), lit(3)).cast("string"),
         lit("&b=2&a=1#sec"))
-      val nofrag = split_part(col("url"), lit("#"), lit(1))
-      val base = split_part(nofrag, lit("?"), lit(1))
-      val query = split_part(nofrag, lit("?"), lit(2))
-      val scheme = lower(split_part(base, lit("://"), lit(1)))
-      val hostpath = split_part(base, lit("://"), lit(2))
-      val rawHost = split_part(hostpath, lit("/"), lit(1))
-      // default-port stripping is SCHEME-AWARE (VERDICT r10 item 8):
-      // :443 is only the default for https, :80 only for http — any
-      // other (scheme, port) combination is identity-bearing and kept
-      val noWww = regexp_replace(lower(rawHost), "^www\\.", "")
-      val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
-        .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
-        .otherwise(noWww)
-      val path = regexp_replace(
-        substring(hostpath, length(rawHost) + 1, lit(100000)), "/index\\.html$", "/")
-      val canonQ = array_join(array_sort(filter(split(query, "&"),
-        p => !startswith(p, lit("utm_")) && !startswith(p, lit("ref=")))), "&")
-      val canon = concat(scheme, lit("://"), host, path,
-        when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+      val canon = TextOps.canonicalizeUrl(col("url"))
       t(s, d, "documents")
         .withColumn("url", url)
         .select(col("doc_id"), col("url"), canon.as("canon_url"),

@@ -88,6 +88,37 @@ class ParaPiiSpec extends SparkSpec {
       "doc identity keeps canon URLs distinct")
   }
 
+  test("canonicalizeUrl edge cases: ports, schemes, params, paths (r11)") {
+    val cases = Seq(
+      // scheme-aware default ports: https drops 443 only, http 80 only
+      ("HTTPS://Host.COM:443/a", "https://host.com/a"),
+      ("http://HOST.com:80/a", "http://host.com/a"),
+      ("https://host.com:80/a", "https://host.com:80/a"),
+      ("http://host.com:443/a", "http://host.com:443/a"),
+      ("ftp://Host.com:443/a", "ftp://host.com:443/a"),
+      ("https://host.com:8443/a", "https://host.com:8443/a"),
+      // www + fragment + tracking params + sorting
+      ("https://www.Host.com/p?z=9&utm_campaign=x&a=1#frag",
+        "https://host.com/p?a=1&z=9"),
+      // all params tracking -> no query at all
+      ("https://host.com/p?utm_a=1&ref=tw", "https://host.com/p"),
+      // no query, no fragment, bare path
+      ("https://host.com/p/q", "https://host.com/p/q"),
+      // /index.html collapses only as a trailing component
+      ("https://host.com/index.html", "https://host.com/"),
+      ("https://host.com/index.html/deeper", "https://host.com/index.html/deeper"),
+      // empty path survives as empty (host-only URL)
+      ("https://WWW.host.com", "https://host.com"),
+      // www. stripped only as a prefix label
+      ("https://wwwhost.com/a", "https://wwwhost.com/a"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.functions.TextOps.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"$in -> $have (want $want)")
+    }
+  }
+
   test("t31 catalog query: exactly the injected PII found in every row") {
     val out = SparkEntry.queries("t31_pii_redact")(
       spark, "/root/testdata/sf0.001")
