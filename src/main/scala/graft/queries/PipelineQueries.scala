@@ -199,6 +199,35 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("fill"),
           min(col("doc_id")).as("head_doc"))
         .orderBy("shard", "bin")
+    },
+
+    // deterministic training-order shuffle + sharding (the WRITE-side
+    // final step every pretraining corpus runs: a seeded global
+    // permutation cut into shard files): the t10 Knuth-rank
+    // permutation orders the corpus, shard = rank % 16, within-shard
+    // order = (rank, doc_id) — in production this is
+    // `.repartition(shard)` + `sortWithinPartitions(rank)` + write;
+    // here the per-shard MANIFEST the writer would emit. Every column
+    // is a combinable aggregate — head doc via min(struct(rank, id)),
+    // integrity checksum as an order-independent modular sum over
+    // (rank, id) pairs (the permutation CONTENT, collect-free: a
+    // per-shard ordered collect_list would be corpus/16 rows in one
+    // task at scale). Integer arithmetic end to end → exact oracle.
+    "p9_shuffle_shards" -> { (s, d) =>
+      val p = 1000000007L
+      val rank = ((col("doc_id") % lit(p)) * lit(2654435761L)) % lit(p)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).cast("long").as("toks"),
+          rank.as("rk"))
+        .withColumn("shard", pmod(col("rk"), lit(16L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("tokens"),
+          min(struct(col("rk"), col("doc_id"))).getField("doc_id")
+            .as("head_doc"),
+          sum(pmod(col("rk") * 31L + col("doc_id"), lit(p))).as("checksum"))
+        .orderBy("shard")
     }
   )
 
@@ -376,6 +405,21 @@ object PipelineQueries {
         |   FROM st s JOIN ord o ON o.shard = s.shard AND o.rn = s.rn + 1)
         |SELECT shard, bin, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS fill,
         |  MIN(doc_id) AS head_doc
-        |FROM st GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+        |FROM st GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+    // same Knuth permutation / modular checksum integers; head doc via
+    // the (rk, doc_id) argmin window
+    "p9_shuffle_shards" ->
+      """WITH r AS (SELECT doc_id,
+        |   CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS toks,
+        |   ((doc_id % 1000000007) * 2654435761) % 1000000007 AS rk
+        |  FROM documents),
+        | s AS (SELECT *, rk % 16 AS shard,
+        |   ROW_NUMBER() OVER (PARTITION BY rk % 16 ORDER BY rk, doc_id) AS rn
+        |  FROM r)
+        |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+        |  CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS head_doc,
+        |  CAST(SUM((rk * 31 + doc_id) % 1000000007) AS BIGINT) AS checksum
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
   )
 }
