@@ -60,19 +60,25 @@ object CorpusMix {
     val base = df.withColumn("__rank", rank)
       .withColumn("__tok", col(tokenCol).cast("long"))
       .withColumn("__bkt", (col("__rank") * lit(numBuckets.toLong)) / lit(p))
-    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy(col(strataCol), col("__bkt"))
-      .agg(sum(col("__tok")).as("__bs"))
-      .withColumn("__off", coalesce(sum(col("__bs")).over(wOff), lit(0L)))
-      .drop("__bs")
+    // ONE full-frame shuffle: the within-bucket inclusive cumsum runs
+    // first, and the per-bucket totals fall out of it as max(__incl)
+    // — an aggregate over the ALREADY (stratum, bucket)-partitioned
+    // window output, so no second exchange of the corpus; only the
+    // tiny (strata·N)-row offset table shuffles again for its
+    // per-stratum prefix and the join-back
     val wIn = Window.partitionBy(col(strataCol), col("__bkt"))
       .orderBy(col("__rank"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = base.withColumn("__incl", sum(col("__tok")).over(wIn))
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    base.join(offsets, Seq(strataCol, "__bkt"))
-      .withColumn("__cum_before",
-        col("__off") + coalesce(sum(col("__tok")).over(wIn), lit(0L)))
+    val offsets = withCum.groupBy(col(strataCol), col("__bkt"))
+      .agg(max(col("__incl")).as("__bs"))
+      .withColumn("__off", coalesce(sum(col("__bs")).over(wOff), lit(0L)))
+      .drop("__bs")
+    withCum.join(offsets, Seq(strataCol, "__bkt"))
+      .withColumn("__cum_before", col("__off") + col("__incl") - col("__tok"))
       .filter(col("__cum_before") < budget)
-      .drop("__bkt", "__off", "__tok")
+      .drop("__bkt", "__off", "__tok", "__incl")
   }
 }

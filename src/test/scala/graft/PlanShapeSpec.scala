@@ -57,12 +57,14 @@ class PlanShapeSpec extends SparkSpec {
     // STATIC plan — both branches consume the same bigram-count
     // exchange, which AQE reuses at runtime, so one actually executes;
     // the w1-keyed hub window is gone. t10: two-level bucketed cumsum —
-    // its 2 windows are BOUNDED (per-stratum offset prefix over ≤
-    // numBuckets tiny rows; within-(stratum,bucket) cumsum over
-    // stratum/numBuckets-sized groups); the lang-keyed mega-stratum
-    // window is gone.
+    // all 3 windows are BOUNDED (the within-(stratum,bucket) cumsum
+    // over stratum/numBuckets-sized groups appears in BOTH the offsets
+    // and join branches of the static plan — column pruning defeats
+    // static exchange reuse, the t15 pattern — plus the per-stratum
+    // offset prefix over ≤ numBuckets tiny rows); the lang-keyed
+    // mega-stratum window is gone.
     "t15_bigram_lm" -> (5, 1, 2, 2),
-    "t10_mix_budget" -> (5, 1, 2, 2),
+    "t10_mix_budget" -> (6, 1, 3, 2),
     // ---- the 10 heaviest catalog queries (BENCH_r10 ranking).
     // Iterative operators (d7/d10/d12) run their rounds during plan
     // CONSTRUCTION and read localCheckpointed blocks, so their scan
