@@ -153,11 +153,22 @@ object Bench {
       // documents build the index; the other 10% probe as a daily batch.
       import graft.operators.ParaDedup
       var segIdx: DataFrame = null
+      var segIdxRdds: Set[Int] = Set.empty
       val paraDocs = t(spark, sfDir, "documents")
       splits("t30_para_build") = medianKeep { () =>
+        // drop the previous run's replica first — keepPersisted skips
+        // the blanket unpersist, so without this every extra run leaks
+        // a cached copy of the segment index for the process lifetime.
+        // localCheckpoint blocks live on the internal RDD (not in the
+        // cache manager), so free them by persistent-RDD id diff.
+        val sc = spark.sparkContext
+        segIdxRdds.foreach(id => sc.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(true)))
+        val before = sc.getPersistentRDDs.keySet.toSet
         segIdx = ParaDedup.segments(
             paraDocs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
-          .select("doc_id", "seg").localCheckpoint(true); ()
+          .select("doc_id", "seg").localCheckpoint(true)
+        segIdxRdds = sc.getPersistentRDDs.keySet.toSet.diff(before); ()
       }
       splits("t30_para_probe") = medianKeep { () =>
         ParaDedup.cleanAgainstIndex(segIdx,
@@ -189,7 +200,13 @@ object Bench {
     // the binding artifact can never be tail-truncated. Path
     // overridable for dev loops; failure to write must not fail the
     // bench (read-only cwd on some runners).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_latest.json")
+    // a restricted dev-loop run (SPARK_GRAFT_ONLY) must never clobber
+    // the committed full-catalog 'latest' artifact (ADVICE r11): it
+    // defaults to a _partial file instead; an explicit
+    // SPARK_GRAFT_BENCH_OUT always wins.
+    val defaultOut =
+      if (only.isDefined) "BENCH_LOCAL_partial.json" else "BENCH_LOCAL_latest.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

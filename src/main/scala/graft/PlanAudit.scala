@@ -25,13 +25,28 @@ object PlanAudit {
   }
 
   /** An unpartitioned window whose input is already limit-bounded
-    * (top-k'd) sorts k rows, not the corpus. */
-  private def limitBounded(w: WindowExec): Boolean =
-    flatten(w.child).exists { n =>
-      val c = n.getClass.getSimpleName
-      c.contains("TakeOrderedAndProject") || c.contains("GlobalLimit") ||
-        c.contains("CollectLimit")
+    * (top-k'd) sorts k rows, not the corpus. The limit must sit on the
+    * window's DIRECT input chain (walked through unary row-preserving
+    * nodes only, ADVICE r11): a deep limit on one input of a join
+    * below the window bounds that input, not the window's frame — the
+    * old anywhere-in-subtree scan would have passed a corpus-sized
+    * join as "bounded". */
+  private def limitBounded(w: WindowExec): Boolean = {
+    @annotation.tailrec
+    def walk(p: SparkPlan): Boolean = {
+      val c = p.getClass.getSimpleName
+      if (c.contains("TakeOrderedAndProject") || c.contains("GlobalLimit") ||
+          c.contains("CollectLimit")) true
+      else p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        // unary nodes can't widen their input (joins/unions can);
+        // exchanges/sorts/projects/filters preserve the bound
+        case u if u.children.length == 1 => walk(u.children.head)
+        case _ => false
+      }
     }
+    walk(w.child)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

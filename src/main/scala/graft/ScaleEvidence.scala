@@ -651,6 +651,117 @@ object ScaleEvidenceSubstr {
   * no shuffle, no state, nothing that changes shape at 100 TB.
   *
   * Run: sbt 'runMain graft.ScaleEvidenceCrawl [nDocs]' */
+/** r12 planted-hub evidence (VERDICT r11 item 1): the last two
+  * hub-keyed windows — CDC latest-wins and the as-of join — converted
+  * to combinable / two-level shapes, measured on 1M-row inputs where
+  * ONE key holds ≥50% of all rows (the hot-entity distribution both
+  * operators exist for). Each conversion is differentially checked
+  * against the old single-window formulation on the same data. */
+object ScaleEvidenceHub {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.expressions.Window
+
+    // ---- CDC: 1M changes, key 1 carries 50% of the changelog (a row
+    // updated half a million times). (ts, seq=id) is total per key.
+    val nKeys = n / 5
+    val hubKey = when(pmod(col("id"), lit(2)) === 0, lit(1L))
+      .otherwise(pmod(xxhash64(lit("k"), col("id")), lit(nKeys.toLong)) + 2L)
+    spark.range(n).select(hubKey.as("k"),
+        (col("id") % 97).cast("timestamp").as("ts"), col("id").as("seq"),
+        when(pmod(xxhash64(lit("op"), col("id")), lit(20)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        (pmod(xxhash64(lit("v"), col("id")), lit(100000L)) / 100.0).as("value"))
+      .write.mode("overwrite").parquet("target/scale/cdc_changes")
+    spark.range(nKeys).select((col("id") + 1).as("k"), lit(0.0).as("bal"))
+      .write.mode("overwrite").parquet("target/scale/cdc_base")
+    val ch = spark.read.parquet("target/scale/cdc_changes")
+    val base = spark.read.parquet("target/scale/cdc_base")
+    def cdcSum(df: DataFrame) =
+      // exact integer cents: a double sum would differ by association
+      // order across the two plans' partitionings
+      df.agg(count(lit(1)), sum(col("k")),
+        sum(round(col("bal") * 100).cast("long"))).head()
+    val (aggRes, tCdcAgg) = timed {
+      cdcSum(graft.operators.Cdc.applyChanges(base, ch, "k", "ts", "seq",
+        "op", Seq("bal" -> col("value"))))
+    }
+    val (winRes, tCdcWin) = timed {
+      // the pre-r12 formulation: keyed row_number window
+      val w = Window.partitionBy("k").orderBy(col("ts").desc, col("seq").desc)
+      val latest = ch.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val upserts = latest.filter(col("op") =!= "D")
+        .select(col("k"), col("value").as("bal"))
+      cdcSum(base.join(latest.select("k"), Seq("k"), "left_anti")
+        .unionByName(upserts))
+    }
+    assert(aggRes == winRes, s"cdc diverged: $aggRes vs $winRes")
+    println(f"[hub-cdc] applyChanges @ $n%,d changes (key 1 = 50%% of " +
+      f"changelog): combinable max-struct ${tCdcAgg}%.1f s vs keyed " +
+      f"window ${tCdcWin}%.1f s, identical merge (${aggRes.getLong(0)}%,d " +
+      "rows). The window survives locally because one task can sort " +
+      "500k changes; map-side partials collapse the hub to one row per " +
+      "input partition BEFORE the shuffle, so the agg shape is the one " +
+      "that holds when the hot entity has 500M changes.")
+
+    // ---- as-of join: 500k left + 500k right, key 1 carries 50% of
+    // BOTH sides. Right unique per (key, time) by construction.
+    val half = n / 2
+    val asofKey = when(pmod(col("id"), lit(2)) === 0, lit(1L))
+      .otherwise(pmod(xxhash64(lit("ak"), col("id")), lit((nKeys / 4).toLong)) + 2L)
+    spark.range(half).select(col("id").as("l_id"), asofKey.as("k"),
+        pmod(xxhash64(lit("lt"), col("id")), lit(1000000L)).as("lt"))
+      .write.mode("overwrite").parquet("target/scale/asof_left")
+    spark.range(half).select((col("id") + 10000000L).as("r_id"),
+        asofKey.as("rk"),
+        // unique (key, time): quotes on a per-key lattice
+        (col("id") * 2 + 1).as("rt"))
+      .write.mode("overwrite").parquet("target/scale/asof_right")
+    val lDf = spark.read.parquet("target/scale/asof_left")
+    val rDf0 = spark.read.parquet("target/scale/asof_right")
+      .groupBy("rk", "rt").agg(max("r_id").as("r_id"))
+    def asofSum(df: DataFrame) =
+      df.agg(count(lit(1)), sum(col("l_id")), sum(col("r_id"))).head()
+    val (abRes, tAsof) = timed {
+      asofSum(graft.operators.AsOfJoin.asofBackward(
+        lDf, "k", "lt", rDf0, "rk", "rt"))
+    }
+    val (awRes, tAsofWin) = timed {
+      // the pre-r12 formulation: one last() window over the raw key
+      val lT = lDf.select(col("k").as("__k"), col("lt").as("__t"),
+        lit(1).as("__src"), col("l_id"), lit(null).cast("long").as("r_id"))
+      val rT = rDf0.select(col("rk").as("__k"), col("rt").as("__t"),
+        lit(0).as("__src"), lit(null).cast("long").as("l_id"), col("r_id"))
+      val w = Window.partitionBy("__k").orderBy(col("__t"), col("__src"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      asofSum(lT.unionByName(rT)
+        .withColumn("__rlast", last(col("r_id"), ignoreNulls = true).over(w))
+        .filter(col("__src") === 1 && col("__rlast").isNotNull)
+        .select(col("l_id"), col("__rlast").as("r_id")))
+    }
+    assert(abRes == awRes, s"asof diverged: $abRes vs $awRes")
+    println(f"[hub-asof] asofBackward @ ${2 * half}%,d rows (key 1 = 50%% " +
+      f"of both sides): two-level bucketed carry ${tAsof}%.1f s vs keyed " +
+      f"window ${tAsofWin}%.1f s, identical matches (${abRes.getLong(0)}%,d " +
+      "rows). Same trade as [crawl-mix]: the single window is faster " +
+      "while one task can hold the hub's 500k-row sort; the bucketed " +
+      "carry caps every task at ~n/32 rows whatever the skew.")
+    spark.stop()
+  }
+}
+
 object ScaleEvidenceCrawl {
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)

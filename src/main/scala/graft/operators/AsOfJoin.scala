@@ -1,27 +1,54 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (backward) join: for each left row, attach the most recent
   * right row with `right.time <= left.time` for the same key.
   *
-  * Spark-first plan: tagged union + one hash-partition sort + running
-  * `last(_, ignoreNulls=true)` window — a single shuffle on the key,
-  * linear in |L|+|R|, instead of the O(|L|·|R|) non-equi range join a
-  * naive join+filter+row_number would plan. At 100 TB both sides
-  * shuffle once by key and sort within partitions; a skewed key can be
-  * pre-salted upstream without changing this operator.
+  * Spark-first plan, hub-safe (r12): tagged union + TWO-LEVEL carry.
+  * A single `last() over (partition by key)` window serializes a hot
+  * key — one symbol/user carrying most of both sides — into one
+  * task's sort (windows have no map-side partials). Instead the union
+  * is range-bucketed on the global (key, time, src, hash) order with
+  * sampled literal cut points (the PrefixSum/CorpusMix discipline):
+  *
+  *  1. within each (bucket, key) group — bounded by the bucket size
+  *     ~ n/numPartitions by construction — a running
+  *     `last(right, ignoreNulls)` window finds the latest right row
+  *     at or before each left row inside the bucket;
+  *  2. a per-(bucket, key) aggregate (combinable max-struct, map-side
+  *     partials) reduces each bucket to its last right row per key;
+  *     keys are contiguous in the range order, so this boundary table
+  *     holds ~(#keys + #buckets) rows and each key spans at most
+  *     #buckets of them — the per-key carry window over it is bounded
+  *     by numPartitions, never by the key's row count;
+  *  3. carry-in (the last right row in any EARLIER bucket of the same
+  *     key) joins back on (bucket, key) and fills the rows step 1 left
+  *     null.
+  *
+  * Both sides shuffle once on (bucket, key); the boundary-carry join
+  * touches a table ~#keys rows. At 100 TB no task ever holds more
+  * than one bucket, whatever the key skew.
   *
   * Ties: a right row at exactly left.time is visible to that left row
-  * (right sorts before left at equal timestamps).
+  * (src=right sorts before src=left at equal timestamps). Among right
+  * rows with the SAME (key, time), the winner is deterministic — the
+  * row with the greatest column-hash — but callers who care should
+  * keep (key, time) unique on the right, as any as-of engine expects.
+  * Fully duplicate rows (identical in every column) share a hash and
+  * therefore a bucket; boundedness assumes rows are distinct-ish, the
+  * same assumption every range partitioner makes.
   */
 object AsOfJoin {
   /** Column names of `left` and `right` payloads must be disjoint. */
   def asofBackward(left: DataFrame, leftKey: String, leftTime: String,
                    right: DataFrame, rightKey: String, rightTime: String,
                    inner: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
     val lStruct = struct(left.columns.map(left(_)).toIndexedSeq: _*)
     val rStruct = struct(right.columns.map(right(_)).toIndexedSeq: _*)
     val lType = left.select(lStruct.as("s")).schema.head.dataType
@@ -34,11 +61,67 @@ object AsOfJoin {
     val rT = right.select(right(rightKey).as("__k"),
       right(rightTime).as("__t"), lit(0).as("__src"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
-    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__src"))
+    // __h: deterministic per-row tiebreak so equal-(k, t, src) runs —
+    // the hub-key hot spot — can be SPLIT across buckets. ONE upstream
+    // execution: the boundary sample and the main pass both read the
+    // checkpointed blocks.
+    val u0 = lT.unionByName(rT)
+    val u = u0.withColumn("__h",
+        xxhash64(struct(u0.columns.map(col).toIndexedSeq: _*)))
+      .localCheckpoint(true)
+
+    // sampled literal range boundaries over (key, time, src, hash) —
+    // the PrefixSum discipline: deterministic hash-thinned sample,
+    // size-bounded on the driver, cut points as literals so every
+    // consumer of __b agrees on the layout.
+    val orderCols = Seq("__k", "__t", "__src", "__h")
+    val okey = struct(orderCols.map(col): _*)
+    val n = u.count()
+    val target = 32L * math.max(nPart, 1)
+    val mod = math.max(64L, if (n <= 0) 1L else (n + target - 1) / target)
+    val sampleRows = u
+      .filter(pmod(xxhash64(okey), lit(mod)) === 0)
+      .select(orderCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .collect()
+    val cuts: Seq[Column] =
+      if (sampleRows.isEmpty) Seq.empty
+      else (1 until nPart).flatMap { i =>
+        val idx = (i.toLong * sampleRows.length / nPart).toInt
+        if (idx == 0) None
+        else Some(struct(orderCols.zipWithIndex.map { case (c, j) =>
+          lit(sampleRows(idx).get(j)).as(c)
+        }: _*))
+      }
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else cuts.map(b => when(okey >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucketed = u.withColumn("__b", bucket)
+
+    // 1. within-(bucket, key) running last — bounded by bucket size
+    val w = Window.partitionBy(col("__b"), col("__k"))
+      .orderBy(col("__t"), col("__src"), col("__h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = lT.unionByName(rT)
-      .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
+    val local = bucketed
+      .withColumn("__rloc", last(col("__r"), ignoreNulls = true).over(w))
+
+    // 2. boundary table: last right row per (bucket, key) — combinable
+    // max-struct with the same (t, h) tie rule as the window above
+    val bk = bucketed.groupBy(col("__b"), col("__k"))
+      .agg(max(when(col("__src") === 0,
+        struct(col("__t"), col("__h"), col("__r")))).as("__m"))
+    // carry = last right row in strictly earlier buckets of this key;
+    // per-key partition ≤ #buckets rows (keys are range-contiguous)
+    val cw = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bk
+      .withColumn("__c", last(col("__m"), ignoreNulls = true).over(cw))
+      .select(col("__b"), col("__k"), col("__c").getField("__r").as("__rcb"))
+
+    // 3. fill left rows whose bucket had no earlier right row
+    val joined = local.join(carry, Seq("__b", "__k"), "left")
       .filter(col("__src") === 1)
+      .withColumn("__rlast", coalesce(col("__rloc"), col("__rcb")))
     val kept = if (inner) joined.filter(col("__rlast").isNotNull) else joined
     kept.select(col("__l.*"), col("__rlast.*"))
   }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture merge: apply a keyed changelog (upserts +
@@ -10,10 +9,15 @@ import org.apache.spark.sql.functions._
   * step of any incremental 100 TB ingest (the MERGE INTO shape of
   * Delta/Iceberg, expressed as plain DataFrame ops).
   *
-  * Scale shape: `latestState` is ONE hash-partition window per key
-  * (row_number over (ts, seq) desc, keep rank 1) — no join, no
-  * global sort, partitioned by the change key so skew follows the
-  * key distribution. `applyChanges` adds one anti-join of the base
+  * Scale shape: latest-wins is a COMBINABLE aggregation, not a window
+  * — `groupBy(key).agg(max(struct(ts, seq, payload...)))`. A keyed
+  * window (`row_number over (ts, seq) desc`) has no map-side partials,
+  * so one hot entity — a row updated millions of times, the normal
+  * CDC hub — serializes its whole changelog into a single task's
+  * sort. The max-struct form partially aggregates on the map side:
+  * the hub key's changelog collapses to one row per input partition
+  * before the shuffle, so the reduce task sees O(partitions) rows per
+  * key, not O(changes). `applyChanges` adds one anti-join of the base
   * against the (already reduced, one-row-per-key) latest changes; at
   * scale the reduced changelog of an incremental batch is small
   * relative to the base, so Spark broadcasts it into the anti-join
@@ -27,14 +31,24 @@ object Cdc {
 
   /** THE version-ordering contract, in one place: the winning change
     * per key is the (ts, seq)-greatest row. Both public entry points
-    * derive from this so they cannot drift. */
+    * derive from this so they cannot drift.
+    *
+    * Implementation: `max(struct(ts, seq, payload...))` — struct
+    * ordering compares fields left to right, so the winner is the
+    * (ts, seq)-max row exactly as the window formulation picked it
+    * ((ts, seq) is a total order per key by contract, so the trailing
+    * payload fields never decide). Unlike a window, max() partially
+    * aggregates map-side, so a hub key never concentrates its
+    * changelog into one task. */
   private def latestVersions(changelog: DataFrame, key: String, ts: String,
                              seq: String): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts).desc, col(seq).desc)
-    changelog
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = changelog.columns.toSeq
+    val payload = cols.filterNot(c => c == key || c == ts || c == seq)
+    val packed = struct((Seq(ts, seq) ++ payload).map(col): _*)
+    changelog.groupBy(col(key))
+      .agg(max(packed).as("__w"))
+      .select(cols.map(c =>
+        if (c == key) col(key) else col("__w").getField(c).as(c)): _*)
   }
 
   /** Reduce a changelog to its latest state: one row per key — the

@@ -57,8 +57,17 @@ object CorpusMix {
     // rank < p and numBuckets ≤ 2^31, so rank·N < 2^62: no overflow;
     // the mapping is monotone in rank, so (bucket, rank, id) and
     // (rank, id) induce the same total order within a stratum
+    // NULL tokens count as 0 — exactly what the single-window
+    // formulation did (SUM skips nulls, the row itself stays eligible);
+    // without the coalesce a null __tok would null __cum_before and
+    // silently DROP the row. Negative counts would break the
+    // max(__incl)=bucket-sum identity below (the cumsum would not be
+    // monotone), so they fail fast instead of corrupting the sample.
+    val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
     val base = df.withColumn("__rank", rank)
-      .withColumn("__tok", col(tokenCol).cast("long"))
+      .withColumn("__tok", when(tok < 0, raise_error(concat(
+          lit("tokenBudgetSample: negative token count for id "),
+          col(idCol).cast("string")))).otherwise(tok))
       .withColumn("__bkt", (col("__rank") * lit(numBuckets.toLong)) / lit(p))
     // ONE full-frame shuffle: the within-bucket inclusive cumsum runs
     // first, and the per-bucket totals fall out of it as max(__incl)

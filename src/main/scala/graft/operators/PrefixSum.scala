@@ -56,8 +56,30 @@ object PrefixSum {
     math.max(sampleMod.toLong, if (n <= 0) 1L else (n + target - 1) / target)
   }
 
-  /** Append running-sum column `out` of long column `delta`, ordered
-    * by `orderCols` (ascending, total order). */
+  /** Fail-fast input contract shared by both entry points (ADVICE
+    * r11): `delta` must be an INTEGRAL column — it is cast up to long
+    * here (a non-integral type would silently truncate; an untouched
+    * IntegerType would pass analysis and ClassCastException mid-job) —
+    * and nulls in `delta` or the order/reset columns error at
+    * materialization time with a named message instead of breaking the
+    * bucket-contiguity assumption downstream (null order keys compare
+    * null against the literal cut points, landing rows in bucket 0
+    * regardless of position). Returns the guarded long delta column. */
+  private def guardedDelta(df: DataFrame, delta: String,
+                           nonNullCols: Seq[String]): Column = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(delta).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"runningSum delta column '$delta' must be integral, got ${dt.simpleString}")
+    val anyNull = (delta +: nonNullCols).map(col(_).isNull).reduce(_ || _)
+    when(anyNull, raise_error(lit(
+      s"PrefixSum: null in delta '$delta' or order/reset columns " +
+        s"${nonNullCols.mkString("(", ",", ")")} — supply non-null totals")))
+      .otherwise(col(delta).cast("long"))
+  }
+
+  /** Append running-sum column `out` of integral column `delta`,
+    * ordered by `orderCols` (ascending, total order, non-null). */
   def runningSumLong(df: DataFrame, orderCols: Seq[String], delta: String,
                      out: String, sampleMod: Int = 64): DataFrame = {
     val spark = df.sparkSession
@@ -68,8 +90,10 @@ object PrefixSum {
     // shuffle, partials, and the final pass all read these blocks; the
     // source (and any expression feeding `delta` — for p4 that's a
     // tokenizer over the whole corpus) is never scanned again. Without
-    // this the operator cost three source scans per call.
-    val src = df.localCheckpoint(true)
+    // this the operator cost three source scans per call. The guarded
+    // __d column fails fast here, at materialization.
+    val src = df.withColumn("__d", guardedDelta(df, delta, orderCols))
+      .localCheckpoint(true)
 
     // 1. deterministic bounded boundary sample -> nPart-1 literal cut
     // points. Count + sample are cheap block scans; the sample filter
@@ -108,7 +132,7 @@ object PrefixSum {
 
     // 3. per-bucket totals -> exclusive prefix offsets (driver-tiny)
     val partials = bucketed.groupBy(col("__b"))
-      .agg(sum(col(delta)).as("s"))
+      .agg(sum(col("__d")).as("s"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
@@ -124,11 +148,12 @@ object PrefixSum {
     // 4. imperative within-partition pass, re-seeded per bucket
     val inSchema = bucketed.schema
     val outSchema = StructType(
-      inSchema.fields.filterNot(_.name == "__b") :+
+      inSchema.fields.filterNot(f => f.name == "__b" || f.name == "__d") :+
         StructField(out, LongType, nullable = false))
-    val deltaIdx = inSchema.fieldIndex(delta)
+    val deltaIdx = inSchema.fieldIndex("__d")
     val bIdx = inSchema.fieldIndex("__b")
-    val keepIdx = inSchema.fields.indices.filterNot(_ == bIdx)
+    val keepIdx = inSchema.fields.indices
+      .filterNot(i => i == bIdx || i == deltaIdx)
 
     bucketed.mapPartitions { rows =>
       var curB = -1
@@ -167,7 +192,8 @@ object PrefixSum {
     val allOrder = resetCol +: orderCols
     val key = struct(allOrder.map(col): _*)
 
-    val src = df.localCheckpoint(true)
+    val src = df.withColumn("__d", guardedDelta(df, delta, allOrder))
+      .localCheckpoint(true)
     val mod = effectiveSampleMod(src.count(), sampleMod, nPart)
     val sampleRows = src
       .filter(pmod(xxhash64(key), lit(mod)) === 0)
@@ -210,7 +236,7 @@ object PrefixSum {
         val partials = bucketed
           .filter(col(resetCol).isInCollection(spanSeq))
           .groupBy(col("__b"), col(resetCol))
-          .agg(sum(col(delta)).as("s"))
+          .agg(sum(col("__d")).as("s"))
           .collect()
           .map(r => (r.getInt(0), r.get(1), r.getLong(2)))
         partials.groupBy(_._2).flatMap { case (k, rows) =>
@@ -226,12 +252,13 @@ object PrefixSum {
 
     val inSchema = bucketed.schema
     val outSchema = StructType(
-      inSchema.fields.filterNot(_.name == "__b") :+
+      inSchema.fields.filterNot(f => f.name == "__b" || f.name == "__d") :+
         StructField(out, LongType, nullable = false))
-    val deltaIdx = inSchema.fieldIndex(delta)
+    val deltaIdx = inSchema.fieldIndex("__d")
     val bIdx = inSchema.fieldIndex("__b")
     val rIdx = inSchema.fieldIndex(resetCol)
-    val keepIdx = inSchema.fields.indices.filterNot(_ == bIdx)
+    val keepIdx = inSchema.fields.indices
+      .filterNot(i => i == bIdx || i == deltaIdx)
 
     bucketed.mapPartitions { rows =>
       var curB = -1

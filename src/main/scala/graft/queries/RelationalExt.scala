@@ -23,8 +23,9 @@ object RelationalExt {
     // CDC merge (the Delta/Iceberg MERGE INTO shape as plain ops):
     // events replay as a changelog against the customer snapshot —
     // purchases upsert the account balance, errors delete the account,
-    // latest (ts, event_id) version wins. One keyed window over the
-    // changelog + one anti-join; the reduced changelog broadcasts.
+    // latest (ts, event_id) version wins. One combinable max-struct
+    // aggregation over the changelog (map-side partials — hub-safe) +
+    // one anti-join; the reduced changelog broadcasts.
     "q_cdc_upsert" -> { (s, d) =>
       import graft.operators.Cdc
       val base = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))

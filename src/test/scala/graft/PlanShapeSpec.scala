@@ -79,7 +79,16 @@ class PlanShapeSpec extends SparkSpec {
     "m5_image_pipeline" -> (1, 1, 0, 2),
     "q20_excess_suppliers" -> (4, 1, 1, 2),
     "d10_triangles" -> (20, 2, 0, 0),
-    "s11_hybrid_fusion" -> (16, 5, 2, 7)
+    "s11_hybrid_fusion" -> (16, 5, 2, 7),
+    // ---- r12: the last two hub-keyed windows, converted. q_cdc:
+    // latest-wins is a combinable max-struct agg — 0 windows (3
+    // shuffles = latest agg + anti-join side + output sort; the
+    // reduced changelog broadcasts). q_asof: both remaining windows
+    // are BOUNDED (within-(bucket,key) over ~n/nPart rows; per-key
+    // carry over ≤ nPart boundary rows); 0 scans because the tagged
+    // union reads localCheckpointed blocks.
+    "q_cdc_upsert" -> (3, 1, 0, 3),
+    "q_asof_join" -> (4, 1, 2, 0)
   )
 
   test("heavy-query plan shapes stay pinned (shuffles/broadcasts/windows/scans)") {
@@ -97,7 +106,7 @@ class PlanShapeSpec extends SparkSpec {
 
   test("keep-first family plans contain no WindowExec at all") {
     for (name <- Seq("t30_paragraph_dedup", "t25_novelty",
-        "p1_corpus_pipeline", "p7_crawl_pipeline")) {
+        "p1_corpus_pipeline", "p7_crawl_pipeline", "q_cdc_upsert")) {
       val nodes = flatten(
         SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan)
       assert(!nodes.exists(_.isInstanceOf[WindowExec]),
