@@ -6,9 +6,11 @@ import graft.ql._
 import graft.functions.VectorOps
 import graft.operators.{Components, Dedup, PageRank, SemDedup}
 
-/** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). d2/d3 are
-  * hash-family-dependent (xxhash64) so they get rows-only checks; d1
-  * and d4 have exact DuckDB oracles. */
+/** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). d2/d9's
+  * murmur3 MinHash family is replayed exactly in DuckDB SQL (r12 —
+  * see `minhashBandsCte`), so they join d1/d4/d15-d17 in the exact
+  * oracle set; d3 stays rows-only (SimHash's xxhash64 token votes
+  * have no SQL replay) with its spec-gated proximity check. */
 object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -176,7 +178,121 @@ object DedupQueries {
     }
   )
 
+
+  /** Shared DuckDB replay of the MinHash family (VERDICT r11 item 3):
+    * distinct char 5-shingles -> Spark's Murmur3_x86_32.hashUnsafeBytes
+    * (one 4-byte little-endian block + one per-byte tail step + fmix,
+    * seeds 42 then h1 — exactly MinHashExpression's family) in 32-bit
+    * arithmetic over HUGEINT, -> 128 double-hash lanes mod 1e9+7 ->
+    * 16 8-lane bands. Stages are MATERIALIZED so each reused column is
+    * computed once (DuckDB inlines lateral aliases textually — a
+    * chained x^(x>>16) would blow up exponentially otherwise). Valid
+    * because the testdata text is pure ASCII (octet_length == length
+    * for every document at every SF): each 5-char shingle is exactly 5
+    * positive bytes, so Spark's sign-extended tail bytes and UTF-8
+    * multi-byte offsets never diverge from ascii(). Band collision is
+    * joined on SLICE equality where Spark compares xxhash64(slice) —
+    * identical output unless two unequal 8-lane slices collide in a
+    * 64-bit hash (~2^-64 per band pair; zero at any tested SF). */
+  private val minhashBandsCte: String =
+"""WITH sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i
+        FROM documents WHERE length(text) >= 5)
+),
+m1 AS MATERIALIZED (
+  SELECT doc_id,
+    ((ascii(substring(s,1,1))::HUGEINT + ascii(substring(s,2,1))::HUGEINT * 256
+      + ascii(substring(s,3,1))::HUGEINT * 65536
+      + ascii(substring(s,4,1))::HUGEINT * 16777216) * 3432918353::HUGEINT) % 4294967296::HUGEINT AS w1,
+    (ascii(substring(s,5,1))::HUGEINT * 3432918353::HUGEINT) % 4294967296::HUGEINT AS w2
+  FROM sh
+),
+m2 AS MATERIALIZED (
+  SELECT doc_id,
+    (((w1 * 32768::HUGEINT) % 4294967296::HUGEINT | w1 // 131072::HUGEINT) * 461845907::HUGEINT) % 4294967296::HUGEINT AS k1,
+    (((w2 * 32768::HUGEINT) % 4294967296::HUGEINT | w2 // 131072::HUGEINT) * 461845907::HUGEINT) % 4294967296::HUGEINT AS k2
+  FROM m1
+),
+m3 AS MATERIALIZED (
+  SELECT doc_id, k1, k2, xor(42::HUGEINT, k1) AS v FROM m2
+),
+m4 AS MATERIALIZED (
+  SELECT doc_id, k1, k2,
+    xor((((v * 8192::HUGEINT) % 4294967296::HUGEINT | v // 524288::HUGEINT) * 5::HUGEINT
+      + 3864292196::HUGEINT) % 4294967296::HUGEINT, k2) AS v
+  FROM m3
+),
+m5 AS MATERIALIZED (
+  SELECT doc_id, k1, k2,
+    xor((((v * 8192::HUGEINT) % 4294967296::HUGEINT | v // 524288::HUGEINT) * 5::HUGEINT
+      + 3864292196::HUGEINT) % 4294967296::HUGEINT, 5::HUGEINT) AS v
+  FROM m4
+),
+m6 AS MATERIALIZED (
+  SELECT doc_id, k1, k2, (xor(v, v // 65536::HUGEINT) * 2246822507::HUGEINT) % 4294967296::HUGEINT AS v FROM m5
+),
+m7 AS MATERIALIZED (
+  SELECT doc_id, k1, k2, (xor(v, v // 8192::HUGEINT) * 3266489909::HUGEINT) % 4294967296::HUGEINT AS v FROM m6
+),
+m8 AS MATERIALIZED (
+  SELECT doc_id, k1, k2, xor(v, v // 65536::HUGEINT) AS h1u FROM m7
+),
+m9 AS MATERIALIZED (
+  SELECT doc_id, k2, h1u, xor(h1u, k1) AS v FROM m8
+),
+m10 AS MATERIALIZED (
+  SELECT doc_id, h1u,
+    xor((((v * 8192::HUGEINT) % 4294967296::HUGEINT | v // 524288::HUGEINT) * 5::HUGEINT
+      + 3864292196::HUGEINT) % 4294967296::HUGEINT, k2) AS v
+  FROM m9
+),
+m11 AS MATERIALIZED (
+  SELECT doc_id, h1u,
+    xor((((v * 8192::HUGEINT) % 4294967296::HUGEINT | v // 524288::HUGEINT) * 5::HUGEINT
+      + 3864292196::HUGEINT) % 4294967296::HUGEINT, 5::HUGEINT) AS v
+  FROM m10
+),
+m12 AS MATERIALIZED (
+  SELECT doc_id, h1u, (xor(v, v // 65536::HUGEINT) * 2246822507::HUGEINT) % 4294967296::HUGEINT AS v FROM m11
+),
+m13 AS MATERIALIZED (
+  SELECT doc_id, h1u, (xor(v, v // 8192::HUGEINT) * 3266489909::HUGEINT) % 4294967296::HUGEINT AS v FROM m12
+),
+hp AS MATERIALIZED (
+  SELECT doc_id,
+    (((CASE WHEN h1u >= 2147483648::HUGEINT THEN h1u - 4294967296::HUGEINT ELSE h1u END) % 1000000007 + 1000000007) % 1000000007)::BIGINT AS h1p,
+    (((CASE WHEN v2 >= 2147483648::HUGEINT THEN v2 - 4294967296::HUGEINT ELSE v2 END) % 1000000007 + 1000000007) % 1000000007)::BIGINT AS h2p
+  FROM (SELECT doc_id, h1u, xor(v, v // 65536::HUGEINT) AS v2 FROM m13)
+),
+lanes AS MATERIALIZED (
+  SELECT doc_id, i, MIN((h1p + i * h2p) % 1000000007) AS lane
+  FROM hp, range(0, 128) t(i) GROUP BY doc_id, i
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, b, sig[b*8+1 : b*8+8] AS bs
+  FROM (SELECT doc_id, list(lane ORDER BY i) AS sig FROM lanes GROUP BY doc_id),
+       range(0, 16) t(b)
+)
+"""
+
   val oracle: Map[String, String] = Map(
+    // exact replay of the d2 pipeline (see minhashBandsCte)
+    "d2_minhash_lsh" -> (minhashBandsCte + """
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*)::BIGINT AS n_bands
+        |FROM bands a JOIN bands b
+        |  ON a.b = b.b AND a.bs = b.bs AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin),
+
+    // exact replay of the d9 cross-corpus probe: same bands, corpus
+    // (doc_id %5 != 0) joined against batch (doc_id %5 == 0)
+    "d9_cross_dedup" -> (minhashBandsCte + """
+        |SELECT c.doc_id AS corpus_id, p.doc_id AS batch_id, COUNT(*)::BIGINT AS n_bands
+        |FROM bands c JOIN bands p
+        |  ON c.b = p.b AND c.bs = p.bs AND c.doc_id <> p.doc_id
+        |WHERE c.doc_id % 5 <> 0 AND p.doc_id % 5 = 0
+        |GROUP BY 1, 2 ORDER BY corpus_id, batch_id""".stripMargin),
+
     // all 50-grams, diagonal consecutive-run scan: a common substring
     // of length L contributes a run of L-49 aligned 50-grams on one
     // (pa - pb) diagonal, so lcs_len = 49 + max run
