@@ -175,6 +175,20 @@ object Bench {
           paraDocs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
           .count(); ()
       }
+      // p9's WRITE side (VERDICT r11 item 4): the actual shard-file
+      // sink — shuffle on shard, in-partition sort, dynamic-partition
+      // parquet write of 16 one-file shards. Timed end to end against
+      // a scratch dir (the sink IS the cost; there is no probe half).
+      val shardDir = java.nio.file.Files
+        .createTempDirectory("bench_shards").toFile.getAbsolutePath
+      splits("p9_shard_write") = medianKeep { () =>
+        graft.sources.ShardSink.writeShards(
+          t(spark, sfDir, "documents")
+            .select(col("doc_id"),
+              graft.functions.TextOps.wsTokenCount(col("text")).cast("long")
+                .as("toks")),
+          "doc_id", shardDir, numShards = 16); ()
+      }
     } catch { case _: Throwable => () }
 
     // ms-rounded per-query times and a duplicate total at the END of

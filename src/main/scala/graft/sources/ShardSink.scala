@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Production write path of `p9_shuffle_shards` (VERDICT r11 item 4):
+  * the catalog query emits the per-shard MANIFESTS a shard writer
+  * would log; this sink actually writes the shard files. A pretraining
+  * corpus ships as a deterministic globally-shuffled sequence cut into
+  * N files — rank = seeded multiplicative permutation of the id,
+  * shard = rank % N, and the row order INSIDE each file is (rank, id),
+  * so any trainer streaming shard s in file order reads the exact
+  * permutation slice s, s+N, s+2N, …
+  *
+  * Spark shape: ONE hash shuffle on the shard id (each shard lands
+  * whole in one task), an in-partition sort (shard, rank, id), and a
+  * dynamic-partition parquet write. Because the in-partition order
+  * already satisfies the writer's required partition-column prefix,
+  * the V1 write planner adds NO extra sort — the (rank, id) order
+  * reaches the file verbatim (ShardSinkSpec asserts it off disk, the
+  * K-an5 discipline: verify the SINK, not the plan). One file per
+  * shard whatever the hash collisions: a task may carry two shards,
+  * but a shard never spans tasks. Nothing touches the driver; at
+  * 100 TB the only knob is numShards (file count = task count =
+  * shard count).
+  */
+object ShardSink {
+
+  /** Modulus / multiplier of the Knuth-style rank permutation — the
+    * SAME integers as the p9 catalog query, so manifests computed
+    * from a re-read of the written files reproduce p9's exactly. */
+  val P: Long = 1000000007L
+  val A: Long = 2654435761L
+
+  /** Deterministic training rank of an id (bijective on [0, P) for
+    * gcd(A, P) = 1; ids are assumed non-negative, as every table's
+    * keys here are). */
+  def rank(id: Column): Column = ((id % lit(P)) * lit(A)) % lit(P)
+
+  /** Write `df` as `numShards` training shards under `outDir`:
+    * directory `shard=<s>` holds exactly one parquet file whose row
+    * order is (rk, `idCol`). The written schema is the input schema
+    * plus `rk` (the trainer needs the rank to verify resume offsets;
+    * `shard` lives in the directory name). */
+  def writeShards(df: DataFrame, idCol: String, outDir: String,
+                  numShards: Int = 16): Unit = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("rk", rank(col(idCol)))
+      .withColumn("shard", pmod(col("rk"), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("rk"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
+  /** Per-shard manifest of a written shard set, computed by re-reading
+    * `outDir` — (n_docs, head_doc, order-independent modular checksum)
+    * per shard, the integrity record a training launcher checks before
+    * a run. Column-for-column the p9 manifest minus the token sum
+    * (tokens are an input-side column, not a sink invariant). */
+  def manifestsFromDisk(spark: org.apache.spark.sql.SparkSession,
+                        outDir: String, idCol: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("rk"), col(idCol))).getField(idCol).as("head_doc"),
+        sum(pmod(col("rk") * 31L + col(idCol), lit(P))).as("checksum"))
+      .orderBy("shard")
+}

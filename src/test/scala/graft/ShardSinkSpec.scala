@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.ShardSink
+
+/** The p9 WRITE path, verified off disk (the K-an5 discipline: a sink
+  * spec reads back what hit storage, not what the plan promised):
+  * exactly one file per shard, rows inside each file in (rank, id)
+  * order, and manifests recomputed from the re-read reproduce the
+  * manifests computed from the input — so the p9 catalog query and
+  * the shard writer describe the same corpus permutation. */
+class ShardSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val numShards = 16
+
+  // ids with gaps and a non-trivial span — the permutation must not
+  // depend on density
+  private def docs = spark.range(3000)
+    .select((col("id") * 7 + 1).as("doc_id"),
+      (col("id") % 997 + 1).as("toks"))
+
+  private def listShardFiles(outDir: String): Map[Long, Seq[java.io.File]] =
+    (0 until numShards).map { s =>
+      val d = new java.io.File(s"$outDir/shard=$s")
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).toSeq
+      s.toLong -> fs
+    }.toMap
+
+  test("one file per shard; every row present exactly once") {
+    val outDir = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    ShardSink.writeShards(docs, "doc_id", outDir, numShards)
+    val files = listShardFiles(outDir)
+    files.foreach { case (s, fs) =>
+      assert(fs.size === 1, s"shard $s must be exactly one file, got $fs")
+    }
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === 3000L)
+    assert(back.select("doc_id").distinct().count() === 3000L)
+    // shard really is rank % numShards for every row
+    assert(back.filter(
+      pmod(col("rk"), lit(numShards.toLong)) =!= col("shard")).count() === 0L)
+  }
+
+  test("rows inside each shard file are in (rank, id) order") {
+    val outDir = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    ShardSink.writeShards(docs, "doc_id", outDir, numShards)
+    listShardFiles(outDir).foreach { case (s, fs) =>
+      val rows = spark.read.parquet(fs.head.getAbsolutePath)
+        .select("rk", "doc_id").as[(Long, Long)].collect().toSeq
+      assert(rows.nonEmpty, s"shard $s empty")
+      assert(rows === rows.sortBy(identity),
+        s"shard $s file order is not (rank, id)")
+    }
+  }
+
+  test("re-read manifests reproduce the input-side p9 manifests") {
+    val outDir = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    ShardSink.writeShards(docs, "doc_id", outDir, numShards)
+    // input-side manifest: the p9 catalog aggregation over the source
+    val want = docs
+      .withColumn("rk", ShardSink.rank(col("doc_id")))
+      .withColumn("shard", pmod(col("rk"), lit(numShards.toLong)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col("rk"), col("doc_id"))).getField("doc_id")
+          .as("head_doc"),
+        sum(pmod(col("rk") * 31L + col("doc_id"), lit(ShardSink.P)))
+          .as("checksum"))
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val got = ShardSink.manifestsFromDisk(spark, outDir, "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === want)
+  }
+
+  test("deterministic under parallelism: 1-partition rewrite is identical") {
+    val outA = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    val outB = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    ShardSink.writeShards(docs, "doc_id", outA, numShards)
+    ShardSink.writeShards(docs.coalesce(1), "doc_id", outB, numShards)
+    val a = listShardFiles(outA).toSeq.sortBy(_._1).map { case (_, fs) =>
+      spark.read.parquet(fs.head.getAbsolutePath)
+        .select("rk", "doc_id", "toks").as[(Long, Long, Long)].collect().toSeq
+    }
+    val b = listShardFiles(outB).toSeq.sortBy(_._1).map { case (_, fs) =>
+      spark.read.parquet(fs.head.getAbsolutePath)
+        .select("rk", "doc_id", "toks").as[(Long, Long, Long)].collect().toSeq
+    }
+    assert(a === b)
+  }
+}

@@ -88,4 +88,57 @@ class StreamingFrontierSpec extends SparkSpec {
         s"unexpected fetch queue: $emitted")
     } finally q.stop()
   }
+
+  /** Engine-native frontier on the PRODUCTION state backend (VERDICT
+    * r11 item 6): canonicalize → streaming `dropDuplicates` — the
+    * seen-set is unbounded keyed state, exactly what the RocksDB
+    * provider exists for (heap state caps the frontier at executor
+    * memory; RocksDB spills it to disk). Exact, no bloom false
+    * positives — the trade against the sketch loop above is state
+    * size (all keys) vs fpp-lost work. Same three batches as the
+    * bloom loop, including the verbatim replay: every canon URL must
+    * come out exactly once, ever. */
+  test("engine-native frontier: streaming dropDuplicates on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[String]
+      val q = mem.toDF().toDF("url")
+        .select(TextOps.canonicalizeUrl(col("url")).as("canon_url"))
+        .dropDuplicates("canon_url")
+        .writeStream.format("memory").queryName("frontier_rocks")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          "HTTPS://WWW.Site.com:443/a?utm_source=x#top",
+          "https://site.com/b")
+        q.processAllAvailable()
+        mem.addData(
+          "https://site.com/a?ref=tw",
+          "http://site.com/a",
+          "https://site.com/c")
+        q.processAllAvailable()
+        mem.addData( // replay batch 2 verbatim — must emit nothing
+          "https://site.com/a?ref=tw",
+          "http://site.com/a",
+          "https://site.com/c")
+        q.processAllAvailable()
+        val emitted = spark.table("frontier_rocks").as[String].collect().toSeq
+        assert(emitted.size == emitted.distinct.size,
+          s"no canon URL may be emitted twice: $emitted")
+        assert(emitted.toSet == Set(
+          "https://site.com/a", "https://site.com/b",
+          "http://site.com/a", "https://site.com/c"),
+          s"unexpected frontier output: $emitted")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
