@@ -6,11 +6,13 @@ import graft.ql._
 import graft.functions.VectorOps
 import graft.operators.{Components, Dedup, PageRank, SemDedup}
 
-/** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). d2/d9's
-  * murmur3 MinHash family is replayed exactly in DuckDB SQL (r12 —
-  * see `minhashBandsCte`), so they join d1/d4/d15-d17 in the exact
-  * oracle set; d3 stays rows-only (SimHash's xxhash64 token votes
-  * have no SQL replay) with its spec-gated proximity check. */
+/** Dedup suite over `documents`/`embeddings` (SURVEY §2.3). The
+  * whole hash-seeded family is replayed exactly in DuckDB SQL (r12):
+  * d2/d9's murmur3 MinHash bands (`minhashBandsCte`), d3's XXH64
+  * SimHash votes and d6's XXH64 KMV sketch (64-bit wrapping
+  * arithmetic staged over HUGEINT), so they join d1/d4/d15-d17 in
+  * the exact oracle set. Only the centroid-seeded (d11/d12) and
+  * zlib-seeded members remain rows-only, spec/quality-gated. */
 object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,8 +169,9 @@ object DedupQueries {
     },
 
     // KMV distinct sketch vs exact: bounded-state cardinality per
-    // group (hash-family dependent -> rows-only; KmvSketchSpec pins
-    // the accuracy and partition-invariance contracts)
+    // group. Exact-oracle as of r12 (the XXH64 family is replayed in
+    // DuckDB SQL below); KmvSketchSpec still pins the accuracy and
+    // partition-invariance contracts.
     "d6_kmv_distinct" -> { (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(call_function("graft_kmv_distinct", col("l_partkey"), lit(256))
@@ -292,6 +295,143 @@ bands AS MATERIALIZED (
         |  ON c.b = p.b AND c.bs = p.bs AND c.doc_id <> p.doc_id
         |WHERE c.doc_id % 5 <> 0 AND p.doc_id % 5 = 0
         |GROUP BY 1, 2 ORDER BY corpus_id, batch_id""".stripMargin),
+
+    // exact replay of d3 (r12): Spark's XXH64 (seed 42) of each
+    // whitespace token, staged in 64-bit-wrapping arithmetic over
+    // HUGEINT (multiplies via 32-bit limb split, rotates as
+    // shift-and-add of disjoint bit ranges, xor/shift native), then
+    // the 64 per-bit signed votes with token MULTIPLICITY (split, not
+    // distinct). Valid because every token is pure ASCII (ascii() ==
+    // byte value) and <= 15 bytes: one 8-byte lane + one 4-byte lane
+    // + up to 3 tail bytes covers it, and the corpus vocabulary maxes
+    // at 8. Hash computed once per DISTINCT token, joined back.
+    "d3_simhash" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), ' +')) AS t
+        |  FROM documents),
+        | dt AS MATERIALIZED (SELECT DISTINCT t FROM tk),
+        | c(b, m, p1, p2, p3, p4, p5) AS (
+        |  SELECT CAST('4294967296' AS HUGEINT), CAST('18446744073709551616' AS HUGEINT),
+        |         CAST('11400714785074694791' AS HUGEINT), CAST('14029467366897019727' AS HUGEINT),
+        |         CAST('1609587929392839161' AS HUGEINT), CAST('9650029242287828579' AS HUGEINT),
+        |         CAST('2870177450012600261' AS HUGEINT)),
+        | ln AS MATERIALIZED (
+        |  SELECT t, CAST(length(t) AS HUGEINT) AS n,
+        |    CASE WHEN length(t) >= 8 THEN 1 ELSE 0 END AS o8,
+        |    CASE WHEN length(t) - 8 * (CASE WHEN length(t) >= 8 THEN 1 ELSE 0 END) >= 4
+        |         THEN 1 ELSE 0 END AS o4
+        |  FROM dt),
+        | rd AS MATERIALIZED (
+        |  SELECT t, n, o8, o4, n - 8*o8 - 4*o4 AS nb,
+        |    CAST(ascii(substring(t,1,1)) AS HUGEINT)
+        |      + CAST(ascii(substring(t,2,1)) AS HUGEINT) * 256
+        |      + CAST(ascii(substring(t,3,1)) AS HUGEINT) * 65536
+        |      + CAST(ascii(substring(t,4,1)) AS HUGEINT) * 16777216
+        |      + CAST(ascii(substring(t,5,1)) AS HUGEINT) * 4294967296
+        |      + CAST(ascii(substring(t,6,1)) AS HUGEINT) * 1099511627776
+        |      + CAST(ascii(substring(t,7,1)) AS HUGEINT) * 281474976710656
+        |      + CAST(ascii(substring(t,8,1)) AS HUGEINT) * 72057594037927936 AS w8,
+        |    CAST(ascii(substring(t, 1 + 8*o8, 1)) AS HUGEINT)
+        |      + CAST(ascii(substring(t, 2 + 8*o8, 1)) AS HUGEINT) * 256
+        |      + CAST(ascii(substring(t, 3 + 8*o8, 1)) AS HUGEINT) * 65536
+        |      + CAST(ascii(substring(t, 4 + 8*o8, 1)) AS HUGEINT) * 16777216 AS w4,
+        |    CAST(ascii(substring(t, 1 + 8*o8 + 4*o4, 1)) AS HUGEINT) AS y0,
+        |    CAST(ascii(substring(t, 2 + 8*o8 + 4*o4, 1)) AS HUGEINT) AS y1,
+        |    CAST(ascii(substring(t, 3 + 8*o8 + 4*o4, 1)) AS HUGEINT) AS y2
+        |  FROM ln),
+        | h0 AS MATERIALIZED (SELECT rd.*, c.*, (42 + p5 + n) % m AS h FROM rd, c),
+        | e1 AS MATERIALIZED (SELECT *, ((w8 % b) * (p2 % b) + ((((w8 % b) * (p2 // b) + (w8 // b) * (p2 % b)) % b) * b)) % m AS a1 FROM h0),
+        | e2 AS MATERIALIZED (SELECT * EXCLUDE (a1), (((a1) * 2147483648) % m) + ((a1) // 8589934592) AS a2 FROM e1),
+        | e3 AS MATERIALIZED (SELECT * EXCLUDE (a2), xor(h, ((a2 % b) * (p1 % b) + ((((a2 % b) * (p1 // b) + (a2 // b) * (p1 % b)) % b) * b)) % m) AS a4 FROM e2),
+        | e4 AS MATERIALIZED (SELECT * EXCLUDE (a4), (((a4) * 134217728) % m) + ((a4) // 137438953472) AS a5 FROM e3),
+        | e5 AS MATERIALIZED (SELECT * EXCLUDE (a5, h, w8, o8),
+        |    CASE WHEN o8 = 1 THEN (((a5 % b) * (p1 % b) + ((((a5 % b) * (p1 // b) + (a5 // b) * (p1 % b)) % b) * b)) % m + p4) % m ELSE h END AS h FROM e4),
+        | g1 AS MATERIALIZED (SELECT *, xor(h, (w4 * p1) % m) AS b2 FROM e5),
+        | g2 AS MATERIALIZED (SELECT * EXCLUDE (b2), (((b2) * 8388608) % m) + ((b2) // 2199023255552) AS b3 FROM g1),
+        | g3 AS MATERIALIZED (SELECT * EXCLUDE (b3, h, w4, o4),
+        |    CASE WHEN o4 = 1 THEN (((b3 % b) * (p2 % b) + ((((b3 % b) * (p2 // b) + (b3 // b) * (p2 % b)) % b) * b)) % m + p3) % m ELSE h END AS h FROM g2),
+        | i1 AS MATERIALIZED (SELECT * EXCLUDE (h, y0),
+        |    CASE WHEN nb >= 1 THEN ((((((xor(h, (y0 * p5) % m)) * 2048) % m) + ((xor(h, (y0 * p5) % m)) // 9007199254740992)) % b) * (p1 % b) + ((((((((xor(h, (y0 * p5) % m)) * 2048) % m) + ((xor(h, (y0 * p5) % m)) // 9007199254740992)) % b) * (p1 // b) + (((((xor(h, (y0 * p5) % m)) * 2048) % m) + ((xor(h, (y0 * p5) % m)) // 9007199254740992)) // b) * (p1 % b)) % b) * b)) % m ELSE h END AS h
+        |  FROM g3),
+        | i2 AS MATERIALIZED (SELECT * EXCLUDE (h, y1),
+        |    CASE WHEN nb >= 2 THEN ((((((xor(h, (y1 * p5) % m)) * 2048) % m) + ((xor(h, (y1 * p5) % m)) // 9007199254740992)) % b) * (p1 % b) + ((((((((xor(h, (y1 * p5) % m)) * 2048) % m) + ((xor(h, (y1 * p5) % m)) // 9007199254740992)) % b) * (p1 // b) + (((((xor(h, (y1 * p5) % m)) * 2048) % m) + ((xor(h, (y1 * p5) % m)) // 9007199254740992)) // b) * (p1 % b)) % b) * b)) % m ELSE h END AS h
+        |  FROM i1),
+        | i3 AS MATERIALIZED (SELECT * EXCLUDE (h, y2, nb),
+        |    CASE WHEN nb >= 3 THEN ((((((xor(h, (y2 * p5) % m)) * 2048) % m) + ((xor(h, (y2 * p5) % m)) // 9007199254740992)) % b) * (p1 % b) + ((((((((xor(h, (y2 * p5) % m)) * 2048) % m) + ((xor(h, (y2 * p5) % m)) // 9007199254740992)) % b) * (p1 // b) + (((((xor(h, (y2 * p5) % m)) * 2048) % m) + ((xor(h, (y2 * p5) % m)) // 9007199254740992)) // b) * (p1 % b)) % b) * b)) % m ELSE h END AS h
+        |  FROM i2),
+        | f1 AS MATERIALIZED (SELECT * EXCLUDE (h), xor(h, h // 8589934592) AS x1 FROM i3),
+        | f2 AS MATERIALIZED (SELECT * EXCLUDE (x1), ((x1 % b) * (p2 % b) + ((((x1 % b) * (p2 // b) + (x1 // b) * (p2 % b)) % b) * b)) % m AS x2 FROM f1),
+        | f3 AS MATERIALIZED (SELECT * EXCLUDE (x2), xor(x2, x2 // 536870912) AS x3 FROM f2),
+        | f4 AS MATERIALIZED (SELECT * EXCLUDE (x3), ((x3 % b) * (p3 % b) + ((((x3 % b) * (p3 // b) + (x3 // b) * (p3 % b)) % b) * b)) % m AS x4 FROM f3),
+        | th AS MATERIALIZED (SELECT t, xor(x4, x4 // 4294967296) AS h FROM f4),
+        | v AS (SELECT tk.doc_id, g.bit,
+        |    SUM(CASE WHEN ((th.h >> CAST(g.bit AS INTEGER)) % 2) = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM tk JOIN th USING (t) CROSS JOIN generate_series(0, 63) AS g(bit)
+        |  GROUP BY tk.doc_id, g.bit)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN
+        |    CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+        |         ELSE CAST(CAST(1 AS BIGINT) << CAST(bit AS INTEGER) AS HUGEINT) END
+        |    ELSE 0 END) AS BIGINT) AS simhash
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact replay of d6 (r12): XXH64 of the BIGINT part key (one
+    // 8-byte lane, same HUGEINT staging), per-group unsigned k-th
+    // minimum of DISTINCT hashes, and the Bar-Yossef (k-1)/u estimate
+    // replaying Java's exact double-rounding ORDER: the flipped
+    // signed hash is converted to double BEFORE re-biasing by 2^63 —
+    // converting the unsigned value first can differ in the last ulp
+    // (2048- vs 1024-granular rounding near 2^64).
+    "d6_kmv_distinct" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT DISTINCT l_returnflag, CAST(l_partkey AS HUGEINT) AS v FROM lineitem),
+        | c(b, m, p1, p2, p3, p4, p5) AS (
+        |  SELECT CAST('4294967296' AS HUGEINT), CAST('18446744073709551616' AS HUGEINT),
+        |         CAST('11400714785074694791' AS HUGEINT), CAST('14029467366897019727' AS HUGEINT),
+        |         CAST('1609587929392839161' AS HUGEINT), CAST('9650029242287828579' AS HUGEINT),
+        |         CAST('2870177450012600261' AS HUGEINT)),
+        | s1 AS MATERIALIZED (
+        |  SELECT l_returnflag, v,
+        |    ((v % b) * (p2 % b) + ((((v % b) * (p2 // b) + (v // b) * (p2 % b)) % b) * b)) % m AS vp2
+        |  FROM u, c),
+        | s2 AS MATERIALIZED (
+        |  SELECT l_returnflag, v, ((vp2 * 2147483648) % m) + (vp2 // 8589934592) AS r31 FROM s1, c),
+        | s3 AS MATERIALIZED (
+        |  SELECT l_returnflag, v,
+        |    ((r31 % b) * (p1 % b) + ((((r31 % b) * (p1 // b) + (r31 // b) * (p1 % b)) % b) * b)) % m AS k1
+        |  FROM s2, c),
+        | s4 AS MATERIALIZED (
+        |  SELECT l_returnflag, v, xor((42 + p5 + 8) % m, k1) AS h1 FROM s3, c),
+        | s5 AS MATERIALIZED (
+        |  SELECT l_returnflag, v, ((h1 * 134217728) % m) + (h1 // 137438953472) AS r27 FROM s4, c),
+        | s6 AS MATERIALIZED (
+        |  SELECT l_returnflag, v,
+        |    (((r27 % b) * (p1 % b) + ((((r27 % b) * (p1 // b) + (r27 // b) * (p1 % b)) % b) * b)) % m + p4) % m AS h2
+        |  FROM s5, c),
+        | f1 AS MATERIALIZED (SELECT l_returnflag, v, xor(h2, h2 // 8589934592) AS x1 FROM s6),
+        | f2 AS MATERIALIZED (
+        |  SELECT l_returnflag, v,
+        |    ((x1 % b) * (p2 % b) + ((((x1 % b) * (p2 // b) + (x1 // b) * (p2 % b)) % b) * b)) % m AS x2
+        |  FROM f1, c),
+        | f3 AS MATERIALIZED (SELECT l_returnflag, v, xor(x2, x2 // 536870912) AS x3 FROM f2),
+        | f4 AS MATERIALIZED (
+        |  SELECT l_returnflag, v,
+        |    ((x3 % b) * (p3 % b) + ((((x3 % b) * (p3 // b) + (x3 // b) * (p3 % b)) % b) * b)) % m AS x4
+        |  FROM f3, c),
+        | hsh AS MATERIALIZED (SELECT l_returnflag, v, xor(x4, x4 // 4294967296) AS h FROM f4),
+        | rk AS (SELECT l_returnflag, h,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS nh
+        |  FROM (SELECT DISTINCT l_returnflag, h FROM hsh)),
+        | est AS (SELECT l_returnflag, CASE WHEN MAX(nh) < 256 THEN CAST(MAX(nh) AS DOUBLE)
+        |    ELSE 255.0 / ((CAST(MAX(CASE WHEN rn = 256 THEN h END)
+        |                     - 9223372036854775808 AS DOUBLE)
+        |                   - (-9223372036854775808.0) + 1.0)
+        |                  / 18446744073709551616.0) END AS est_distinct FROM rk GROUP BY l_returnflag)
+        |SELECT e.l_returnflag, e.est_distinct, x.exact_distinct
+        |FROM est e JOIN (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem GROUP BY l_returnflag) x USING (l_returnflag)
+        |ORDER BY e.l_returnflag""".stripMargin,
 
     // all 50-grams, diagonal consecutive-run scan: a common substring
     // of length L contributes a run of L-49 aligned 50-grams on one
