@@ -11,8 +11,9 @@ import graft.operators.{Components, Dedup, PageRank, SemDedup}
   * d2/d9's murmur3 MinHash bands (`minhashBandsCte`), d3's XXH64
   * SimHash votes and d6's XXH64 KMV sketch (64-bit wrapping
   * arithmetic staged over HUGEINT), so they join d1/d4/d15-d17 in
-  * the exact oracle set. Only the centroid-seeded (d11/d12) and
-  * zlib-seeded members remain rows-only, spec/quality-gated. */
+  * the exact oracle set. d12's decimal PageRank unrolls its 10
+  * fixed rounds in scale-18 fixed point. Only the centroid-seeded
+  * (d11) and zlib-seeded members remain rows-only, quality-gated. */
 object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -135,9 +136,10 @@ object DedupQueries {
     // link-centrality quality signal (the CommonCrawl-style page rank
     // a crawl pipeline attaches to documents): PageRank over the
     // near-dup pair graph. Decimal-exact iteration -> deterministic,
-    // but not SQL-expressible (fixpoint) -> rows-only; PageRankSpec
-    // pins mass conservation, bit-identical reruns and a
-    // double-precision reference
+    // and since iters is FIXED the fixpoint unrolls: the oracle
+    // replays all 10 rounds in scale-18 fixed point over HUGEINT
+    // (r12, exact). PageRankSpec still pins mass conservation,
+    // bit-identical reruns and a double-precision reference
     "d12_pagerank" -> { (s, d) =>
       val pairs = Dedup.embeddingNearDups(
         t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
@@ -374,6 +376,85 @@ bands AS MATERIALIZED (
         |         ELSE CAST(CAST(1 AS BIGINT) << CAST(bit AS INTEGER) AS HUGEINT) END
         |    ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // exact replay of d12 (r12): the 10 PageRank rounds unrolled as
+    // chained CTEs in scale-18 fixed point over HUGEINT — HALF_UP
+    // division as (2a+b)//(2b), teleport = HALF_UP(HALF_UP(1e36/
+    // (n*1e18)) * 0.15e18 / 1e18), per round c = HALF_UP(rank/deg),
+    // damping product HALF_UP at scale 18 then an exact add. The
+    // within-scale-18 model was grid-validated against Spark's
+    // decimal(38,18) promotion chain: every rounding variant agrees
+    // below the round(…,12) output grid on this graph. Pairs are the
+    // d5 oracle's cosine join.
+    "d12_pagerank" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        |   WHERE list_dot_product(v, v) > 0),
+        | pr AS (SELECT a.vec_id AS pa, b.vec_id AS pb FROM nn a JOIN nn b
+        |   ON a.vec_id < b.vec_id
+        |   WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4),
+        | ed AS (SELECT pa AS u, pb AS v FROM pr UNION SELECT pb, pa FROM pr),
+        | dg AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS HUGEINT) AS deg FROM ed GROUP BY u),
+        | cst AS (SELECT CAST('1000000000000000000' AS HUGEINT) AS s,
+        |   CAST('850000000000000000' AS HUGEINT) AS dd,
+        |   CAST('150000000000000000' AS HUGEINT) AS q,
+        |   (SELECT CAST(COUNT(*) AS HUGEINT) FROM dg) AS n),
+        | c2 AS (SELECT *,
+        |   (2*(s*s) + (n*s)) // (2*(n*s)) AS t0 FROM cst),
+        | c3 AS (SELECT *, (2*(t0*q) + s) // (2*s) AS tp FROM c2),
+        | r0 AS MATERIALIZED (SELECT u AS node, t0 AS r FROM dg, c3),
+        | m1 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r0 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r1 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m1 m ON d.u = m.node, c3),
+        | m2 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r1 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r2 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m2 m ON d.u = m.node, c3),
+        | m3 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r2 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r3 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m3 m ON d.u = m.node, c3),
+        | m4 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r3 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r4 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m4 m ON d.u = m.node, c3),
+        | m5 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r4 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r5 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m5 m ON d.u = m.node, c3),
+        | m6 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r5 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r6 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m6 m ON d.u = m.node, c3),
+        | m7 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r6 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r7 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m7 m ON d.u = m.node, c3),
+        | m8 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r7 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r8 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m8 m ON d.u = m.node, c3),
+        | m9 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r8 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r9 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m9 m ON d.u = m.node, c3),
+        | m10 AS (SELECT e.v AS node, SUM((2*r.r + d.deg) // (2*d.deg)) AS mass
+        |   FROM ed e JOIN r9 r ON e.u = r.node JOIN dg d ON e.u = d.u GROUP BY e.v),
+        | r10 AS MATERIALIZED (SELECT d.u AS node,
+        |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
+        |   FROM dg d LEFT JOIN m10 m ON d.u = m.node, c3)
+        |SELECT node AS vec_id, ROUND(CAST(r AS DOUBLE)/1e18, 12) AS rank
+        |FROM r10 ORDER BY vec_id""".stripMargin,
 
     // exact replay of d6 (r12): XXH64 of the BIGINT part key (one
     // 8-byte lane, same HUGEINT staging), per-group unsigned k-th

@@ -65,8 +65,13 @@ object PipelineQueries {
       val budget = mixBudgets.foldRight(lit(500L)) { case ((l, b), els) =>
         when(col("lang") === l, lit(b)).otherwise(els)
       }
+      // adaptive bucket count (r12): sf-scale corpora take the plain
+      // per-language prefix window (every stratum fits one task);
+      // production corpora grow buckets linearly and keep the
+      // two-level cap. Same rows either way.
       CorpusMix.tokenBudgetSample(docs, "lang", "doc_id", "toks",
-          mixBudgets, defaultBudget = 500L)
+          mixBudgets, defaultBudget = 500L,
+          numBuckets = CorpusMix.autoBuckets(docs))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("toks")).cast("long").as("tokens"))

@@ -86,4 +86,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b, "sample must not depend on physical partitioning")
     assert(a.nonEmpty)
   }
+
+  test("tokenBudgetSample single-bucket fast path is row-identical") {
+    // the autoBuckets small-corpus branch (numBuckets == 1, plain
+    // per-stratum window) must keep EXACTLY the bucketed path's rows,
+    // including __rank and __cum_before
+    val docs = (0L until 400L)
+      .map(i => (i, s"s${i % 3}", if (i % 29 == 0) null
+        else java.lang.Long.valueOf(5L + (i % 11))))
+      .toDF("id", "src", "toks")
+    def rows(n: Int) = CorpusMix.tokenBudgetSample(
+        docs, "src", "id", "toks", Map("s0" -> 150L), 300L, numBuckets = n)
+      .select("id", "src", "__rank", "__cum_before")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(rows(1) == rows(1024))
+    assert(rows(1).nonEmpty)
+  }
+
+  test("autoBuckets: 1 for small inputs, linear growth, capped") {
+    val small = (0L until 100L).map(i => (i, "a", 1L)).toDF("id", "src", "toks")
+    assert(CorpusMix.autoBuckets(small) == 1)
+    assert(CorpusMix.autoBuckets(small, targetRows = 30L) == 4)
+  }
 }

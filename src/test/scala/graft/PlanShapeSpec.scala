@@ -64,7 +64,13 @@ class PlanShapeSpec extends SparkSpec {
     // offset prefix over ≤ numBuckets tiny rows); the lang-keyed
     // mega-stratum window is gone.
     "t15_bigram_lm" -> (5, 1, 2, 2),
-    "t10_mix_budget" -> (6, 1, 3, 2),
+    // t10 (r12): autoBuckets picks numBuckets=1 at spec SF (50 docs),
+    // so the plan IS the cheap single per-lang prefix window + the
+    // report agg — the bucketed (6,1,3,2) shape only engages past
+    // targetRows (65k docs/bucket), where every stratum window is
+    // capped; PipelineOpsSpec pins the two paths row-identical and
+    // the 1M-doc mega-stratum evidence covers the bucketed branch
+    "t10_mix_budget" -> (2, 0, 1, 1),
     // ---- the 10 heaviest catalog queries (BENCH_r10 ranking).
     // Iterative operators (d7/d10/d12) run their rounds during plan
     // CONSTRUCTION and read localCheckpointed blocks, so their scan
