@@ -6,8 +6,10 @@ import graft.ql._
 import graft.operators.{IvfPq, KMeans, ProductQuantizer, SimilaritySearch}
 
 /** Similarity-search suite over `embeddings` (SURVEY §2.4): exact
-  * brute-force baseline (oracle-checked) + LSH and IVF scale paths
-  * (hash/centroid-dependent → rows-only). Query set: vec_id < 5. */
+  * brute-force baseline + LSH paths oracle-checked (r12: the
+  * xxhash64-parity hyperplane family and multi-probe margin ranking
+  * replay in DuckDB SQL — see the s2/s5 oracles); IVF paths stay
+  * rows-only (centroid-seeded). Query set: vec_id < 5. */
 object VectorQueries {
 
   private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
@@ -209,6 +211,111 @@ object VectorQueries {
         |   FROM scored)
         |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
         |ORDER BY q_id, rk""".stripMargin,
+
+    // exact replay of s2 (r12): the ±1 hyperplane family is
+    // xxhash64-PARITY — hashInt(i, 42) seeds hashInt(j, ·) per
+    // component (the same HUGEINT 64-bit staging as the dedup-suite
+    // oracles), signs assembled as ordered lists; margins and cosines
+    // via list_dot_product, whose sequential double accumulation is
+    // bit-identical to the native kernel's left-to-right loop (the
+    // d5/s1 oracles already rest on this); bucket = Σ (margin>0)<<i,
+    // equality join, (cos desc, id) top-3.
+    "s2_lsh_ann" ->
+      """WITH c(b, m, p1, p2, p3, p4, p5) AS (
+        |  SELECT CAST('4294967296' AS HUGEINT), CAST('18446744073709551616' AS HUGEINT),
+        |         CAST('11400714785074694791' AS HUGEINT), CAST('14029467366897019727' AS HUGEINT),
+        |         CAST('1609587929392839161' AS HUGEINT), CAST('9650029242287828579' AS HUGEINT),
+        |         CAST('2870177450012600261' AS HUGEINT)),
+        | pl AS (SELECT unnest(generate_series(0, 7)) AS i),
+        | pa0 AS (SELECT i, CAST(i AS HUGEINT) AS hin, (42 + p5 + 4) % m AS h0 FROM pl, c),
+        | pa1 AS (SELECT i, xor(h0, ((hin % b) * (p1 % b) + ((((hin % b) * (p1 // b) + (hin // b) * (p1 % b)) % b) * b)) % m) AS h1x FROM pa0, c),
+        | pa2 AS (SELECT i, (((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 % b) + ((((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 // b) + (((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) // b) * (p2 % b)) % b) * b)) % m + p3) % m AS h2 FROM pa1, c),
+        | pa3 AS (SELECT i, xor(h2, h2 // 8589934592) AS x1 FROM pa2),
+        | pa4 AS (SELECT i, ((x1 % b) * (p2 % b) + ((((x1 % b) * (p2 // b) + (x1 // b) * (p2 % b)) % b) * b)) % m AS x2 FROM pa3, c),
+        | pa5 AS (SELECT i, xor(x2, x2 // 536870912) AS x3 FROM pa4),
+        | pa6 AS (SELECT i, ((x3 % b) * (p3 % b) + ((((x3 % b) * (p3 // b) + (x3 // b) * (p3 % b)) % b) * b)) % m AS x4 FROM pa5, c),
+        | paf AS (SELECT i, xor(x4, x4 // 4294967296) AS h FROM pa6),
+        | pj AS (SELECT paf.i, paf.h AS seed, unnest(generate_series(0, 63)) AS j FROM paf),
+        | pb0 AS (SELECT i, j, CAST(j AS HUGEINT) AS hin, (seed + p5 + 4) % m AS h0 FROM pj, c),
+        | pb1 AS (SELECT i, j, xor(h0, ((hin % b) * (p1 % b) + ((((hin % b) * (p1 // b) + (hin // b) * (p1 % b)) % b) * b)) % m) AS h1x FROM pb0, c),
+        | pb2 AS (SELECT i, j, (((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 % b) + ((((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 // b) + (((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) // b) * (p2 % b)) % b) * b)) % m + p3) % m AS h2 FROM pb1, c),
+        | pb3 AS (SELECT i, j, xor(h2, h2 // 8589934592) AS x1 FROM pb2),
+        | pb4 AS (SELECT i, j, ((x1 % b) * (p2 % b) + ((((x1 % b) * (p2 // b) + (x1 // b) * (p2 % b)) % b) * b)) % m AS x2 FROM pb3, c),
+        | pb5 AS (SELECT i, j, xor(x2, x2 // 536870912) AS x3 FROM pb4),
+        | pb6 AS (SELECT i, j, ((x3 % b) * (p3 % b) + ((((x3 % b) * (p3 // b) + (x3 // b) * (p3 % b)) % b) * b)) % m AS x4 FROM pb5, c),
+        | pbf AS (SELECT i, j, xor(x4, x4 // 4294967296) AS h FROM pb6),
+        | sg AS MATERIALIZED (SELECT i, list(CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY j) AS s
+        |   FROM pbf GROUP BY i),
+        | emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        |   WHERE list_dot_product(v, v) > 0),
+        | bk AS MATERIALIZED (SELECT vec_id, v, nrm,
+        |   CAST(SUM(CASE WHEN list_dot_product(v, sg.s) > 0
+        |     THEN CAST(1 AS BIGINT) << CAST(sg.i AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+        |   FROM nn, sg GROUP BY vec_id, v, nrm),
+        | qv AS (SELECT * FROM bk WHERE vec_id < 5),
+        | jn AS (SELECT q.vec_id AS q_id, cd.vec_id AS c_id,
+        |   ROUND(list_dot_product(q.v, cd.v)/(q.nrm*cd.nrm), 6) AS cos
+        |   FROM qv q JOIN bk cd ON q.bucket = cd.bucket),
+        | rk AS (SELECT q_id, c_id, cos,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+        |   FROM jn)
+        |SELECT q_id, c_id, cos, rk FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    // exact replay of s5 (r12): s2's pipeline + multi-probe — per
+    // query the |margin|-ascending bit order (ties by bit index,
+    // Spark's struct-sort rule) picks the 3 cheapest bits to flip;
+    // probe buckets are primary ^ 1<<bit, pairwise distinct so each
+    // (q, c) pair matches once, exactly as lshProbeBuckets documents.
+    "s5_lsh_multiprobe" ->
+      """WITH c(b, m, p1, p2, p3, p4, p5) AS (
+        |  SELECT CAST('4294967296' AS HUGEINT), CAST('18446744073709551616' AS HUGEINT),
+        |         CAST('11400714785074694791' AS HUGEINT), CAST('14029467366897019727' AS HUGEINT),
+        |         CAST('1609587929392839161' AS HUGEINT), CAST('9650029242287828579' AS HUGEINT),
+        |         CAST('2870177450012600261' AS HUGEINT)),
+        | pl AS (SELECT unnest(generate_series(0, 7)) AS i),
+        | pa0 AS (SELECT i, CAST(i AS HUGEINT) AS hin, (42 + p5 + 4) % m AS h0 FROM pl, c),
+        | pa1 AS (SELECT i, xor(h0, ((hin % b) * (p1 % b) + ((((hin % b) * (p1 // b) + (hin // b) * (p1 % b)) % b) * b)) % m) AS h1x FROM pa0, c),
+        | pa2 AS (SELECT i, (((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 % b) + ((((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 // b) + (((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) // b) * (p2 % b)) % b) * b)) % m + p3) % m AS h2 FROM pa1, c),
+        | pa3 AS (SELECT i, xor(h2, h2 // 8589934592) AS x1 FROM pa2),
+        | pa4 AS (SELECT i, ((x1 % b) * (p2 % b) + ((((x1 % b) * (p2 // b) + (x1 // b) * (p2 % b)) % b) * b)) % m AS x2 FROM pa3, c),
+        | pa5 AS (SELECT i, xor(x2, x2 // 536870912) AS x3 FROM pa4),
+        | pa6 AS (SELECT i, ((x3 % b) * (p3 % b) + ((((x3 % b) * (p3 // b) + (x3 // b) * (p3 % b)) % b) * b)) % m AS x4 FROM pa5, c),
+        | paf AS (SELECT i, xor(x4, x4 // 4294967296) AS h FROM pa6),
+        | pj AS (SELECT paf.i, paf.h AS seed, unnest(generate_series(0, 63)) AS j FROM paf),
+        | pb0 AS (SELECT i, j, CAST(j AS HUGEINT) AS hin, (seed + p5 + 4) % m AS h0 FROM pj, c),
+        | pb1 AS (SELECT i, j, xor(h0, ((hin % b) * (p1 % b) + ((((hin % b) * (p1 // b) + (hin // b) * (p1 % b)) % b) * b)) % m) AS h1x FROM pb0, c),
+        | pb2 AS (SELECT i, j, (((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 % b) + ((((((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) % b) * (p2 // b) + (((((h1x) * 8388608) % m) + ((h1x) // 2199023255552)) // b) * (p2 % b)) % b) * b)) % m + p3) % m AS h2 FROM pb1, c),
+        | pb3 AS (SELECT i, j, xor(h2, h2 // 8589934592) AS x1 FROM pb2),
+        | pb4 AS (SELECT i, j, ((x1 % b) * (p2 % b) + ((((x1 % b) * (p2 // b) + (x1 // b) * (p2 % b)) % b) * b)) % m AS x2 FROM pb3, c),
+        | pb5 AS (SELECT i, j, xor(x2, x2 // 536870912) AS x3 FROM pb4),
+        | pb6 AS (SELECT i, j, ((x3 % b) * (p3 % b) + ((((x3 % b) * (p3 // b) + (x3 // b) * (p3 % b)) % b) * b)) % m AS x4 FROM pb5, c),
+        | pbf AS (SELECT i, j, xor(x4, x4 // 4294967296) AS h FROM pb6),
+        | sg AS MATERIALIZED (SELECT i, list(CASE WHEN h % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY j) AS s
+        |   FROM pbf GROUP BY i),
+        | emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM emb
+        |   WHERE list_dot_product(v, v) > 0),
+        | bk AS MATERIALIZED (SELECT vec_id, v, nrm,
+        |   CAST(SUM(CASE WHEN list_dot_product(v, sg.s) > 0
+        |     THEN CAST(1 AS BIGINT) << CAST(sg.i AS INTEGER) ELSE 0 END) AS BIGINT) AS bucket
+        |   FROM nn, sg GROUP BY vec_id, v, nrm),
+        | qv AS (SELECT * FROM bk WHERE vec_id < 5),
+        | qm AS (SELECT qv.vec_id, sg.i, abs(list_dot_product(qv.v, sg.s)) AS am
+        |   FROM qv, sg),
+        | qo AS (SELECT vec_id, list(i ORDER BY am, i) AS ord FROM qm GROUP BY vec_id),
+        | qp AS (SELECT q.vec_id, q.v, q.nrm, unnest([q.bucket,
+        |     xor(q.bucket, CAST(1 AS BIGINT) << CAST(o.ord[1] AS INTEGER)),
+        |     xor(q.bucket, CAST(1 AS BIGINT) << CAST(o.ord[2] AS INTEGER)),
+        |     xor(q.bucket, CAST(1 AS BIGINT) << CAST(o.ord[3] AS INTEGER))]) AS pb
+        |   FROM qv q JOIN qo o ON q.vec_id = o.vec_id),
+        | jn AS (SELECT q.vec_id AS q_id, cd.vec_id AS c_id,
+        |   ROUND(list_dot_product(q.v, cd.v)/(q.nrm*cd.nrm), 6) AS cos
+        |   FROM qp q JOIN bk cd ON q.pb = cd.bucket),
+        | rk AS (SELECT q_id, c_id, cos,
+        |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
+        |   FROM jn)
+        |SELECT q_id, c_id, cos, rk FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
 
     // mirrors Bm25.topK op-for-op: same tokenization, same rational
     // idf and k1/b saturation with literal-identical constants, same

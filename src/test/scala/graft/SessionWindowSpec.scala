@@ -33,6 +33,30 @@ class SessionWindowSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sessionStats (session_window) ≡ gaps-and-islands rollup") {
+    // e2's r12 delegation to the built-in: per-user (n_sessions,
+    // n_events, max_session_events) must equal the lag/cumsum
+    // formulation's rollup on a corpus exercising the exact-gap merge
+    // and multi-session users. event_id present for sessionize's
+    // deterministic tiebreak.
+    val df = evs.zipWithIndex
+      .map { case ((u, t, v), i) => (u, t, v, i.toLong) }
+      .toDF("user_id", "ts", "value", "event_id")
+    val got = EventStreams.sessionStats(df)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = EventStreams.sessionize(df)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+        org.apache.spark.sql.functions.sum("n").cast("long").as("n_events"),
+        org.apache.spark.sql.functions.max("n").as("max_session_events"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("sessionWindowsStreaming closes the same sessions the batch form builds") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
