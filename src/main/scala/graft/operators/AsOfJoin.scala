@@ -93,9 +93,9 @@ object AsOfJoin {
           lit(sampleRows(idx).get(j)).as(c)
         }: _*))
       }
-    val bucket =
-      if (cuts.isEmpty) lit(0)
-      else cuts.map(b => when(okey >= b, 1).otherwise(0)).reduce(_ + _)
+    // binary-search when-tree (RangeCuts, r12): 5 struct compares/row
+    // instead of 31 — same count-of-cuts-<=-key function
+    val bucket = RangeCuts.bucketOf(okey, cuts.toIndexedSeq)
     val bucketed = u.withColumn("__b", bucket)
 
     // 1. within-(bucket, key) running last — bounded by bucket size

@@ -122,9 +122,7 @@ object PrefixSum {
     // free when the plan drops out of scope; the literal boundaries
     // additionally guarantee both passes agree even if a caller
     // re-executes).
-    val bucket =
-      if (cuts.isEmpty) lit(0)
-      else cuts.map(b => when(key >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucket = RangeCuts.bucketOf(key, cuts.toIndexedSeq)
     val bucketed = src.withColumn("__b", bucket)
       .repartition(nPart, col("__b"))
       .sortWithinPartitions((col("__b") +: orderCols.map(col)): _*)
@@ -209,9 +207,7 @@ object PrefixSum {
           lit(sampleRows(idx).get(j)).as(c)
         }: _*))
       }
-    val bucket =
-      if (cuts.isEmpty) lit(0)
-      else cuts.map(b => when(key >= b, 1).otherwise(0)).reduce(_ + _)
+    val bucket = RangeCuts.bucketOf(key, cuts.toIndexedSeq)
     val bucketed = src.withColumn("__b", bucket)
       .repartition(nPart, col("__b"))
       .sortWithinPartitions((col("__b") +: allOrder.map(col)): _*)
