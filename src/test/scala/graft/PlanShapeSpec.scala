@@ -110,6 +110,28 @@ class PlanShapeSpec extends SparkSpec {
         .mkString("\n"))
   }
 
+  test("corpus-mix BUCKETED branch keeps its two-level shape") {
+    // the golden map pins t10's small-corpus N=1 path; this pins the
+    // SCALE path (explicit numBuckets) so the two-level cumsum can't
+    // silently regress to a stratum-keyed window while autoBuckets
+    // hides it at spec SF. 3 windows = within-(stratum,bucket) cumsum
+    // (appears in both the offsets and join branches — column pruning
+    // defeats static exchange reuse) + the tiny per-stratum offset
+    // prefix; every one bounded.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.CorpusMix
+    import graft.functions.TextOps
+    val docs = graft.ql.t(spark, sfDir, "documents")
+      .withColumn("toks", TextOps.wsTokenCount(col("text")))
+    val bucketed = CorpusMix.tokenBudgetSample(docs, "lang", "doc_id",
+      "toks", Map("en" -> 4000L), defaultBudget = 500L, numBuckets = 1024)
+    assert(shape(bucketed) === ((4, 1, 3, 2)) ||
+      shape(bucketed) === ((5, 1, 3, 2)),
+      s"bucketed corpus-mix shape drifted: ${shape(bucketed)}")
+    val nodes = flatten(bucketed.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[WindowExec]) === 3)
+  }
+
   test("keep-first family plans contain no WindowExec at all") {
     for (name <- Seq("t30_paragraph_dedup", "t25_novelty",
         "p1_corpus_pipeline", "p7_crawl_pipeline", "q_cdc_upsert")) {
