@@ -82,12 +82,14 @@ object ScaleDataGen {
   }
 
   def replicate(spark: SparkSession, srcDir: String, name: String,
-                keys: Seq[String], mult: Int): DataFrame = {
+                keys: Seq[String], mult: Int,
+                perCopy: (DataFrame, Int) => DataFrame = (d, _) => d)
+      : DataFrame = {
     val src = spark.read.parquet(s"$srcDir/$name.parquet")
     (0 until mult).map { i =>
-      keys.foldLeft(src)((d, k) =>
+      perCopy(keys.foldLeft(src)((d, k) =>
         d.withColumn(k, (col(k) + lit(i.toLong * Stride)).cast(
-          src.schema(k).dataType)))
+          src.schema(k).dataType))), i)
     }.reduce(_ unionByName _)
   }
 
@@ -111,7 +113,17 @@ object ScaleDataGen {
       "customer")
     write(replicate(spark, srcDir, "supplier", Seq("s_suppkey"), mult),
       "supplier")
-    write(replicate(spark, srcDir, "part", Seq("p_partkey"), mult), "part")
+    // tag the LAST word of p_name per copy (copy 0 verbatim): without
+    // it, key-shifted copies share names and q_entity_resolution's
+    // (noun, size) blocks grow mult× → ~mult² candidate pairs — a
+    // replication artifact, not a plan property. Suffixing the noun
+    // keeps each copy's blocks sf0.1-sized (linear pair growth) while
+    // leaving every other p_name consumer (prefix/type filters)
+    // untouched.
+    write(replicate(spark, srcDir, "part", Seq("p_partkey"), mult,
+      (d, i) => if (i == 0) d
+        else d.withColumn("p_name", concat(col("p_name"), lit("x"), lit(i)))),
+      "part")
     write(replicate(spark, srcDir, "orders",
       Seq("o_orderkey", "o_custkey"), mult), "orders")
     write(replicate(spark, srcDir, "lineitem",

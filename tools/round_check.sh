@@ -27,4 +27,29 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_RUNS=1 \
   sbt -batch "runMain graft.Bench" > /dev/null
 grep -o '"metric":"total","value":[0-9.]*' /tmp/round_check_bench.json
 
-echo "ROUND CHECK GREEN"
+echo "== 5/5 plan audit (unpartitioned windows / cartesians / BNLJ drift) =="
+# the 13 flagged queries are the documented 1-row-scalar broadcast
+# nested loops (global aggregates joined back); anything NEW flagged
+# here is a plan regression the golden specs didn't cover
+sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01" 2>/dev/null \
+  | grep -o 'AUDIT [a-z0-9_]*:.*' | sort > /tmp/plan_audit_now.txt
+cat > /tmp/plan_audit_allow.txt <<'ALLOW'
+AUDIT d10_triangles: BroadcastNestedLoopJoin
+AUDIT k4_area_derivation: BroadcastNestedLoopJoin
+AUDIT q11_important_parts: BroadcastNestedLoopJoin
+AUDIT q22_idle_customers: BroadcastNestedLoopJoin
+AUDIT q_decile_bucket: BroadcastNestedLoopJoin
+AUDIT s10_bm25_queries: BroadcastNestedLoopJoin
+AUDIT s11_hybrid_fusion: BroadcastNestedLoopJoin
+AUDIT s1_cosine_topk: BroadcastNestedLoopJoin
+AUDIT s4_ivf_label: BroadcastNestedLoopJoin
+AUDIT s6_pq_ann: BroadcastNestedLoopJoin
+AUDIT s8_bm25: BroadcastNestedLoopJoin
+AUDIT s9_rrf_fusion: BroadcastNestedLoopJoin
+AUDIT t26_dsir: BroadcastNestedLoopJoin
+ALLOW
+if ! diff -u /tmp/plan_audit_allow.txt /tmp/plan_audit_now.txt; then
+  echo "PLAN AUDIT DRIFT (see diff above)"; exit 1
+fi
+
+echo "ROUND CHECK GREEN (incl. plan audit)"
