@@ -32,7 +32,8 @@ echo "== 5/5 plan audit (unpartitioned windows / cartesians / BNLJ drift) =="
 # nested loops (global aggregates joined back); anything NEW flagged
 # here is a plan regression the golden specs didn't cover
 sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01" 2>/dev/null \
-  | grep -o 'AUDIT [a-z0-9_]*:.*' | sort > /tmp/plan_audit_now.txt
+  | grep -o 'AUDIT [a-z0-9_]*:.*' | grep -v '^AUDIT done:' \
+  | sort > /tmp/plan_audit_now.txt
 cat > /tmp/plan_audit_allow.txt <<'ALLOW'
 AUDIT d10_triangles: BroadcastNestedLoopJoin
 AUDIT k4_area_derivation: BroadcastNestedLoopJoin
