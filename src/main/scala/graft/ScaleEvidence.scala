@@ -893,6 +893,98 @@ object ScaleEvidenceCrawl {
   }
 }
 
+/** 1M-URL crawl-frontier evidence (r12): the StreamingFrontierSpec
+  * loop body — canonicalize → bloom-gate against the persisted
+  * frontier → emit only definitely-new work → OR-merge the batch's
+  * keys — driven over four 250k-URL batches with 20% cross-batch
+  * replays and per-URL chrome variants (case/www/:443/tracking/
+  * fragment). Measures per-batch wall time, end-to-end throughput,
+  * and the contract numbers: zero replayed URLs re-emitted (bloom
+  * false negatives are impossible) and fpp-bounded lost work. */
+object ScaleEvidenceFrontier {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(1000000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.TextOps
+    import graft.operators.BloomMembership
+
+    val nBatch = 4
+    val per = n / nBatch
+    // page id: 80% fresh per batch, 20% replayed from the previous
+    // batch's id space; chrome varies per row so the RAW strings never
+    // repeat — only canonicalization collapses them
+    def batchDf(b: Int) = {
+      val fresh = pmod(xxhash64(lit("u"), col("id")), lit(per.toLong)) +
+        (b.toLong * per)
+      val replay = pmod(xxhash64(lit("r"), col("id")), lit(per.toLong)) +
+        (math.max(0, b - 1).toLong * per)
+      val page = when(pmod(col("id"), lit(5)) === 0 && lit(b) > 0, replay)
+        .otherwise(fresh)
+      val chrome = pmod(xxhash64(lit("c"), col("id"), lit(b)), lit(4))
+      spark.range(per).select(concat(
+        when(chrome === 0, "https://WWW.Site.com:443/p/")
+          .when(chrome === 1, "https://site.com/p/")
+          .when(chrome === 2, "HTTPS://site.com/p/")
+          .otherwise("https://www.site.com/p/"),
+        page.cast("string"),
+        when(chrome === 0, "?utm_source=x#top")
+          .when(chrome === 2, "?ref=tw").otherwise("")).as("url"))
+    }
+
+    var bloomBytes: Array[Byte] = null
+    var emitted = 0L
+    var tTotal = 0.0
+    for (b <- 0 until nBatch) {
+      val (cnt, tB) = timed {
+        val canon = batchDf(b)
+          .select(TextOps.canonicalizeUrl(col("url")).as("canon_url"))
+          .dropDuplicates("canon_url")
+        val bloomDf =
+          if (bloomBytes == null)
+            canon.limit(0).select(lit(null).cast("binary").as("bloom"))
+          else {
+            import spark.implicits._
+            Seq(Option(bloomBytes)).toDF("bloom")
+          }
+        val fresh = BloomMembership.definitelyNew(canon, bloomDf, "canon_url")
+          .localCheckpoint(true)
+        val c = fresh.count()
+        val nb = BloomMembership.sketch(fresh, "canon_url", n.toLong, 0.01)
+          .head().getAs[Array[Byte]](0)
+        bloomBytes = if (bloomBytes == null) nb
+          else BloomMembership.merge(bloomBytes, nb)
+        c
+      }
+      emitted += cnt; tTotal += tB
+      println(f"[frontier] batch $b: $per%,d raw urls -> $cnt%,d fresh " +
+        f"fetches in ${tB}%.1f s")
+    }
+    // distinct canonical pages actually presented across all batches
+    val expected = (0 until nBatch).map(batchDf)
+      .reduce(_ unionByName _)
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .distinct().count()
+    val lostPpm = (expected - emitted) * 1000000.0 / expected
+    assert(emitted <= expected, "frontier re-emitted a seen URL")
+    println(f"[frontier] total: $n%,d raw urls / $nBatch batches in " +
+      f"${tTotal}%.1f s = ${n / tTotal}%,.0f urls/s; emitted " +
+      f"$emitted%,d of $expected%,d distinct canonical pages " +
+      f"(lost-to-fpp ${lostPpm}%.0f ppm, fpp budget 10000 ppm); " +
+      "zero re-emits by construction (no bloom false negatives)")
+    spark.stop()
+  }
+}
+
 /** 1M-doc evidence for the two r11 packing/write surfaces VERDICT r11
   * item 5 asked after: first-fit-decreasing shard packing (wall time,
   * per-shard open-bin distribution — the linear-scan state the FFD
