@@ -52,6 +52,20 @@ object ShardSink {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** Trainer-side RESUME read: shard `shard`'s rows with rank >
+    * `afterRank`, in training order — the restart contract the
+    * (rank, id) file order exists for. The rank predicate reaches the
+    * parquet scan (`PushedFilters`), so a resume deep into a shard
+    * skips whole row groups by min/max stats instead of scanning from
+    * the top — at a 100 TB corpus that is the difference between a
+    * restart costing seconds and costing a full-shard read
+    * (ShardSinkSpec asserts both the pushdown and the order). */
+  def resumeShard(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                  shard: Int, afterRank: Long): DataFrame =
+    spark.read.parquet(s"$outDir/shard=$shard")
+      .filter(col("rk") > afterRank)
+      .sort("rk")
+
   /** Per-shard manifest of a written shard set, computed by re-reading
     * `outDir` — (n_docs, head_doc, order-independent modular checksum)
     * per shard, the integrity record a training launcher checks before

@@ -76,6 +76,26 @@ class ShardSinkSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("resumeShard: suffix in training order, rank predicate pushed down") {
+    val outDir = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    ShardSink.writeShards(docs, "doc_id", outDir, numShards)
+    val s = 3
+    val full = spark.read
+      .parquet(listShardFiles(outDir)(s.toLong).head.getAbsolutePath)
+      .select("rk", "doc_id").as[(Long, Long)].collect().toSeq
+    val cut = full(full.size / 2)._1
+    val resumed = ShardSink.resumeShard(spark, outDir, s, afterRank = cut)
+      .select("rk", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(resumed === full.filter(_._1 > cut),
+      "resume must be exactly the in-order suffix after the cut rank")
+    // the rank filter must reach the parquet scan (row-group skipping
+    // at scale — a resume must not re-read the shard from the top)
+    val plan = ShardSink.resumeShard(spark, outDir, s, cut)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(rk"),
+      s"rank predicate not pushed to the scan:\n$plan")
+  }
+
   test("deterministic under parallelism: 1-partition rewrite is identical") {
     val outA = Files.createTempDirectory("shards").toFile.getAbsolutePath
     val outB = Files.createTempDirectory("shards").toFile.getAbsolutePath
