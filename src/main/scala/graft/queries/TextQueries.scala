@@ -620,6 +620,73 @@ object TextQueries {
           t(s, d, "documents"), "doc_id", "text",
           targetPred = col("lang") === "en", nBuckets = 4096, topK = 100)
         .orderBy("doc_id")
+    },
+
+    // mergeable quantile sketch (DDSketch/HdrHistogram family, r13):
+    // per-language p50/p90/p99 of document length through the
+    // power-of-2 log-linear sketch — the 100 TB path where t20's
+    // exact bracket passes give way to a ≤2k-row mergeable bucket
+    // table per group. Bucketing is INTEGER (length(bin(x)), shifts),
+    // representatives are dyadic rationals: engine-exact, so unlike
+    // approx_percentile this sketch carries a full DuckDB oracle.
+    // Error contract vs the exact order statistic: ≤ 2^-6 ≈ 1.6 %
+    // relative (QuantileSketchSpec gates it).
+    "t34_sketch_quantiles" -> { (s, d) =>
+      graft.operators.QuantileSketch.groupQuantiles(
+          t(s, d, "documents").select(col("lang"), col("n_chars")),
+          Seq("lang"), "n_chars",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99), subBits = 5)
+        .select(col("lang"), col("p50"), col("p90"), col("p99"))
+        .orderBy("lang")
+    },
+
+    // Gopher document-shape rules (Rae et al. 2021, Table A1) — the
+    // structural complement to t17's repetition rules: word-count
+    // bounds, mean-word-length band, symbol-to-word ratios (# and
+    // ellipsis), bullet/ellipsis line ratios, ≥80 % alphabetic words,
+    // ≥2 required stop words. Pure length/replace/filter arithmetic →
+    // map-side only (one explode-free pass; the word-level alpha test
+    // rides on the already-split array), bit-exact in the oracle.
+    "t33_gopher_rules" -> { (s, d) =>
+      val words = split(trim(col("text")), " +")
+      val nWords = size(words).cast("long")
+      val nLines = (length(col("text")) -
+        length(replace(col("text"), lit("\n"), lit(""))) + 1).cast("long")
+      def nOcc(sub: String) = TextOps.countOccurrences(col("text"), sub)
+      val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+      val bulletLines = (size(filter(split(col("text"), "\n"),
+        l => trim(l).startsWith("-") || trim(l).startsWith("*"))))
+        .cast("long")
+      val ellipsisLines = (size(filter(split(col("text"), "\n"),
+        l => trim(l).endsWith("..."))))
+        .cast("long")
+      val stops = Seq(" the ", " be ", " to ", " of ", " and ", " that ",
+        " have ", " with ").map(nOcc).reduce(_ + _)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_words", nWords)
+        .withColumn("mean_wlen",
+          length(replace(col("text"), lit(" "), lit(""))).cast("double") /
+            greatest(col("n_words"), lit(1L)).cast("double"))
+        .withColumn("hash_ratio",
+          nOcc("#").cast("double") / greatest(nWords, lit(1L)).cast("double"))
+        .withColumn("ellipsis_ratio",
+          nOcc("...").cast("double") / greatest(nWords, lit(1L)).cast("double"))
+        .withColumn("alpha_frac",
+          alphaWords.cast("double") / greatest(nWords, lit(1L)).cast("double"))
+        .withColumn("bullet_frac",
+          bulletLines.cast("double") / nLines.cast("double"))
+        .withColumn("ellipsis_line_frac",
+          ellipsisLines.cast("double") / nLines.cast("double"))
+        .withColumn("n_stops", stops)
+        .withColumn("keep",
+          col("n_words") >= 50 && col("n_words") <= 100000 &&
+            col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
+            col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
+            col("bullet_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3 &&
+            col("alpha_frac") >= 0.8 && col("n_stops") >= 2)
+        .drop("text")
+        .orderBy("doc_id")
     }
   )
 
@@ -682,6 +749,83 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "t23_bpe" -> bpeOracleSql(5),
     "t27_bpe_encode" -> bpeEncodeOracleSql(5),
+
+    // replays QuantileSketch's power-of-2 log-linear bucketing
+    // exactly: bucket = integer (bin-length, shift) math; the
+    // representative is a dyadic rational, identical IEEE evaluation
+    // in both engines (the reason this sketch is oracle-able and
+    // approx_percentile is not — see QuantileSketch scaladoc)
+    "t34_sketch_quantiles" -> {
+      def bkt(v: String) =
+        s"""CASE WHEN $v <= 0 THEN -1
+           |  ELSE CAST((length(bin($v)) - 1) * 32
+           |    + (($v * 32) >> (length(bin($v)) - 1)) - 32 AS INT) END""".stripMargin
+      def pick(q: Double, name: String) =
+        s"""MIN(CASE WHEN cum >= CAST(FLOOR($q * (n - 1)) AS BIGINT) + 1
+           |  THEN bucket END) AS $name""".stripMargin
+      def rep(b: String, name: String) =
+        s"""CASE WHEN $b < 0 THEN 0.0
+           |  ELSE pow(2.0, $b // 32) * (1.0 + (($b % 32) + 0.5) / 32.0)
+           |  END AS $name""".stripMargin
+      s"""WITH b AS (
+         |  SELECT lang, ${bkt("n_chars")} AS bucket, COUNT(*) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         | c AS (
+         |  SELECT lang, bucket, cnt,
+         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    SUM(cnt) OVER (PARTITION BY lang) AS n
+         |  FROM b),
+         | p AS (
+         |  SELECT lang, ${pick(0.5, "b50")}, ${pick(0.9, "b90")},
+         |    ${pick(0.99, "b99")}
+         |  FROM c GROUP BY lang)
+         |SELECT lang, ${rep("b50", "p50")}, ${rep("b90", "p90")},
+         |  ${rep("b99", "p99")}
+         |FROM p ORDER BY lang""".stripMargin
+    },
+
+    // t33: same length/replace/list arithmetic as the Spark side;
+    // all ratio denominators cast to DOUBLE before dividing so the
+    // IEEE evaluation order matches column-for-column
+    "t33_gopher_rules" -> {
+      val nWords = "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)"
+      val nLines = s"CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT)"
+      val denomW = s"CAST(GREATEST($nWords, 1) AS DOUBLE)"
+      val stops = Seq(" the " -> 5, " be " -> 4, " to " -> 4, " of " -> 4,
+        " and " -> 5, " that " -> 6, " have " -> 6, " with " -> 6)
+        .map { case (sb, l) => occ(sb, l) }.mkString("(", " + ", ")")
+      s"""SELECT doc_id,
+         |  $nWords AS n_words,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / $denomW AS mean_wlen,
+         |  CAST(${occ("#", 1)} AS DOUBLE) / $denomW AS hash_ratio,
+         |  CAST(${occ("...", 3)} AS DOUBLE) / $denomW AS ellipsis_ratio,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / $denomW
+         |    AS alpha_frac,
+         |  CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+         |    AS DOUBLE) / CAST($nLines AS DOUBLE) AS bullet_frac,
+         |  CAST(len(list_filter(string_split(text, chr(10)),
+         |      l -> ends_with(trim(l), '...'))) AS DOUBLE)
+         |    / CAST($nLines AS DOUBLE) AS ellipsis_line_frac,
+         |  CAST($stops AS BIGINT) AS n_stops,
+         |  ($nWords >= 50 AND $nWords <= 100000
+         |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / $denomW >= 3.0
+         |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / $denomW <= 10.0
+         |    AND CAST(${occ("#", 1)} AS DOUBLE) / $denomW <= 0.1
+         |    AND CAST(${occ("...", 3)} AS DOUBLE) / $denomW <= 0.1
+         |    AND CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+         |      AS DOUBLE) / CAST($nLines AS DOUBLE) <= 0.9
+         |    AND CAST(len(list_filter(string_split(text, chr(10)),
+         |        l -> ends_with(trim(l), '...'))) AS DOUBLE)
+         |      / CAST($nLines AS DOUBLE) <= 0.3
+         |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / $denomW >= 0.8
+         |    AND CAST($stops AS BIGINT) >= 2) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // mirrors Dsir.importanceSelect bit-for-bit: same fingerprint fold
     // (t4's convention), same add-one-smoothed ppm integer ratios
