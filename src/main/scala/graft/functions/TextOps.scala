@@ -169,4 +169,43 @@ object TextOps {
     concat(scheme, lit("://"), host, path,
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
   }
+
+  /** Gopher document-shape metrics (Rae et al. 2021, Table A1) as a
+    * single struct — the structural complement to the t17 repetition
+    * rules: word-count band, mean-word-length band, symbol ratios,
+    * bullet/ellipsis line fractions, alphabetic-word floor, stop-word
+    * floor, plus the composite `keep`. One map-side pass, no shuffle;
+    * shared verbatim by the t33 catalog query (whose DuckDB oracle
+    * replays each field) and the streaming ingest quality gate. */
+  def gopherShape(text: Column): Column = {
+    val words = split(trim(text), " +")
+    val nWords = size(words).cast("long")
+    val denomW = greatest(nWords, lit(1L)).cast("double")
+    val nLines = (length(text) -
+      length(replace(text, lit("\n"), lit(""))) + 1).cast("long")
+    val meanWlen =
+      length(replace(text, lit(" "), lit(""))).cast("double") / denomW
+    val hashRatio = countOccurrences(text, "#").cast("double") / denomW
+    val ellipsisRatio = countOccurrences(text, "...").cast("double") / denomW
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("long").cast("double") / denomW
+    val bulletFrac = size(filter(split(text, "\n"),
+        l => trim(l).startsWith("-") || trim(l).startsWith("*")))
+      .cast("long").cast("double") / nLines.cast("double")
+    val ellipsisLineFrac = size(filter(split(text, "\n"),
+        l => trim(l).endsWith("...")))
+      .cast("long").cast("double") / nLines.cast("double")
+    val nStops = Seq(" the ", " be ", " to ", " of ", " and ", " that ",
+      " have ", " with ").map(countOccurrences(text, _)).reduce(_ + _)
+    val keep = nWords >= 50 && nWords <= 100000 &&
+      meanWlen >= 3.0 && meanWlen <= 10.0 &&
+      hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisLineFrac <= 0.3 &&
+      alphaFrac >= 0.8 && nStops >= 2
+    struct(nWords.as("n_words"), meanWlen.as("mean_wlen"),
+      hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      alphaFrac.as("alpha_frac"), bulletFrac.as("bullet_frac"),
+      ellipsisLineFrac.as("ellipsis_line_frac"), nStops.as("n_stops"),
+      keep.as("keep"))
+  }
 }

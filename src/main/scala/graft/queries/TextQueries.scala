@@ -648,44 +648,9 @@ object TextQueries {
     // map-side only (one explode-free pass; the word-level alpha test
     // rides on the already-split array), bit-exact in the oracle.
     "t33_gopher_rules" -> { (s, d) =>
-      val words = split(trim(col("text")), " +")
-      val nWords = size(words).cast("long")
-      val nLines = (length(col("text")) -
-        length(replace(col("text"), lit("\n"), lit(""))) + 1).cast("long")
-      def nOcc(sub: String) = TextOps.countOccurrences(col("text"), sub)
-      val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
-      val bulletLines = (size(filter(split(col("text"), "\n"),
-        l => trim(l).startsWith("-") || trim(l).startsWith("*"))))
-        .cast("long")
-      val ellipsisLines = (size(filter(split(col("text"), "\n"),
-        l => trim(l).endsWith("..."))))
-        .cast("long")
-      val stops = Seq(" the ", " be ", " to ", " of ", " and ", " that ",
-        " have ", " with ").map(nOcc).reduce(_ + _)
       t(s, d, "documents")
-        .select(col("doc_id"), col("text"))
-        .withColumn("n_words", nWords)
-        .withColumn("mean_wlen",
-          length(replace(col("text"), lit(" "), lit(""))).cast("double") /
-            greatest(col("n_words"), lit(1L)).cast("double"))
-        .withColumn("hash_ratio",
-          nOcc("#").cast("double") / greatest(nWords, lit(1L)).cast("double"))
-        .withColumn("ellipsis_ratio",
-          nOcc("...").cast("double") / greatest(nWords, lit(1L)).cast("double"))
-        .withColumn("alpha_frac",
-          alphaWords.cast("double") / greatest(nWords, lit(1L)).cast("double"))
-        .withColumn("bullet_frac",
-          bulletLines.cast("double") / nLines.cast("double"))
-        .withColumn("ellipsis_line_frac",
-          ellipsisLines.cast("double") / nLines.cast("double"))
-        .withColumn("n_stops", stops)
-        .withColumn("keep",
-          col("n_words") >= 50 && col("n_words") <= 100000 &&
-            col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0 &&
-            col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
-            col("bullet_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3 &&
-            col("alpha_frac") >= 0.8 && col("n_stops") >= 2)
-        .drop("text")
+        .select(col("doc_id"), TextOps.gopherShape(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
         .orderBy("doc_id")
     }
   )

@@ -52,6 +52,22 @@ object ShardSink {
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
+  /** Incremental form of [[writeShards]] for the streaming ingest
+    * loop (CorpusIngest): each call APPENDS one file per touched
+    * shard; within each file the (rk, id) training order holds, and
+    * `resumeShard`'s sort merges files back into global shard order.
+    * Same permutation constants, so manifests over the union match a
+    * one-shot write of the union row-for-row. */
+  def appendShards(df: DataFrame, idCol: String, outDir: String,
+                   numShards: Int = 16): Unit = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    df.withColumn("rk", rank(col(idCol)))
+      .withColumn("shard", pmod(col("rk"), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("rk"), col(idCol))
+      .write.mode("append").partitionBy("shard").parquet(outDir)
+  }
+
   /** Trainer-side RESUME read: shard `shard`'s rows with rank >
     * `afterRank`, in training order — the restart contract the
     * (rank, id) file order exists for. The rank predicate reaches the
