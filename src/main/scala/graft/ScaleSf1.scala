@@ -160,6 +160,13 @@ object ScaleEvidenceSf1 {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("target/sf1")
     val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    // 4th arg: "all" = full catalog (the r12 full-size datapoint),
+    // or a comma-separated query list; default = the Heavy golden set
+    val set: Seq[String] = args.lift(3) match {
+      case Some("all") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(csv) => csv.split(",").toSeq
+      case None => Heavy
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -191,7 +198,7 @@ object ScaleEvidenceSf1 {
     hygiene()
     println(f"${"query"}%-24s ${"sf0.1"}%8s ${"sf1"}%8s ${"ratio"}%7s  verdict")
     var worst = 0.0
-    Heavy.foreach { name =>
+    set.foreach { name =>
       val a = median(name, small)
       val b = median(name, big)
       val ratio = if (a > 0 && b > 0) b / a else -1.0

@@ -94,7 +94,16 @@ class PlanShapeSpec extends SparkSpec {
     // carry over ≤ nPart boundary rows); 0 scans because the tagged
     // union reads localCheckpointed blocks.
     "q_cdc_upsert" -> (3, 1, 0, 3),
-    "q_asof_join" -> (4, 1, 2, 0)
+    "q_asof_join" -> (4, 1, 2, 0),
+    // ---- r13 additions. t33: one map-side pass + the output sort —
+    // a second shuffle/scan would mean the struct got recomputed per
+    // field. t34: bucket-count agg + lang re-partition + pick agg +
+    // output sort; the 2 windows are the ordered cumsum and the
+    // unordered per-group total, BOTH over the ≤ ~2k-row bucket table
+    // (bounded by the sketch's size cap, never by group row count)
+    // and sharing one exchange; one scan, no broadcast.
+    "t33_gopher_rules" -> (1, 0, 0, 1),
+    "t34_sketch_quantiles" -> (3, 0, 2, 1)
   )
 
   test("heavy-query plan shapes stay pinned (shuffles/broadcasts/windows/scans)") {
