@@ -233,10 +233,54 @@ object PipelineQueries {
             .as("head_doc"),
           sum(pmod(col("rk") * 31L + col("doc_id"), lit(p))).as("checksum"))
         .orderBy("shard")
+    },
+
+    // the corpus DATA CARD (r13): the per-source report a pipeline
+    // publishes with every corpus drop — volume, exact dup rate,
+    // token mass, sketch length percentiles, quality posture, top
+    // token. Every field deterministic → the whole card is
+    // oracle-exact (see CorpusStats scaladoc for the 100 TB shape).
+    "p11_corpus_stats" -> { (s, d) =>
+      graft.operators.CorpusStats.report(t(s, d, "documents"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // every card field mirrored: t3's token convention, t2's quality
+    // decimal-sum, t33's keep predicate, t34's sketch replay (keyed by
+    // source), argmax as a (cnt DESC, tok DESC) window == Spark's
+    // max(struct(cnt, tok))
+    "p11_corpus_stats" ->
+      s"""WITH base AS (
+         |  SELECT source,
+         |    COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT md5(text)) AS n_distinct,
+         |    CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT)
+         |      AS tokens,
+         |    CAST(SUM(CAST(${TextQueries.qualitySql} AS DECIMAL(10,6)))
+         |      AS DOUBLE) / COUNT(*) AS avg_quality,
+         |    CAST(SUM(CASE WHEN ${TextQueries.gopherKeepSql}
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS gopher_keep_frac
+         |  FROM documents GROUP BY source),
+         | lens AS (SELECT * FROM (
+         |  ${TextQueries.sketchQuantilesSql("source", "n_chars", "documents",
+              Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars"))})),
+         | tok AS (SELECT source, u.t AS tok FROM documents,
+         |    UNNEST(regexp_split_to_array(trim(text), ' +')) AS u(t)
+         |  WHERE len(u.t) > 0),
+         | tc AS (SELECT source, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+         | top AS (SELECT source, tok AS top_token, cnt AS top_token_cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, tok DESC) AS rn FROM tc)
+         |SELECT b.source, n_docs, n_distinct,
+         |  CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_frac,
+         |  tokens, p50_chars, p90_chars, avg_quality, gopher_keep_frac,
+         |  top_token, top_token_cnt
+         |FROM base b
+         |JOIN lens l ON b.source = l.source
+         |JOIN (SELECT * FROM top WHERE rn = 1) t ON b.source = t.source
+         |ORDER BY b.source""".stripMargin,
+
     // d4's pair pipeline + recursive-CTE closure + t2's quality
     // formula; argmax replayed as a (q DESC, doc_id) window
     "p6_cluster_keep_best" ->

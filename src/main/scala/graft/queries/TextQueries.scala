@@ -711,6 +711,78 @@ object TextQueries {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // SQL mirrors of TextOps.gopherShape's fields, ratio denominators
+  // cast to DOUBLE so the IEEE evaluation matches Spark's
+  private[queries] val gopherFieldsSql: Seq[(String, String)] = {
+    val nWords = "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)"
+    val nLines = s"CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT)"
+    val denomW = s"CAST(GREATEST($nWords, 1) AS DOUBLE)"
+    val stops = Seq(" the " -> 5, " be " -> 4, " to " -> 4, " of " -> 4,
+      " and " -> 5, " that " -> 6, " have " -> 6, " with " -> 6)
+      .map { case (sb, l) => occ(sb, l) }.mkString("(", " + ", ")")
+    Seq(
+      "n_words" -> nWords,
+      "mean_wlen" ->
+        s"CAST(length(replace(text, ' ', '')) AS DOUBLE) / $denomW",
+      "hash_ratio" -> s"CAST(${occ("#", 1)} AS DOUBLE) / $denomW",
+      "ellipsis_ratio" -> s"CAST(${occ("...", 3)} AS DOUBLE) / $denomW",
+      "alpha_frac" ->
+        s"""CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
+           |    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / $denomW""".stripMargin,
+      "bullet_frac" ->
+        s"""CAST(len(list_filter(string_split(text, chr(10)),
+           |    l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
+           |  AS DOUBLE) / CAST($nLines AS DOUBLE)""".stripMargin,
+      "ellipsis_line_frac" ->
+        s"""CAST(len(list_filter(string_split(text, chr(10)),
+           |    l -> ends_with(trim(l), '...'))) AS DOUBLE)
+           |  / CAST($nLines AS DOUBLE)""".stripMargin,
+      "n_stops" -> s"CAST($stops AS BIGINT)")
+  }
+
+  /** The t33 composite keep as one SQL predicate (reused by p11). */
+  private[queries] val gopherKeepSql: String = {
+    val f = gopherFieldsSql.toMap
+    s"""${f("n_words")} >= 50 AND ${f("n_words")} <= 100000
+       |    AND ${f("mean_wlen")} >= 3.0 AND ${f("mean_wlen")} <= 10.0
+       |    AND ${f("hash_ratio")} <= 0.1 AND ${f("ellipsis_ratio")} <= 0.1
+       |    AND ${f("bullet_frac")} <= 0.9 AND ${f("ellipsis_line_frac")} <= 0.3
+       |    AND ${f("alpha_frac")} >= 0.8 AND ${f("n_stops")} >= 2""".stripMargin
+  }
+
+  /** DuckDB replay of QuantileSketch (subBits = 5) over `table`,
+    * grouped by `group`: bucket → cumsum → rank pick → dyadic
+    * representative, all engine-exact (see QuantileSketch scaladoc).
+    * Shared by the t34 oracle and p11's data-card oracle. */
+  private[queries] def sketchQuantilesSql(group: String, v: String,
+      table: String, qs: Seq[(Double, String)]): String = {
+    def bkt(v: String) =
+      s"""CASE WHEN $v <= 0 THEN -1
+         |  ELSE CAST((length(bin($v)) - 1) * 32
+         |    + (($v * 32) >> (length(bin($v)) - 1)) - 32 AS INT) END""".stripMargin
+    def pick(q: Double, name: String) =
+      s"""MIN(CASE WHEN cum >= CAST(FLOOR($q * (n - 1)) AS BIGINT) + 1
+         |  THEN bucket END) AS b_$name""".stripMargin
+    def rep(name: String) =
+      s"""CASE WHEN b_$name < 0 THEN 0.0
+         |  ELSE pow(2.0, b_$name // 32) * (1.0 + ((b_$name % 32) + 0.5) / 32.0)
+         |  END AS $name""".stripMargin
+    s"""WITH b AS (
+       |  SELECT $group, ${bkt(v)} AS bucket, COUNT(*) AS cnt
+       |  FROM $table GROUP BY 1, 2),
+       | c AS (
+       |  SELECT $group, bucket, cnt,
+       |    SUM(cnt) OVER (PARTITION BY $group ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY $group) AS n
+       |  FROM b),
+       | p AS (
+       |  SELECT $group, ${qs.map { case (q, n) => pick(q, n) }.mkString(",\n    ")}
+       |  FROM c GROUP BY $group)
+       |SELECT $group, ${qs.map { case (_, n) => rep(n) }.mkString(",\n  ")}
+       |FROM p ORDER BY $group""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t23_bpe" -> bpeOracleSql(5),
     "t27_bpe_encode" -> bpeEncodeOracleSql(5),
@@ -720,77 +792,19 @@ object TextQueries {
     // representative is a dyadic rational, identical IEEE evaluation
     // in both engines (the reason this sketch is oracle-able and
     // approx_percentile is not — see QuantileSketch scaladoc)
-    "t34_sketch_quantiles" -> {
-      def bkt(v: String) =
-        s"""CASE WHEN $v <= 0 THEN -1
-           |  ELSE CAST((length(bin($v)) - 1) * 32
-           |    + (($v * 32) >> (length(bin($v)) - 1)) - 32 AS INT) END""".stripMargin
-      def pick(q: Double, name: String) =
-        s"""MIN(CASE WHEN cum >= CAST(FLOOR($q * (n - 1)) AS BIGINT) + 1
-           |  THEN bucket END) AS $name""".stripMargin
-      def rep(b: String, name: String) =
-        s"""CASE WHEN $b < 0 THEN 0.0
-           |  ELSE pow(2.0, $b // 32) * (1.0 + (($b % 32) + 0.5) / 32.0)
-           |  END AS $name""".stripMargin
-      s"""WITH b AS (
-         |  SELECT lang, ${bkt("n_chars")} AS bucket, COUNT(*) AS cnt
-         |  FROM documents GROUP BY 1, 2),
-         | c AS (
-         |  SELECT lang, bucket, cnt,
-         |    SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         |    SUM(cnt) OVER (PARTITION BY lang) AS n
-         |  FROM b),
-         | p AS (
-         |  SELECT lang, ${pick(0.5, "b50")}, ${pick(0.9, "b90")},
-         |    ${pick(0.99, "b99")}
-         |  FROM c GROUP BY lang)
-         |SELECT lang, ${rep("b50", "p50")}, ${rep("b90", "p90")},
-         |  ${rep("b99", "p99")}
-         |FROM p ORDER BY lang""".stripMargin
-    },
+    "t34_sketch_quantiles" ->
+      sketchQuantilesSql("lang", "n_chars", "documents",
+        Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")),
 
     // t33: same length/replace/list arithmetic as the Spark side;
     // all ratio denominators cast to DOUBLE before dividing so the
     // IEEE evaluation order matches column-for-column
-    "t33_gopher_rules" -> {
-      val nWords = "CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT)"
-      val nLines = s"CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT)"
-      val denomW = s"CAST(GREATEST($nWords, 1) AS DOUBLE)"
-      val stops = Seq(" the " -> 5, " be " -> 4, " to " -> 4, " of " -> 4,
-        " and " -> 5, " that " -> 6, " have " -> 6, " with " -> 6)
-        .map { case (sb, l) => occ(sb, l) }.mkString("(", " + ", ")")
+    "t33_gopher_rules" ->
       s"""SELECT doc_id,
-         |  $nWords AS n_words,
-         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / $denomW AS mean_wlen,
-         |  CAST(${occ("#", 1)} AS DOUBLE) / $denomW AS hash_ratio,
-         |  CAST(${occ("...", 3)} AS DOUBLE) / $denomW AS ellipsis_ratio,
-         |  CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
-         |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / $denomW
-         |    AS alpha_frac,
-         |  CAST(len(list_filter(string_split(text, chr(10)),
-         |      l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
-         |    AS DOUBLE) / CAST($nLines AS DOUBLE) AS bullet_frac,
-         |  CAST(len(list_filter(string_split(text, chr(10)),
-         |      l -> ends_with(trim(l), '...'))) AS DOUBLE)
-         |    / CAST($nLines AS DOUBLE) AS ellipsis_line_frac,
-         |  CAST($stops AS BIGINT) AS n_stops,
-         |  ($nWords >= 50 AND $nWords <= 100000
-         |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / $denomW >= 3.0
-         |    AND CAST(length(replace(text, ' ', '')) AS DOUBLE) / $denomW <= 10.0
-         |    AND CAST(${occ("#", 1)} AS DOUBLE) / $denomW <= 0.1
-         |    AND CAST(${occ("...", 3)} AS DOUBLE) / $denomW <= 0.1
-         |    AND CAST(len(list_filter(string_split(text, chr(10)),
-         |        l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')))
-         |      AS DOUBLE) / CAST($nLines AS DOUBLE) <= 0.9
-         |    AND CAST(len(list_filter(string_split(text, chr(10)),
-         |        l -> ends_with(trim(l), '...'))) AS DOUBLE)
-         |      / CAST($nLines AS DOUBLE) <= 0.3
-         |    AND CAST(len(list_filter(regexp_split_to_array(trim(text), ' +'),
-         |        w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / $denomW >= 0.8
-         |    AND CAST($stops AS BIGINT) >= 2) AS keep
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         |  ${gopherFieldsSql.map { case (n, e) => s"$e AS $n" }
+              .mkString(",\n  ")},
+         |  ($gopherKeepSql) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors Dsir.importanceSelect bit-for-bit: same fingerprint fold
     // (t4's convention), same add-one-smoothed ppm integer ratios

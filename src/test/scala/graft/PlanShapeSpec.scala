@@ -103,7 +103,12 @@ class PlanShapeSpec extends SparkSpec {
     // (bounded by the sketch's size cap, never by group row count)
     // and sharing one exchange; one scan, no broadcast.
     "t33_gopher_rules" -> (1, 0, 0, 1),
-    "t34_sketch_quantiles" -> (3, 0, 2, 1)
+    "t34_sketch_quantiles" -> (3, 0, 2, 1),
+    // p11: 7 shuffles = base agg's two-phase distinct (2) + sketch
+    // bucket agg + source re-agg + token counts + token argmax +
+    // output sort; the 2 windows are t34's bounded bucket-table pair;
+    // the two per-source sub-reports broadcast into the final join.
+    "p11_corpus_stats" -> (7, 2, 2, 3)
   )
 
   test("heavy-query plan shapes stay pinned (shuffles/broadcasts/windows/scans)") {
