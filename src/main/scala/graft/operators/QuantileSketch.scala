@@ -94,6 +94,28 @@ object QuantileSketch {
       .agg(count(lit(1)).as("__cnt"))
   }
 
+  /** Weighted build: bucket mass = Σ weight instead of row count —
+    * e.g. token-weighted length percentiles ("the p90 of the corpus BY
+    * TOKEN MASS"), the distribution a budget planner actually wants.
+    * With integer weights this is EXACTLY `build` over the
+    * weight-replicated rows (QuantileSketchSpec proves it), at
+    * aggregation cost instead of blow-up cost; [[quantiles]] then
+    * ranks by cumulative mass unchanged. Weights must be
+    * non-negative; zero-weight rows contribute nothing. */
+  def buildWeighted(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    weightCol: String, subBits: Int = 5): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val w = col(weightCol).cast("long")
+    val guarded = when(x < 0 || w < 0, raise_error(concat(
+        lit(s"QuantileSketch: negative value/weight in $valueCol/$weightCol"),
+        lit("")))).otherwise(x)
+    df.select(groupCols.map(col) ++ Seq(guarded.as("__v"), w.as("__w")): _*)
+      .withColumn("__bucket", bucketId(col("__v"), subBits))
+      .groupBy(groupCols.map(col) :+ col("__bucket"): _*)
+      .agg(sum(col("__w")).as("__cnt"))
+      .filter(col("__cnt") > 0)
+  }
+
   /** Merge sketches over the same group columns: union + re-sum.
     * Exact — bucket counts are commutative sums, so
     * merge(build(A), build(B)) ≡ build(A ∪ B) row-for-row. */

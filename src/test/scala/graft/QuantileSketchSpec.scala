@@ -99,6 +99,31 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("weighted build == build over weight-replicated rows") {
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 800).map(i =>
+      (s"g${i % 2}", rnd.nextInt(10000).toLong + 1, rnd.nextInt(5).toLong))
+    val df = rows.toDF("g", "v", "w")
+    val weighted = QuantileSketch
+      .buildWeighted(df, Seq("g"), "v", "w")
+      .orderBy("g", "__bucket").collect().map(_.toSeq).toSeq
+    val replicated = QuantileSketch.build(
+        rows.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+          .toDF("g", "v"), Seq("g"), "v")
+      .orderBy("g", "__bucket").collect().map(_.toSeq).toSeq
+    assert(weighted == replicated)
+    // and the quantiles over them agree (token-mass percentiles)
+    val qs = Seq("p50" -> 0.5, "p90" -> 0.9)
+    val a = QuantileSketch.quantiles(
+        QuantileSketch.buildWeighted(df, Seq("g"), "v", "w"), Seq("g"), qs)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val b = QuantileSketch.groupQuantiles(
+        rows.flatMap { case (g, v, w) => Seq.fill(w.toInt)((g, v)) }
+          .toDF("g", "v"), Seq("g"), "v", qs)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("partition invariance: 1 vs 7 partitions, identical output") {
     val rows = (1 to 3000).map(i => (s"g${i % 2}", (i * 31 % 7919).toLong))
     val df = rows.toDF("g", "v")
