@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QualityClassifier
+
+/** Gates for the trained quality filter:
+  *   - learns a planted separable signal (spam-token docs vs clean)
+  *     to ≥ 95 % train accuracy with a clear margin between class
+  *     mean scores;
+  *   - training is partition-invariant BIT-FOR-BIT (every floating
+  *     sum routed through decimal — 1 vs 7 input partitions yield
+  *     identical weights);
+  *   - scoring generalizes to held-out docs drawn from the same
+  *     generator (the filter is useful, not memorized);
+  *   - unseen-vocabulary docs score the bias alone (no NPE, no NaN).
+  */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spamWords = Seq("buy", "pills", "click", "winner", "free")
+  private val cleanWords = Seq("the", "model", "data", "train", "corpus",
+    "with", "learn", "token")
+  private def doc(i: Int, spam: Boolean): (Long, String, Int) = {
+    val rnd = new scala.util.Random(i * 7919 + (if (spam) 1 else 0))
+    val pool = if (spam) spamWords ++ cleanWords.take(3) else cleanWords
+    val words = (1 to 30).map(_ => pool(rnd.nextInt(pool.size)))
+    (i.toLong, words.mkString(" "), if (spam) 1 else 0)
+  }
+  private val trainRows = (1 to 150).map(i => doc(i, i % 2 == 0))
+  private val testRows = (1000 to 1060).map(i => doc(i, i % 2 == 0))
+
+  test("learns the planted signal and generalizes") {
+    val df = trainRows.toDF("doc_id", "text", "label")
+    val (bias, w) = QualityClassifier.train(
+      df, "doc_id", "text", "label", nBuckets = 256, epochs = 25, lr = 1.0)
+    val scored = QualityClassifier
+      .score(testRows.toDF("doc_id", "text", "label"),
+        "doc_id", "text", bias, w, "p")
+      .select(col("label"), col("p")).collect()
+    val acc = scored.count(r =>
+      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    val spamMean = scored.filter(_.getInt(0) == 1).map(_.getDouble(1)).sum /
+      scored.count(_.getInt(0) == 1)
+    val cleanMean = scored.filter(_.getInt(0) == 0).map(_.getDouble(1)).sum /
+      scored.count(_.getInt(0) == 0)
+    assert(spamMean - cleanMean > 0.5,
+      s"margin too small: spam $spamMean vs clean $cleanMean")
+  }
+
+  test("training is partition-invariant bit-for-bit") {
+    def run(parts: Int) = QualityClassifier.train(
+      trainRows.toDF("doc_id", "text", "label").repartition(parts),
+      "doc_id", "text", "label", nBuckets = 128, epochs = 5, lr = 1.0)
+    val (b1, w1) = run(1)
+    val (b7, w7) = run(7)
+    assert(b1 == b7 && w1.sameElements(w7))
+  }
+
+  test("unseen vocabulary scores the bias alone, no NaN") {
+    val df = trainRows.toDF("doc_id", "text", "label")
+    val (bias, w) = QualityClassifier.train(
+      df, "doc_id", "text", "label", nBuckets = 128, epochs = 3, lr = 1.0)
+    val out = QualityClassifier.score(
+        Seq((9999L, "", 0)).toDF("doc_id", "text", "label"),
+        "doc_id", "text", bias, w, "p")
+      .select("p").head().getDouble(0)
+    assert(!out.isNaN && out == 1.0 / (1.0 + math.exp(-bias)))
+  }
+}
