@@ -152,9 +152,9 @@ object DedupQueries {
     // semantic dedup (SemDeDup, arXiv:2303.09540): k-means cells
     // confine the near-dup cosine search to within-cluster blocks —
     // the linear-cost semantic twin of d5's exact pair search. Keep
-    // policy: min id per dup set survives. Quantizer is
-    // hash-seeded (deterministic but hash-family dependent) ->
-    // rows-only; SemDedupSpec pins the same-cell differential vs d5,
+    // policy: min id per dup set survives. Exact oracle as of r12
+    // (OracleVec replays the fitLocal quantizer in DuckDB SQL);
+    // SemDedupSpec still pins the same-cell differential vs d5,
     // planted-dup recall, and bit-identical reruns.
     "d11_semantic_dedup" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
@@ -613,6 +613,11 @@ bands AS MATERIALIZED (
         |FROM nn a JOIN nn b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.4
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // exact replay of d11 (r12): OracleVec's fitLocal quantizer
+    // replay (k=8, 2 Lloyd rounds) + cell assignment + within-cell
+    // cosine >= 0.4 pairs + min-id-survives keep labels
+    "d11_semantic_dedup" -> OracleVec.d11SemanticDedup,
 
     "d10_triangles" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.ql._
 import graft.operators.{IvfPq, KMeans, ProductQuantizer, SimilaritySearch}
 
-/** Similarity-search suite over `embeddings` (SURVEY §2.4): exact
-  * brute-force baseline + LSH paths oracle-checked (r12: the
-  * xxhash64-parity hyperplane family and multi-probe margin ranking
-  * replay in DuckDB SQL — see the s2/s5 oracles); IVF paths stay
-  * rows-only (centroid-seeded). Query set: vec_id < 5. */
+/** Similarity-search suite over `embeddings` (SURVEY §2.4): ALL
+  * eleven queries exact-oracle-checked as of r12 — the LSH family
+  * replays its xxhash64-parity hyperplanes in DuckDB SQL (s2/s5),
+  * and the centroid-seeded family (s3/s4/s6/s7) replays its
+  * deterministic quantizer fits via [[OracleVec]] (driver-order
+  * Lloyd sums as ordered `list_dot_product` folds). Query set:
+  * vec_id < 5. */
 object VectorQueries {
 
   private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
@@ -56,9 +58,9 @@ object VectorQueries {
 
     // product quantization (r5): 8 subspaces × 16 codes — each 64-dim
     // float vector stored as 8 codes (32× compression); ADC shortlist
-    // (4·k) + exact cosine re-rank. Codebook-dependent scores →
-    // rows-only; PqAnnSpec pins recall vs the exact baseline,
-    // encode determinism, and the fit/encode/query index split.
+    // (4·k) + exact cosine re-rank. Exact oracle as of r12 (OracleVec
+    // replays the codebook fit); PqAnnSpec still pins recall vs the
+    // exact baseline, encode determinism, and the index split.
     "s6_pq_ann" -> { (s, d) =>
       ProductQuantizer.pqTopK(qs(s, d), emb(s, d), "vec_id", "embedding",
           k = 5, m = 8, ks = 16, refine = 4)
@@ -69,8 +71,9 @@ object VectorQueries {
     // bound candidates touched, PQ codes bound bytes/FLOPs per
     // candidate, exact re-rank restores ordering. Both models +
     // the codes index are reusable artifacts (fit/index/query split);
-    // codebook- and centroid-dependent → rows-only; IvfPqSpec pins
-    // recall vs the exact baseline and index-split identity.
+    // exact oracle as of r12 (OracleVec composes both fit replays);
+    // IvfPqSpec pins recall vs the exact baseline and index-split
+    // identity.
     "s7_ivfpq" -> { (s, d) =>
       val e = emb(s, d)
       IvfPq.topK(qs(s, d), e, "vec_id", "embedding",
@@ -316,6 +319,22 @@ object VectorQueries {
         |   CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rk
         |   FROM jn)
         |SELECT q_id, c_id, cos, rk FROM rk WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin,
+
+    // exact replay of s3 (r12): fitLocal's seeded sample + 3 Lloyd
+    // rounds + IVF assignment/probing, generated by OracleVec
+    "s3_ivf_ann" -> OracleVec.s3IvfAnn,
+
+    // exact replay of s4 (r12): decimal label centroids (the
+    // graft_vec_dsum path) + nearest-centroid probing
+    "s4_ivf_label" -> OracleVec.s4IvfLabel,
+
+    // exact replay of s6 (r12): per-subspace codebook fit + encode +
+    // ADC shortlist + exact re-rank
+    "s6_pq_ann" -> OracleVec.s6PqAnn,
+
+    // exact replay of s7 (r12): the s3 coarse fit composed with the
+    // s6 codebook fit — buildIndex, nProbe probing, ADC, re-rank
+    "s7_ivfpq" -> OracleVec.s7IvfPq,
 
     // mirrors Bm25.topK op-for-op: same tokenization, same rational
     // idf and k1/b saturation with literal-identical constants, same
