@@ -12,8 +12,9 @@ import graft.operators.{Components, Dedup, PageRank, SemDedup}
   * SimHash votes and d6's XXH64 KMV sketch (64-bit wrapping
   * arithmetic staged over HUGEINT), so they join d1/d4/d15-d17 in
   * the exact oracle set. d12's decimal PageRank unrolls its 10
-  * fixed rounds in scale-18 fixed point. Only the centroid-seeded
-  * (d11) and zlib-seeded members remain rows-only, quality-gated. */
+  * fixed rounds in scale-18 fixed point, and d11's centroid-seeded
+  * quantizer replays via [[OracleVec]] — every §2.3 catalog query
+  * is exact-oracle-checked. */
 object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -199,7 +200,7 @@ object DedupQueries {
     * joined on SLICE equality where Spark compares xxhash64(slice) —
     * identical output unless two unequal 8-lane slices collide in a
     * 64-bit hash (~2^-64 per band pair; zero at any tested SF). */
-  private val minhashBandsCte: String =
+  private[queries] val minhashBandsCte: String =
 """WITH sh AS MATERIALIZED (
   SELECT DISTINCT doc_id, substring(text, i, 5) AS s
   FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i

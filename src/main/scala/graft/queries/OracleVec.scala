@@ -61,7 +61,7 @@ object OracleVec {
   /** XXH64.hashLong(id, 42) — Spark's `xxhash64` over one BIGINT —
     * as chained CTEs `{pfx}h0 … {pfx}fh`; the final stage carries
     * (id, hu HUGEINT unsigned, hs BIGINT signed — Spark's sort key). */
-  private def hashLongCtes(pfx: String, src: String, idCol: String): String = {
+  private[queries] def hashLongCtes(pfx: String, src: String, idCol: String): String = {
     val fin = s"xor(v, v // 4294967296::HUGEINT)"
     s"""${pfx}h0 AS MATERIALIZED (SELECT $idCol AS id, CAST($idCol AS HUGEINT) AS hin FROM $src),
 ${pfx}h1 AS MATERIALIZED (SELECT id, ${mul64("hin", P2)} AS k1a FROM ${pfx}h0),

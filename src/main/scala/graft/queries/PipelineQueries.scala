@@ -242,10 +242,75 @@ object PipelineQueries {
     // oracle-exact (see CorpusStats scaladoc for the 100 TB shape).
     "p11_corpus_stats" -> { (s, d) =>
       graft.operators.CorpusStats.report(t(s, d, "documents"))
+    },
+
+    // cross-source duplication matrix (r12): which sources near-dup
+    // each other (and themselves — the diagonal), via the d2 banded
+    // MinHash join. The governance view that decides what to drop,
+    // dedup against, or down-weight in the mix.
+    "p12_source_overlap" -> { (s, d) =>
+      graft.operators.CorpusGovernance.sourceOverlap(
+          t(s, d, "documents"), "doc_id", "text", "source", k = 5)
+        .orderBy("src_a", "src_b")
+    },
+
+    // leakage-safe train/test split (r12, Lee et al. 2021 §6): hash
+    // mod selects test; train-side near-twins of test docs are
+    // QUARANTINED so the eval can't be inflated by memorized twins.
+    "p13_leakage_split" -> { (s, d) =>
+      graft.operators.CorpusGovernance.leakageSafeSplit(
+          t(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // d2's band machinery + source labels: distinct candidate pairs,
+    // (least, greatest)-normalized source keys, pair + distinct-doc
+    // counts per cell
+    "p12_source_overlap" -> (DedupQueries.minhashBandsCte + """
+        |, prs AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bs = b.bs AND a.doc_id < b.doc_id),
+        | lab AS MATERIALIZED (SELECT
+        |    least(sa.source, sb.source) AS src_a,
+        |    greatest(sa.source, sb.source) AS src_b, p.a_id, p.b_id
+        |  FROM prs p JOIN documents sa ON p.a_id = sa.doc_id
+        |  JOIN documents sb ON p.b_id = sb.doc_id),
+        | cnts AS (SELECT src_a, src_b, COUNT(*)::BIGINT AS n_dup_pairs
+        |  FROM lab GROUP BY 1, 2),
+        | dcs AS (SELECT src_a, src_b, COUNT(DISTINCT d)::BIGINT AS n_docs
+        |  FROM (SELECT src_a, src_b, a_id AS d FROM lab
+        |        UNION ALL SELECT src_a, src_b, b_id FROM lab) GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_dup_pairs, n_docs
+        |FROM cnts JOIN dcs USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin),
+
+    // d2's band machinery for the near-dup pairs + OracleVec's
+    // xxhash64(BIGINT) replay for the split hash (signed pmod);
+    // quarantine = train-side end of any test-adjacent pair
+    "p13_leakage_split" -> (DedupQueries.minhashBandsCte + ",\n" +
+      OracleVec.hashLongCtes("spx", "documents", "doc_id") + """
+        |, prs AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b
+        |    ON a.b = b.b AND a.bs = b.bs AND a.doc_id < b.doc_id),
+        | splt AS MATERIALIZED (SELECT id, ((hs % 10) + 10) % 10 = 0 AS is_test
+        |  FROM spxfh),
+        | cont AS MATERIALIZED (SELECT DISTINCT q FROM (
+        |    SELECT CASE WHEN tb.is_test AND NOT ta.is_test THEN p.a_id
+        |                WHEN ta.is_test AND NOT tb.is_test THEN p.b_id END AS q
+        |    FROM prs p JOIN splt ta ON p.a_id = ta.id
+        |    JOIN splt tb ON p.b_id = tb.id) WHERE q IS NOT NULL)
+        |SELECT d.doc_id,
+        |  CASE WHEN s.is_test THEN 'test'
+        |       WHEN c.q IS NOT NULL THEN 'quarantine'
+        |       ELSE 'train' END AS split
+        |FROM documents d JOIN splt s ON d.doc_id = s.id
+        |LEFT JOIN cont c ON d.doc_id = c.q
+        |ORDER BY d.doc_id""".stripMargin),
+
     // every card field mirrored: t3's token convention, t2's quality
     // decimal-sum, t33's keep predicate, t34's sketch replay (keyed by
     // source), argmax as a (cnt DESC, tok DESC) window == Spark's
