@@ -261,10 +261,40 @@ object PipelineQueries {
       graft.operators.CorpusGovernance.leakageSafeSplit(
           t(s, d, "documents"), "doc_id", "text", k = 5)
         .orderBy("doc_id")
+    },
+
+    // per-source quality quota (r12): keep the 5 highest-quality docs
+    // per source — crawl-budget enforcement / the curation step that
+    // caps any one domain's contribution. A rank<=k window IS the
+    // scale-safe shape here, deliberately: Spark rewrites it to
+    // WindowGroupLimit, which prunes every map partition to k rows
+    // per group BEFORE the shuffle, so per-task state is k — unlike
+    // the unbounded keep-first windows r11 removed (PlanShapeSpec
+    // asserts the WindowGroupLimitExec is present).
+    "p14_source_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy(desc("q"), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("q"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("source", "rk")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // t2's quality formula + a per-source rank window
+    "p14_source_topk" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |    ${TextQueries.qualitySql} AS q
+         |  FROM documents),
+         | r AS (SELECT doc_id, source, q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY q DESC, doc_id) AS BIGINT) AS rk FROM q)
+         |SELECT doc_id, source, q, rk FROM r WHERE rk <= 5
+         |ORDER BY source, rk""".stripMargin,
+
     // d2's band machinery + source labels: distinct candidate pairs,
     // (least, greatest)-normalized source keys, pair + distinct-doc
     // counts per cell

@@ -108,7 +108,18 @@ class PlanShapeSpec extends SparkSpec {
     // bucket agg + source re-agg + token counts + token argmax +
     // output sort; the 2 windows are t34's bounded bucket-table pair;
     // the two per-source sub-reports broadcast into the final join.
-    "p11_corpus_stats" -> (7, 2, 2, 3)
+    "p11_corpus_stats" -> (7, 2, 2, 3),
+    // ---- r12 governance additions. p12: the banded pair agg + the
+    // two pair/doc-count aggs + final sort (7 shuffles); at sf0.001
+    // every label/count join broadcasts (9) — size decisions that
+    // become shuffle joins at scale; 0 windows. p13: band index +
+    // pair agg + quarantine distinct + the (tiny) quarantine set
+    // broadcast back + output sort; 0 windows. p14: ONE shuffle +
+    // one window over k-pruned input (WindowGroupLimitExec asserted
+    // below) + the output sort.
+    "p12_source_overlap" -> (7, 9, 0, 6),
+    "p13_leakage_split" -> (4, 1, 0, 1),
+    "p14_source_topk" -> (2, 0, 1, 1)
   )
 
   test("heavy-query plan shapes stay pinned (shuffles/broadcasts/windows/scans)") {
@@ -154,6 +165,15 @@ class PlanShapeSpec extends SparkSpec {
       assert(!nodes.exists(_.isInstanceOf[WindowExec]),
         s"$name regained a window — hub keys would serialize into one task")
     }
+  }
+
+  test("p14's rank window is WindowGroupLimit-pruned (k rows per task, not |source|)") {
+    val nodes = flatten(
+      SparkEntry.queries("p14_source_topk")(spark, sfDir)
+        .queryExecution.executedPlan)
+    assert(nodes.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      "rank<=k filter no longer pushes into WindowGroupLimitExec — " +
+        "the per-source window would buffer whole groups again")
   }
 
   test("ParaDedup.cleanAgainstIndex plan has no WindowExec") {
