@@ -56,7 +56,14 @@ object KMeans {
     model.sortBy(_._1).map { case (cell, cv) =>
       val n = seqNorm(cv)
       val unit = if (n > 0) cv.map(_ / n) else cv.map(_ => 0.0)
-      cell -> (VectorOps.fastDot(v, typedlit(unit)) / nrm)
+      // greatest(nrm, minPositive) is the identity for every nrm > 0
+      // (the callers' row contract) but keeps the division total:
+      // under ANSI mode the optimizer may fold this projection into a
+      // predicate it evaluates EAGERLY on rows the nrm > 0 filter has
+      // not yet removed (ConvertToLocalRelation does), and a raw /0
+      // there aborts the query
+      cell -> (VectorOps.fastDot(v, typedlit(unit)) /
+        greatest(nrm, lit(java.lang.Double.MIN_VALUE)))
     }
 
   /** CASE chain mapping precomputed score columns to the argmax cell —

@@ -280,6 +280,23 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .orderBy("source", "rk")
+    },
+
+    // per-TOPIC corpus card (r12): the semantic balance view — d11's
+    // deterministic coarse quantizer assigns every doc an embedding-
+    // space topic; the card reports volume/share, topic coherence
+    // (mean member-to-centroid cosine), dominant language, quality
+    // posture and token mass per topic. Exact oracle: the Lloyd fit
+    // replays via OracleVec.fitLocalCtes, everything after it is the
+    // p11 card arithmetic.
+    "p15_topic_card" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val quant = graft.operators.KMeans.fitLocal(
+        emb, "vec_id", "embedding", k = 8, iters = 2)
+      val model = quant.select(col("cell").cast("long"), col("cv"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      graft.operators.CorpusStats.topicCard(
+        t(s, d, "documents"), emb, "vec_id", "embedding", "doc_id", model)
     }
   )
 
@@ -294,6 +311,44 @@ object PipelineQueries {
          |      ORDER BY q DESC, doc_id) AS BIGINT) AS rk FROM q)
          |SELECT doc_id, source, q, rk FROM r WHERE rk <= 5
          |ORDER BY source, rk""".stripMargin,
+
+    // d11's Lloyd-fit replay (OracleVec.fitLocalCtes, same k=8/iters=2
+    // model) + the winning-cosine assignment, then p11's card
+    // arithmetic per topic cell; argmax lang replayed as a
+    // (cnt DESC, lang DESC) window, integer DIV share
+    "p15_topic_card" ->
+      ("WITH " + OracleVec.fitLocalCtes(8, 2, 1, 65536, 64,
+        "embeddings", "vec_id", "embedding") + s""",
+         |tc_u AS MATERIALIZED (SELECT cell,
+         |  CASE WHEN sqrt(list_dot_product(cv, cv)) > 0
+         |       THEN list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+         |       ELSE list_transform(cv, x -> 0.0) END AS unit FROM fl_c2),
+         |tc_asg AS MATERIALIZED (SELECT n.id, u.cell,
+         |  list_dot_product(n.v, u.unit) / n.nrm AS cc
+         |  FROM fl_nn n CROSS JOIN tc_u u
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY n.id ORDER BY cc DESC, u.cell) = 1),
+         |tc_j AS MATERIALIZED (SELECT d.doc_id, d.text, d.lang, a.cell,
+         |  ROUND(a.cc, 6) AS cos
+         |  FROM documents d JOIN tc_asg a ON d.doc_id = a.id),
+         |tc_base AS (SELECT cell, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(cos AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS coherence,
+         |  CAST(SUM(CAST(${TextQueries.qualitySql} AS DECIMAL(10,6)))
+         |    AS DOUBLE) / COUNT(*) AS avg_quality,
+         |  CAST(SUM(len(regexp_split_to_array(trim(text), ' +'))) AS BIGINT)
+         |    AS tokens
+         |  FROM tc_j GROUP BY cell),
+         |tc_lang AS (SELECT cell, lang, COUNT(*) AS cnt FROM tc_j GROUP BY 1, 2),
+         |tc_top AS (SELECT cell, lang AS top_lang, cnt AS top_lang_cnt,
+         |  ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY cnt DESC, lang DESC) AS rn FROM tc_lang),
+         |tc_tot AS (SELECT COUNT(*) AS tot FROM tc_j)
+         |SELECT b.cell, n_docs,
+         |  CAST(n_docs * 1000000 // tot AS BIGINT) AS share_ppm,
+         |  coherence, top_lang, top_lang_cnt, avg_quality, tokens
+         |FROM tc_base b
+         |JOIN (SELECT * FROM tc_top WHERE rn = 1) t USING (cell)
+         |CROSS JOIN tc_tot
+         |ORDER BY b.cell""").stripMargin,
 
     // d2's band machinery + source labels: distinct candidate pairs,
     // (least, greatest)-normalized source keys, pair + distinct-doc

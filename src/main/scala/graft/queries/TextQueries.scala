@@ -652,6 +652,34 @@ object TextQueries {
         .select(col("doc_id"), TextOps.gopherShape(col("text")).as("g"))
         .select(col("doc_id"), col("g.*"))
         .orderBy("doc_id")
+    },
+
+    // Trained quality filter (fastText/DCLM-style linear ranker —
+    // Li et al. 2024; Penedo et al. 2024): full-batch logistic-family
+    // GD over hashed bag-of-words features, target domain = 'en'
+    // (the DSIR positive-vs-crawl setup), then map-side scoring of
+    // every doc. Uses the ALGEBRAIC link (σ̃ = 0.5+0.5·s/(1+|s|)) so
+    // the whole 5-epoch training loop — decimal gradient sums,
+    // driver double updates, link evaluations — replays bit-for-bit
+    // in the DuckDB oracle (exp() is not ulp-portable; see
+    // QualityClassifier.linkCol). At 100 TB: train on the labeled
+    // sample, broadcast the 256-weight model, score at scan speed.
+    "t35_quality_classifier" -> { (s, d) =>
+      val labeled = t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+      // train on the deterministic 20 % labeled sample, score the full
+      // corpus — the production shape (the labeled set is always tiny
+      // next to the corpus; scoring is the full-scan broadcast pass)
+      val (bias, w) = graft.operators.QualityClassifier.train(
+        labeled.filter(col("doc_id") % 5 === 0), "doc_id", "text", "y",
+        nBuckets = 256, epochs = 5, lr = 0.5, link = "algebraic")
+      graft.operators.QualityClassifier
+        .score(labeled, "doc_id", "text", bias, w, "score",
+          link = "algebraic")
+        .select(col("doc_id"), col("y"), col("score"),
+          (col("score") >= 0.5).as("pred_target"))
+        .orderBy("doc_id")
     }
   )
 
@@ -750,6 +778,78 @@ object TextQueries {
        |    AND ${f("alpha_frac")} >= 0.8 AND ${f("n_stops")} >= 2""".stripMargin
   }
 
+  /** DuckDB replay of the ENTIRE t35 training loop —
+    * QualityClassifier.train(nBuckets=256, epochs=5, lr=0.5,
+    * link="algebraic") + the final scoring pass — unrolled to one CTE
+    * chain per epoch. Exact by construction:
+    *   - features: t26's fingerprint-mod fold over the same ' +'
+    *     word split;
+    *   - every double→decimal(28,16) cast is VARCHAR-staged (OracleVec's
+    *     measured Decimal(Double.toString) HALF_UP parity) and every
+    *     decimal→double goes back through VARCHAR (exact decimal print →
+    *     correctly-rounded parse ≡ BigDecimal.doubleValue);
+    *   - decimal SUMs are exact and order-free — the partition-
+    *     invariance the Spark side routes through the same casts;
+    *   - the driver updates (w − (lr·g)/n), the algebraic link
+    *     0.5+(0.5·s)/(1+|s|), and the dot re-assembly are single
+    *     correctly-rounded IEEE ops in both engines.
+    * Each stage MATERIALIZED (the chained-CTE discipline of the
+    * hash/quantizer oracles). */
+  private def t35OracleSql: String = {
+    val nb = 256; val epochs = 5
+    val dec = "DECIMAL(28,16)"
+    def d2dec(x: String) = s"CAST(CAST($x AS VARCHAR) AS $dec)"
+    def dec2d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def lnk(s: String) = s"0.5 + (0.5 * ($s)) / (1.0 + abs($s))"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s"""qc_tok AS MATERIALIZED (SELECT doc_id,
+  unnest(regexp_split_to_array(trim(text), ' +')) AS f FROM documents)"""
+    parts += s"""qc_feats AS MATERIALIZED (SELECT doc_id,
+  list_reduce(list_transform(range(1, length(f) + 1),
+      i -> ascii(substr(f, CAST(i AS INT), 1))::BIGINT),
+    (x, y) -> (x * 31 + y) % 1000000007) % $nb AS b,
+  CAST(COUNT(*) AS DOUBLE) AS x
+  FROM qc_tok WHERE length(f) > 0 GROUP BY doc_id, b)"""
+    parts += s"""qc_lab AS MATERIALIZED (SELECT doc_id,
+  CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+  FROM documents)"""
+    // the training sample: deterministic 20 % of labeled docs
+    parts += s"""qc_tlab AS MATERIALIZED (SELECT * FROM qc_lab WHERE doc_id % 5 = 0)"""
+    parts += s"""qc_tfeat AS MATERIALIZED (SELECT f.* FROM qc_feats f
+  JOIN qc_tlab USING (doc_id))"""
+    parts += s"""qc_n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM qc_tlab)"""
+    parts += s"""qc_w0 AS MATERIALIZED (SELECT unnest(generate_series(0, ${nb - 1}))::BIGINT AS b, 0.0 AS wv)"""
+    parts += s"""qc_b0 AS MATERIALIZED (SELECT 0.0 AS bv)"""
+    for (k <- 1 to epochs) {
+      val p = k - 1
+      parts += s"""qc_dot$k AS MATERIALIZED (SELECT f.doc_id,
+  ${dec2d(s"SUM(${d2dec("w.wv * f.x")})")} AS dot
+  FROM qc_tfeat f JOIN qc_w$p w USING (b) GROUP BY f.doc_id)"""
+      parts += s"""qc_p$k AS MATERIALIZED (SELECT l.doc_id, l.y,
+  ${lnk("COALESCE(d.dot, 0.0) + b.bv")} AS p
+  FROM qc_tlab l LEFT JOIN qc_dot$k d USING (doc_id) CROSS JOIN qc_b$p b)"""
+      parts += s"""qc_g$k AS MATERIALIZED (SELECT f.b,
+  ${dec2d(s"SUM(${d2dec("(p.p - p.y) * f.x")})")} AS g
+  FROM qc_tfeat f JOIN qc_p$k p USING (doc_id) GROUP BY f.b)"""
+      parts += s"""qc_gb$k AS MATERIALIZED (SELECT
+  ${dec2d(s"SUM(${d2dec("p.p - p.y")})")} AS g FROM qc_p$k p)"""
+      parts += s"""qc_w$k AS MATERIALIZED (SELECT w.b,
+  w.wv - (0.5 * COALESCE(g.g, 0.0)) / nn.n AS wv
+  FROM qc_w$p w LEFT JOIN qc_g$k g USING (b) CROSS JOIN qc_n nn)"""
+      parts += s"""qc_b$k AS MATERIALIZED (SELECT b.bv - (0.5 * gb.g) / nn.n AS bv
+  FROM qc_b$p b CROSS JOIN qc_gb$k gb CROSS JOIN qc_n nn)"""
+    }
+    parts += s"""qc_sdot AS MATERIALIZED (SELECT f.doc_id,
+  ${dec2d(s"SUM(${d2dec("w.wv * f.x")})")} AS dot
+  FROM qc_feats f JOIN qc_w$epochs w USING (b) GROUP BY f.doc_id)"""
+    "WITH " + parts.mkString(",\n") + s"""
+SELECT l.doc_id, l.y,
+  ${lnk("COALESCE(d.dot, 0.0) + b.bv")} AS score,
+  (${lnk("COALESCE(d.dot, 0.0) + b.bv")}) >= 0.5 AS pred_target
+FROM qc_lab l LEFT JOIN qc_sdot d USING (doc_id) CROSS JOIN qc_b$epochs b
+ORDER BY l.doc_id"""
+  }
+
   /** DuckDB replay of QuantileSketch (subBits = 5) over `table`,
     * grouped by `group`: bucket → cumsum → rank pick → dyadic
     * representative, all engine-exact (see QuantileSketch scaladoc).
@@ -805,6 +905,8 @@ object TextQueries {
               .mkString(",\n  ")},
          |  ($gopherKeepSql) AS keep
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t35_quality_classifier" -> t35OracleSql,
 
     // mirrors Dsir.importanceSelect bit-for-bit: same fingerprint fold
     // (t4's convention), same add-one-smoothed ppm integer ratios

@@ -119,7 +119,13 @@ class PlanShapeSpec extends SparkSpec {
     // below) + the output sort.
     "p12_source_overlap" -> (7, 9, 0, 6),
     "p13_leakage_split" -> (4, 1, 0, 1),
-    "p14_source_topk" -> (2, 0, 1, 1)
+    "p14_source_topk" -> (2, 0, 1, 1),
+    // p15: broadcast-model map-side assignment + ONE narrow
+    // checkpointed pass (0 scans in the static plan — the fit and the
+    // checkpoint run at build time) feeding three combinable
+    // aggregations; tiny-frame joins + the documented scalar BNLJ; no
+    // windows, no corpus-keyed shuffles beyond the aggs
+    "p15_topic_card" -> (5, 1, 0, 0)
   )
 
   test("heavy-query plan shapes stay pinned (shuffles/broadcasts/windows/scans)") {

@@ -57,6 +57,28 @@ class QualityClassifierSpec extends SparkSpec {
     assert(b1 == b7 && w1.sameElements(w7))
   }
 
+  test("algebraic link learns the planted signal too (t35's oracle-" +
+      "portable form) and its bias-only score matches the scalar link") {
+    val df = trainRows.toDF("doc_id", "text", "label")
+    val (bias, w) = QualityClassifier.train(
+      df, "doc_id", "text", "label", nBuckets = 256, epochs = 25,
+      lr = 1.0, link = "algebraic")
+    val scored = QualityClassifier
+      .score(testRows.toDF("doc_id", "text", "label"),
+        "doc_id", "text", bias, w, "p", link = "algebraic")
+      .select(col("label"), col("p")).collect()
+    val acc = scored.count(r =>
+      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // empty doc scores exactly linkScalar(bias) — the same algebraic
+    // squash the DuckDB oracle evaluates
+    val b = QualityClassifier.score(
+        Seq((9999L, "", 0)).toDF("doc_id", "text", "label"),
+        "doc_id", "text", bias, w, "p", link = "algebraic")
+      .select("p").head().getDouble(0)
+    assert(b == QualityClassifier.linkScalar(bias, "algebraic"))
+  }
+
   test("unseen vocabulary scores the bias alone, no NaN") {
     val df = trainRows.toDF("doc_id", "text", "label")
     val (bias, w) = QualityClassifier.train(

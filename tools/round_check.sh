@@ -39,6 +39,7 @@ AUDIT d10_triangles: BroadcastNestedLoopJoin
 AUDIT k4_area_derivation: BroadcastNestedLoopJoin
 AUDIT q11_important_parts: BroadcastNestedLoopJoin
 AUDIT q22_idle_customers: BroadcastNestedLoopJoin
+AUDIT p15_topic_card: BroadcastNestedLoopJoin
 AUDIT q_decile_bucket: BroadcastNestedLoopJoin
 AUDIT s10_bm25_queries: BroadcastNestedLoopJoin
 AUDIT s11_hybrid_fusion: BroadcastNestedLoopJoin
