@@ -79,6 +79,34 @@ class QualityClassifierSpec extends SparkSpec {
     assert(b == QualityClassifier.linkScalar(bias, "algebraic"))
   }
 
+  test("broadcast-weights scoring runs inside a stream: micro-batch " +
+      "scores equal the batch scores (the CorpusIngest-gate claim)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (bias, w) = QualityClassifier.train(
+      trainRows.toDF("doc_id", "text", "label"),
+      "doc_id", "text", "label", nBuckets = 128, epochs = 5, lr = 1.0)
+    val mem = MemoryStream[(Long, String, Int)]
+    val acc = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = mem.toDF().toDF("doc_id", "text", "label").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc ++= QualityClassifier
+          .score(batch, "doc_id", "text", bias, w, "p")
+          .select(col("doc_id"), col("p")).as[(Long, Double)].collect()
+        ()
+      }.start()
+    try {
+      mem.addData(testRows.take(30): _*); q.processAllAvailable()
+      mem.addData(testRows.drop(30): _*); q.processAllAvailable()
+    } finally q.stop()
+    val batchScores = QualityClassifier
+      .score(testRows.toDF("doc_id", "text", "label"),
+        "doc_id", "text", bias, w, "p")
+      .select(col("doc_id"), col("p")).as[(Long, Double)].collect().toMap
+    assert(acc.size == testRows.size)
+    assert(acc.toMap == batchScores)
+  }
+
   test("unseen vocabulary scores the bias alone, no NaN") {
     val df = trainRows.toDF("doc_id", "text", "label")
     val (bias, w) = QualityClassifier.train(

@@ -37,9 +37,9 @@ sbt -batch "runMain graft.PlanAudit /root/testdata/sf0.01" 2>/dev/null \
 cat > /tmp/plan_audit_allow.txt <<'ALLOW'
 AUDIT d10_triangles: BroadcastNestedLoopJoin
 AUDIT k4_area_derivation: BroadcastNestedLoopJoin
+AUDIT p15_topic_card: BroadcastNestedLoopJoin
 AUDIT q11_important_parts: BroadcastNestedLoopJoin
 AUDIT q22_idle_customers: BroadcastNestedLoopJoin
-AUDIT p15_topic_card: BroadcastNestedLoopJoin
 AUDIT q_decile_bucket: BroadcastNestedLoopJoin
 AUDIT s10_bm25_queries: BroadcastNestedLoopJoin
 AUDIT s11_hybrid_fusion: BroadcastNestedLoopJoin
