@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-source distribution-DRIFT card (t36) — the monitor a corpus
+  * pipeline runs on every crawl snapshot / source drop: how far does
+  * each source's token distribution sit from the corpus-wide one, and
+  * which token is most over-represented there? A drifting source is a
+  * mix-weight decision (re-balance, re-crawl, or quarantine) before
+  * it silently shifts the pretraining distribution (the "data mixture
+  * drift" failure the FineWeb/Dolma pipeline reports track across
+  * snapshots).
+  *
+  * Two engine-exact, log-free measures (the Dsir/t13 convention —
+  * `ln`'s last-ulp rounding is engine-specific, so the repo's drift
+  * math never touches it):
+  *
+  *   - `tv`: total-variation distance between the source's and the
+  *     corpus's HASHED-BUCKET token distributions,
+  *     0.5 · Σ_b |cnt_b/tot − ccnt_b/ctot| over the full nBuckets
+  *     grid (absent buckets count with p=0 — the grid is generated,
+  *     not inferred from presence). Each |Δp| term is decimal-cast
+  *     before the sum, so the reduction is order-independent and
+  *     partition-invariant; the bucket space bounds state at
+  *     nBuckets·|sources| rows whatever the corpus size.
+  *   - `top_token` / `top_token_ppm`: the token with the highest
+  *     add-one-smoothed source/corpus likelihood ratio in integer
+  *     parts-per-million (DSIR's r_f convention, same BIGINT headroom
+  *     note as Dsir): ppm = 10⁶·(c_s+1)·(ctot+K) DIV ((c_c+1)·(tot+K)),
+  *     argmax by combinable max-struct (ties toward the DESC-greater
+  *     token — p11's argmax convention). Vocabulary-bounded state.
+  *
+  * Scale shape: one corpus-sized explode feeding two combinable
+  * count aggregations (bucket-keyed ≤ nBuckets·|sources| rows,
+  * token-keyed vocab-bounded); the corpus-side tables re-join on
+  * bucket/token keys; the 1-row corpus total enters by broadcast (the
+  * documented scalar-BNLJ family). No windows, no corpus-keyed sort.
+  */
+object Drift {
+
+  def sourceDrift(docs: DataFrame, srcCol: String, textCol: String,
+                  nBuckets: Int = 4096, smoothing: Int = 4096): DataFrame = {
+    val tok = docs
+      .select(col(srcCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint(true)
+
+    // ---- bucket-level TV distance over the FULL grid
+    // both count tables are bounded state (nBuckets·|sources| /
+    // vocab-sized) and feed three consumers each — checkpoint so the
+    // corpus-sized aggregation runs once, not per consumer
+    val srcB = tok
+      .select(col("source"),
+        (call_function("graft_fingerprint", col("w")) % nBuckets).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val srcTot = srcB.groupBy("source").agg(sum("cnt").as("tot"))
+    val corpB = srcB.groupBy("b").agg(sum("cnt").as("ccnt"))
+    val corpTot = corpB.agg(sum("ccnt").as("ctot"))
+    val grid = srcTot.crossJoin(corpB).crossJoin(corpTot)
+      .join(srcB, Seq("source", "b"), "left")
+      .select(col("source"), col("tot"),
+        (abs(coalesce(col("cnt"), lit(0L)) / col("tot") -
+          col("ccnt") / col("ctot"))).as("dp"))
+    // tot is functionally dependent on source; grouping by both keeps
+    // it in the output without a nondeterministic first()
+    val tv = grid.groupBy("source", "tot").agg(
+      (sum(col("dp").cast("decimal(28,16)")).cast("double") * 0.5).as("tv"))
+      .withColumnRenamed("tot", "n_tokens")
+
+    // ---- top over-represented token (integer-ppm likelihood ratio)
+    val srcT = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val corpT = srcT.groupBy("w").agg(sum("c").as("cc"))
+    val ranked = srcT.join(corpT, "w").join(srcTot, "source").crossJoin(corpTot)
+      .select(col("source"), col("w"),
+        expr(s"(c + 1) * (ctot + $smoothing) * 1000000 " +
+          s"DIV ((cc + 1) * (tot + $smoothing))").as("ppm"))
+      .groupBy("source")
+      .agg(max(struct(col("ppm"), col("w"))).as("m"))
+      .select(col("source"), col("m.w").as("top_token"),
+        col("m.ppm").as("top_token_ppm"))
+
+    tv.join(ranked, Seq("source"))
+      .select("source", "n_tokens", "tv", "top_token", "top_token_ppm")
+      .orderBy("source")
+  }
+}

@@ -664,6 +664,14 @@ object TextQueries {
     // in the DuckDB oracle (exp() is not ulp-portable; see
     // QualityClassifier.linkCol). At 100 TB: train on the labeled
     // sample, broadcast the 256-weight model, score at scan speed.
+    // per-source distribution drift vs the corpus (bucket-level TV
+    // distance + DSIR-ppm top token) — the snapshot monitor; log-free
+    // by design so the whole card is exact-oracle
+    "t36_source_drift" -> { (s, d) =>
+      graft.operators.Drift.sourceDrift(
+        t(s, d, "documents"), "source", "text")
+    },
+
     "t35_quality_classifier" -> { (s, d) =>
       val labeled = t(s, d, "documents")
         .select(col("doc_id"), col("text"),
@@ -907,6 +915,44 @@ ORDER BY l.doc_id"""
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t35_quality_classifier" -> t35OracleSql,
+
+    // Drift.sourceDrift mirror: t26's fingerprint-mod bucket fold, the
+    // FULL generated (source x bucket) grid (absent buckets count with
+    // p=0), VARCHAR-staged decimal terms for the order-free TV sum,
+    // DSIR integer-ppm ratio + (ppm DESC, w DESC) argmax window
+    "t36_source_drift" ->
+      """WITH tok AS MATERIALIZED (SELECT source, u.t AS w FROM documents,
+        |    UNNEST(regexp_split_to_array(trim(text), ' +')) AS u(t)
+        |  WHERE len(u.t) > 0),
+        | tb AS MATERIALIZED (SELECT source,
+        |    list_reduce(list_transform(range(1, length(w) + 1),
+        |        i -> ascii(substr(w, CAST(i AS INT), 1))::BIGINT),
+        |      (x, y) -> (x * 31 + y) % 1000000007) % 4096 AS b
+        |  FROM tok),
+        | sb AS (SELECT source, b, COUNT(*) AS cnt FROM tb GROUP BY 1, 2),
+        | st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS tot FROM sb GROUP BY source),
+        | cb AS (SELECT b, CAST(SUM(cnt) AS BIGINT) AS ccnt FROM sb GROUP BY b),
+        | ct AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS ctot FROM cb),
+        | grid AS (SELECT st.source, st.tot,
+        |    abs(COALESCE(sb.cnt, 0) / st.tot - cb.ccnt / ct.ctot) AS dp
+        |  FROM st CROSS JOIN cb CROSS JOIN ct
+        |  LEFT JOIN sb ON sb.source = st.source AND sb.b = cb.b),
+        | tv AS (SELECT source, tot AS n_tokens,
+        |    CAST(SUM(CAST(CAST(dp AS VARCHAR) AS DECIMAL(28,16))) AS DOUBLE)
+        |      * 0.5 AS tv
+        |  FROM grid GROUP BY source, tot),
+        | sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        | cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY w),
+        | ranked AS (SELECT sw.source, sw.w,
+        |    CAST((sw.c + 1) * (ct.ctot + 4096) * 1000000
+        |      // ((cw.cc + 1) * (st.tot + 4096)) AS BIGINT) AS ppm
+        |  FROM sw JOIN cw USING (w) JOIN st USING (source) CROSS JOIN ct),
+        | top AS (SELECT source, w AS top_token, ppm AS top_token_ppm,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ppm DESC, w DESC) AS rn FROM ranked)
+        |SELECT tv.source, n_tokens, tv, top_token, top_token_ppm
+        |FROM tv JOIN (SELECT * FROM top WHERE rn = 1) t USING (source)
+        |ORDER BY tv.source""".stripMargin,
 
     // mirrors Dsir.importanceSelect bit-for-bit: same fingerprint fold
     // (t4's convention), same add-one-smoothed ppm integer ratios

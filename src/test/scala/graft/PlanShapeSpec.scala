@@ -125,7 +125,13 @@ class PlanShapeSpec extends SparkSpec {
     // checkpoint run at build time) feeding three combinable
     // aggregations; tiny-frame joins + the documented scalar BNLJ; no
     // windows, no corpus-keyed shuffles beyond the aggs
-    "p15_topic_card" -> (5, 1, 0, 0)
+    "p15_topic_card" -> (5, 1, 0, 0),
+    // t36: checkpointed explode + checkpointed bounded count tables
+    // (0 static scans — corpus work happens once at build); the 10
+    // remaining shuffles all move bucket-/vocab-/source-bounded
+    // tables; corpus tables re-join by broadcast; scalar totals via
+    // the documented BNLJ
+    "t36_source_drift" -> (10, 7, 0, 0)
   )
 
   test("heavy-query plan shapes stay pinned (shuffles/broadcasts/windows/scans)") {

@@ -49,6 +49,7 @@ AUDIT s6_pq_ann: BroadcastNestedLoopJoin
 AUDIT s8_bm25: BroadcastNestedLoopJoin
 AUDIT s9_rrf_fusion: BroadcastNestedLoopJoin
 AUDIT t26_dsir: BroadcastNestedLoopJoin
+AUDIT t36_source_drift: BroadcastNestedLoopJoin
 ALLOW
 if ! diff -u /tmp/plan_audit_allow.txt /tmp/plan_audit_now.txt; then
   echo "PLAN AUDIT DRIFT (see diff above)"; exit 1
