@@ -39,23 +39,52 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
-  def sourceDrift(docs: DataFrame, srcCol: String, textCol: String,
-                  nBuckets: Int = 4096, smoothing: Int = 4096): DataFrame = {
-    val tok = docs
-      .select(col(srcCol).as("source"),
-        explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-      .localCheckpoint(true)
+  private def tokens(docs: DataFrame, srcCol: String,
+                     textCol: String): DataFrame = docs
+    .select(col(srcCol).as("source"),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    .filter(length(col("w")) > 0)
 
-    // ---- bucket-level TV distance over the FULL grid
-    // both count tables are bounded state (nBuckets·|sources| /
-    // vocab-sized) and feed three consumers each — checkpoint so the
-    // corpus-sized aggregation runs once, not per consumer
-    val srcB = tok
+  /** (source, b, cnt) hashed-bucket token counts — the TV side's
+    * state. MERGEABLE: counts from two corpus slices union and re-sum
+    * to the counts of the union (plain + on a keyed table), so a
+    * stream can fold per-batch increments into a persisted store and
+    * the card stays exactly the batch card (StreamingDriftSpec). */
+  def bucketCounts(docs: DataFrame, srcCol: String, textCol: String,
+                   nBuckets: Int = 4096): DataFrame =
+    tokens(docs, srcCol, textCol)
       .select(col("source"),
         (call_function("graft_fingerprint", col("w")) % nBuckets).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+
+  /** (source, w, c) per-token counts — the argmax side's state;
+    * mergeable the same way (vocab-bounded). */
+  def tokenCounts(docs: DataFrame, srcCol: String,
+                  textCol: String): DataFrame =
+    tokens(docs, srcCol, textCol)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+
+  /** Merge two count-table increments: union + re-sum on the key —
+    * exact whatever the split (counts are a commutative monoid). */
+  def mergeCounts(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  cntCol: String): DataFrame =
+    a.unionByName(b).groupBy(keys.map(col): _*)
+      .agg(sum(col(cntCol)).cast("long").as(cntCol))
+
+  def sourceDrift(docs: DataFrame, srcCol: String, textCol: String,
+                  nBuckets: Int = 4096, smoothing: Int = 4096): DataFrame =
+    cardFromCounts(
+      bucketCounts(docs, srcCol, textCol, nBuckets).localCheckpoint(true),
+      tokenCounts(docs, srcCol, textCol).localCheckpoint(true),
+      smoothing)
+
+  /** The drift card derived purely from the two count tables (the
+    * form the streaming monitor reads back from its store). Both
+    * inputs are bounded state and feed three consumers each —
+    * sourceDrift checkpoints them so the corpus-sized aggregation
+    * runs once, not per consumer. */
+  def cardFromCounts(srcB: DataFrame, srcT: DataFrame,
+                     smoothing: Int = 4096): DataFrame = {
     val srcTot = srcB.groupBy("source").agg(sum("cnt").as("tot"))
     val corpB = srcB.groupBy("b").agg(sum("cnt").as("ccnt"))
     val corpTot = corpB.agg(sum("ccnt").as("ctot"))
@@ -71,8 +100,6 @@ object Drift {
       .withColumnRenamed("tot", "n_tokens")
 
     // ---- top over-represented token (integer-ppm likelihood ratio)
-    val srcT = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
     val corpT = srcT.groupBy("w").agg(sum("c").as("cc"))
     val ranked = srcT.join(corpT, "w").join(srcTot, "source").crossJoin(corpTot)
       .select(col("source"), col("w"),
