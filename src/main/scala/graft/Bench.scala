@@ -48,17 +48,26 @@ object Bench {
     // visible, not a fast time); hygiene between every run.
     // keepPersisted=true for the index-split timings below: their
     // whole point is probing a LIVE prebuilt artifact, which the
-    // blanket unpersist would silently evict between runs
-    def medianTimed(f: () => Unit, keepPersisted: Boolean = false): Double = {
-      val times = (1 to runs).map { _ =>
+    // blanket unpersist would silently evict between runs.
+    // ALL run times are retained (not just the median): the artifact
+    // carries per-query (min, med, max) so a reader can tell a plan
+    // regression from ambient noise — the r12/r13 lesson, where
+    // t15_bigram_lm swung 1.693 s -> 0.616 s on byte-identical code
+    // and a round's top priority was spent on a phantom. THE RULE: a
+    // median move only counts as a regression if it sits OUTSIDE the
+    // other round's [min, max] band (tools/bench_drift.py applies it).
+    def allTimed(f: () => Unit, keepPersisted: Boolean = false): Seq[Double] =
+      (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { f(); true } catch { case _: Throwable => false }
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         hygiene(keepPersisted)
         sec
       }
+    def medianOf(times: Seq[Double]): Double =
       if (times.contains(-1.0)) -1.0 else times.sorted.apply(runs / 2)
-    }
+    def medianTimed(f: () => Unit, keepPersisted: Boolean = false): Double =
+      medianOf(allTimed(f, keepPersisted))
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the catalog (the
     // driver sets no filter and always times everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -71,9 +80,10 @@ object Bench {
     // hash-arbitrary and changes as the catalog grows, which makes
     // per-query times incomparable across rounds (a query's cost
     // depends on which queries warmed the JVM before it)
-    val results = catalog.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> medianTimed(() => { fn(spark, sfDir).count(); () })
+    val allRuns = catalog.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> allTimed(() => { fn(spark, sfDir).count(); () })
     }
+    val results = allRuns.map { case (name, ts) => name -> medianOf(ts) }
 
     // ---- ANN index-build vs probe sub-timings (VERDICT r5 item 8):
     // the catalog rows time fit+index+query in one number; production
@@ -205,8 +215,18 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = splits.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // per-query spread of the raw runs (min/med/max): the
+    // noise-vs-regression discriminator (VERDICT r13 item 2). A
+    // failed run poisons the whole triple to -1 so breakage stays
+    // visible in every field.
+    val spread = allRuns.map { case (k, ts) =>
+      val bad = ts.contains(-1.0)
+      val (mn, mx) = if (bad) (-1.0, -1.0) else (ts.min, ts.max)
+      s"\"" + k + "\":{\"min\":" + r3(mn) + ",\"med\":" + r3(medianOf(ts)) +
+        ",\"max\":" + r3(mx) + "}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"ann_split":$sp,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"ann_split":$sp,"spread":$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}"""
     println(line)
     // durability: the driver keeps only a ~2000-char stdout tail, which
     // has truncated 40 of 119 per-query medians in past rounds — also

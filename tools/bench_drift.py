@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Noise-vs-regression discriminator over two bench artifacts
+(VERDICT r13 item 2 — the t15 phantom: a 2.7x median swing on
+byte-identical code cost round 12's top priority slot).
+
+THE RULE: a per-query median move counts as a REGRESSION only if the
+new median lies OUTSIDE the old artifact's [min, max] spread band
+(and vice versa for an improvement). Medians that land inside the
+other round's observed band are ambient noise by the artifact's own
+evidence and must not drive plan work.
+
+Usage:  python3 tools/bench_drift.py OLD.json NEW.json [--thresh 1.15]
+Exits 0 always (report tool, not a gate); prints one line per query
+classified REGRESSION / IMPROVEMENT, and a summary. --thresh adds a
+minimum ratio on top of the band test so sub-noise-floor wiggles on
+10 ms queries don't print.
+"""
+import json, sys
+
+def load(p):
+    with open(p) as f:
+        return json.load(f)
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thresh = 1.15
+    for a in sys.argv[1:]:
+        if a.startswith("--thresh"):
+            thresh = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old, new = load(args[0]), load(args[1])
+    os, ns = old.get("spread", {}), new.get("spread", {})
+    if not os or not ns:
+        print("NOTE: one artifact lacks 'spread' fields (pre-r14); "
+              "falling back to medians only — band test unavailable")
+    n_reg = n_imp = 0
+    for q in sorted(set(old.get("queries", {})) & set(new.get("queries", {}))):
+        om, nm = old["queries"][q], new["queries"][q]
+        if om <= 0 or nm <= 0:
+            continue
+        oband = (os.get(q, {}).get("min", om), os.get(q, {}).get("max", om))
+        nband = (ns.get(q, {}).get("min", nm), ns.get(q, {}).get("max", nm))
+        if nm > oband[1] and om < nband[0] and nm / om >= thresh:
+            print(f"REGRESSION  {q}: {om:.3f}s [{oband[0]:.3f},{oband[1]:.3f}] "
+                  f"-> {nm:.3f}s [{nband[0]:.3f},{nband[1]:.3f}]  ({nm/om:.2f}x)")
+            n_reg += 1
+        elif nm < oband[0] and om > nband[1] and om / nm >= thresh:
+            print(f"IMPROVEMENT {q}: {om:.3f}s -> {nm:.3f}s  ({om/nm:.2f}x)")
+            n_imp += 1
+    print(f"bench_drift: {n_reg} regressions, {n_imp} improvements "
+          f"(band-separated, ratio >= {thresh}); everything else is "
+          f"inside the other round's spread = noise")
+
+if __name__ == "__main__":
+    main()
