@@ -71,6 +71,28 @@ object Drift {
     a.unionByName(b).groupBy(keys.map(col): _*)
       .agg(sum(col(cntCol)).cast("long").as(cntCol))
 
+  /** Fold a per-batch count increment into a persisted parquet store
+    * — the streaming monitor's state transition (StreamingDriftSpec,
+    * CorpusIngest's drift stage). The store stays bounded (bucket
+    * grid / vocab), and because counts are a commutative monoid the
+    * store after N folds equals the one-shot batch counts exactly.
+    * The eager checkpoint breaks the read-overwrite cycle. */
+  def foldIntoStore(store: String, inc: DataFrame, keys: Seq[String],
+                    cntCol: String): Unit = {
+    val merged =
+      if (new java.io.File(store).exists())
+        mergeCounts(inc.sparkSession.read.parquet(store), inc, keys, cntCol)
+      else inc
+    merged.localCheckpoint(true).write.mode("overwrite").parquet(store)
+  }
+
+  /** Read a drift card off a store directory written by the fold
+    * stage (`<dir>/buckets`, `<dir>/tokens`). */
+  def cardFromStore(spark: org.apache.spark.sql.SparkSession,
+                    dir: String, smoothing: Int = 4096): DataFrame =
+    cardFromCounts(spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/tokens"), smoothing)
+
   def sourceDrift(docs: DataFrame, srcCol: String, textCol: String,
                   nBuckets: Int = 4096, smoothing: Int = 4096): DataFrame =
     cardFromCounts(

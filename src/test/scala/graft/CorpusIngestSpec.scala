@@ -81,4 +81,83 @@ class CorpusIngestSpec extends SparkSpec {
       .select("rk").as[Long].collect()
     assert(s0.sorted.sameElements(s0) && s0.nonEmpty)
   }
+
+  test("trained quality gate + drift fold: streamed == batch twin, " +
+      "classifier drops Gopher-passing spam, drift card == batch card") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_full").toString
+    val (ub, tb, shards, dd) =
+      (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/drift")
+
+    // mixed-pool docs (the QualityClassifierSpec generator) shaped to
+    // pass the Gopher gate (≥50 words, ≥2 mid-text stopwords, mean
+    // word length 3–10): spam and clean docs share the SAME shape —
+    // only the trained classifier can tell them apart
+    val spamPool = Seq("buy", "pills", "click", "winner", "free")
+    val cleanPool = Seq("model", "data", "train", "corpus", "learn",
+      "token", "text", "sample")
+    def mkDoc(i: Long, spam: Boolean): String = {
+      val rnd = new scala.util.Random(i * 7919 + (if (spam) 1 else 0))
+      val pool = if (spam) spamPool ++ cleanPool.take(3) else cleanPool
+      val ws = (1 to 48).map(_ => pool(rnd.nextInt(pool.size)))
+      s"${ws.take(16).mkString(" ")} the ${ws.slice(16, 32).mkString(" ")} " +
+        s"and the ${ws.drop(32).mkString(" ")}"
+    }
+    def clean(i: Long) = mkDoc(i, spam = false)
+    def spammy(i: Long) = mkDoc(i, spam = true)
+
+    // offline training run on a labeled sample (disjoint doc ids)
+    val trainDf = (0 until 150)
+      .map(i => (2000L + i, mkDoc(2000L + i, i % 2 == 1),
+        if (i % 2 == 1) 0.0 else 1.0))
+      .toDF("doc_id", "text", "y")
+    val (bias, w) = graft.operators.QualityClassifier.train(
+      trainDf, "doc_id", "text", "y", nBuckets = 256, epochs = 25, lr = 1.0)
+    val gate = Some(CorpusIngest.QualityGate(bias, w, threshold = 0.5))
+
+    // two source hosts so the drift card is per-source nontrivial
+    def url(host: String, i: Long) = s"https://$host/doc$i"
+    val b1 = Seq(
+      (url("alpha.com", 1), 1L, clean(1)), (url("alpha.com", 2), 2L, clean(2)),
+      (url("beta.org", 3), 3L, clean(3)),
+      (url("beta.org", 4), 4L, spammy(4)),      // Gopher passes, gate drops
+      (url("alpha.com", 5), 5L, "too few words")) // Gopher drops
+    val b2 = Seq(
+      (url("alpha.com", 6), 6L, clean(6)),
+      (url("beta.org", 7), 7L, spammy(7)),      // gate drop, batch 2
+      (url("alpha.com", 1) + "?utm_source=x", 8L, clean(8)), // URL dup
+      (url("beta.org", 9), 9L, clean(2)))       // cross-batch text dup
+
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(
+      mem.toDF().toDF("url", "doc_id", "text"), ub, tb, shards,
+      numShards = 4, qualityGate = gate, driftDir = Some(dd))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = Set(1L, 2L, 3L, 6L)
+    val streamed = spark.read.parquet(shards)
+    assert(streamed.select("doc_id").as[Long].collect().toSet == expected)
+
+    // batch twin, fresh state, both stages on
+    val (ub2, tb2, shards2, dd2) = (s"$dir/u2", s"$dir/t2", s"$dir/s2", s"$dir/d2")
+    CorpusIngest.ingestBatch((b1 ++ b2).toDF("url", "doc_id", "text"),
+      ub2, tb2, shards2, numShards = 4, qualityGate = gate,
+      driftDir = Some(dd2))
+    val batch = spark.read.parquet(shards2)
+    assert(batch.select("doc_id").as[Long].collect().toSet == expected)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "rk", "doc_id", "canon_url", "text")
+        .orderBy("shard", "rk").collect().map(_.toSeq).toSeq
+    assert(canon(streamed) == canon(batch))
+
+    // the t36 card off the streamed store == the batch twin's card
+    // (counts monoid), with both source hosts present
+    val cardS = CorpusIngest.driftCard(spark, dd).collect().map(_.toSeq).toSeq
+    val cardB = CorpusIngest.driftCard(spark, dd2).collect().map(_.toSeq).toSeq
+    assert(cardS == cardB)
+    assert(cardS.map(_.head).toSet == Set("alpha.com", "beta.org"))
+  }
 }

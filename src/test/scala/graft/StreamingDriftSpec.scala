@@ -24,23 +24,12 @@ class StreamingDriftSpec extends SparkSpec {
     val dir = Files.createTempDirectory("driftstore").toString
     val (bStore, tStore) = (s"$dir/buckets", s"$dir/tokens")
 
-    def mergeInto(store: String, inc: DataFrame, keys: Seq[String],
-                  cnt: String): Unit = {
-      val merged =
-        if (new java.io.File(store).exists())
-          Drift.mergeCounts(
-            inc.sparkSession.read.parquet(store), inc, keys, cnt)
-        else inc
-      // store is bounded; checkpoint breaks the read-overwrite cycle
-      merged.localCheckpoint(true).write.mode("overwrite").parquet(store)
-    }
-
     val mem = MemoryStream[(String, String)]
     val q = mem.toDF().toDF("text", "source").writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeInto(bStore,
+        Drift.foldIntoStore(bStore,
           Drift.bucketCounts(batch, "source", "text"), Seq("source", "b"), "cnt")
-        mergeInto(tStore,
+        Drift.foldIntoStore(tStore,
           Drift.tokenCounts(batch, "source", "text"), Seq("source", "w"), "c")
         ()
       }.start()
