@@ -199,6 +199,25 @@ object Bench {
                 .as("toks")),
           "doc_id", shardDir, numShards = 16); ()
       }
+      // the maintenance half (VERDICT r13 item 3): compact a
+      // 4-batch-fragmented streamed store back to one file per shard.
+      // Compaction consumes its input, so each timed run gets its own
+      // pre-fragmented store (built untimed).
+      val fragDocs = t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextOps.wsTokenCount(col("text")).cast("long")
+            .as("toks"))
+      val fragDirs = (1 to runs).map { _ =>
+        val d = java.nio.file.Files
+          .createTempDirectory("bench_shards_frag").toFile.getAbsolutePath
+        (0 until 4).foreach(m => graft.sources.ShardSink.appendShards(
+          fragDocs.filter(col("doc_id") % 4 === m), "doc_id", d, 16))
+        d
+      }.iterator
+      splits("p9_shard_compact") = medianKeep { () =>
+        graft.sources.ShardSink.compactShards(spark, fragDirs.next(),
+          "doc_id"); ()
+      }
     } catch { case _: Throwable => () }
 
     // ms-rounded per-query times and a duplicate total at the END of

@@ -68,6 +68,42 @@ object ShardSink {
       .write.mode("append").partitionBy("shard").parquet(outDir)
   }
 
+  /** Maintenance pass for the STREAMED store (VERDICT r13 item 3):
+    * [[appendShards]] leaves one file per touched shard per
+    * micro-batch, so 10⁴ batches → 10⁴ files per shard directory —
+    * every [[resumeShard]] then pays file-open/footer-parse per file
+    * and a full multi-file merge sort. This rewrites each `shard=<s>`
+    * directory through [[Layout.compact]] clustered on (rk, `idCol`):
+    * back to ~`targetFileBytes` files holding contiguous rank ranges
+    * (one file in the common case), so the store is again
+    * byte-equivalent to a one-shot [[writeShards]] of the union —
+    * manifests invariant, resume order invariant, rank-predicate
+    * row-group pruning restored (ShardSinkSpec, off disk).
+    *
+    * One rewrite job per shard directory, swapped in via a
+    * delete+rename on completion — incremental and restartable (a
+    * crash mid-store leaves some dirs compacted, some not; re-running
+    * finishes the rest; a crash between delete and rename of ONE dir
+    * is recoverable from its `<dir>__compact` twin). Returns the
+    * total file count written. */
+  def compactShards(spark: org.apache.spark.sql.SparkSession,
+                    outDir: String, idCol: String,
+                    targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("shard="))
+    var written = 0
+    shardDirs.foreach { d =>
+      val tmp = new org.apache.hadoop.fs.Path(d.getParent, d.getName + "__compact")
+      written += Layout.compact(spark, d.toString, tmp.toString,
+        targetFileBytes, clusterCols = Seq("rk", idCol))
+      fs.delete(d, true)
+      fs.rename(tmp, d)
+    }
+    written
+  }
+
   /** Trainer-side RESUME read: shard `shard`'s rows with rank >
     * `afterRank`, in training order — the restart contract the
     * (rank, id) file order exists for. The rank predicate reaches the

@@ -96,6 +96,42 @@ class ShardSinkSpec extends SparkSpec {
       s"rank predicate not pushed to the scan:\n$plan")
   }
 
+  test("append x3 then compactShards == one-shot writeShards, off disk") {
+    val outDir = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    val oneShot = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    // three micro-batch appends (the CorpusIngest write pattern)
+    (0 until 3).foreach { m =>
+      ShardSink.appendShards(docs.filter(col("doc_id") % 3 === m),
+        "doc_id", outDir, numShards)
+    }
+    // the small-file problem is real before compaction…
+    assert(listShardFiles(outDir).exists(_._2.size > 1),
+      "appends should leave multiple files per shard")
+    ShardSink.compactShards(spark, outDir, "doc_id")
+    // …and gone after: one rk-ordered file per shard
+    val files = listShardFiles(outDir)
+    files.foreach { case (s, fs) =>
+      assert(fs.size === 1, s"shard $s: ${fs.size} files after compaction")
+    }
+    ShardSink.writeShards(docs, "doc_id", oneShot, numShards)
+    val want = listShardFiles(oneShot)
+    (0 until numShards).foreach { s =>
+      val got = spark.read.parquet(files(s.toLong).head.getAbsolutePath)
+        .select("rk", "doc_id", "toks").as[(Long, Long, Long)].collect().toSeq
+      val exp = spark.read.parquet(want(s.toLong).head.getAbsolutePath)
+        .select("rk", "doc_id", "toks").as[(Long, Long, Long)].collect().toSeq
+      assert(got === exp, s"shard $s file content differs from one-shot write")
+    }
+    assert(ShardSink.manifestsFromDisk(spark, outDir, "doc_id")
+      .collect().map(_.toSeq).toSeq ===
+      ShardSink.manifestsFromDisk(spark, oneShot, "doc_id")
+        .collect().map(_.toSeq).toSeq)
+    // resume contract holds on the compacted store, pushdown included
+    val plan = ShardSink.resumeShard(spark, outDir, 1, 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(rk"))
+  }
+
   test("deterministic under parallelism: 1-partition rewrite is identical") {
     val outA = Files.createTempDirectory("shards").toFile.getAbsolutePath
     val outB = Files.createTempDirectory("shards").toFile.getAbsolutePath
