@@ -31,6 +31,25 @@ object TextQueries {
       |  + 0.3 * LEAST(1.0, CAST(${occ(" the ", 5)} + ${occ(" a ", 3)} + ${occ(" of ", 4)} AS DOUBLE) * 10.0
       |      / CAST(len(regexp_split_to_array(trim(text), ' +')) AS DOUBLE))""".stripMargin
 
+  /** Adjacent-token (doc_id, w1, w2) pairs, formed MAP-SIDE on the
+    * split array — `zip_with` of the array against its own tail, the
+    * form the t15 oracle uses in SQL. Replaces the posexplode +
+    * per-doc `lead` window the t15/t17/t18 family carried (VERDICT
+    * r13 item 5): the window was doc-bounded and hub-safe, but this
+    * deletes its per-doc sort entirely — pairs fall out of the scan
+    * projection inside whole-stage codegen, 0 WindowExec
+    * (PlanShapeSpec). zip_with pads the shorter tail with null, so
+    * the last token pairs (w_n, null) and is filtered — identical
+    * row semantics to the lead(1) form, empty docs included. */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
+    val ws = split(trim(col("text")), " +")
+    docs.select(col("doc_id"), explode(
+        zip_with(ws, slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p.w2").isNotNull)
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
+
   /** Deterministic synthetic page around a documents row — the t28/p7
     * crawl-stage input: chrome + script/style noise + entity-bearing
     * running text + the doc's text as `<p>` paragraphs. */
@@ -446,14 +465,7 @@ object TextQueries {
     // applied to the one remaining hub-keyed window). Integer counts →
     // the double division is bit-exact in any engine.
     "t15_bigram_lm" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), " +")).as(Seq("pos", "w")))
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val bigrams = toks.withColumn("w2", lead(col("w"), 1).over(byDoc))
-        .filter(col("w2").isNotNull)
-        .select(col("w").as("w1"), col("w2"))
+      val bigrams = bigramPairs(t(s, d, "documents"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       val denom = bigrams.groupBy("w1").agg(sum(col("cnt")).as("w1_tot"))
       bigrams.join(denom, "w1")
@@ -473,20 +485,16 @@ object TextQueries {
     // doc-keyed join — map-side combine everywhere, partitioned by
     // doc, no global state.
     "t17_repetition" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val toks = spread(t(s, d, "documents"))
         .select(col("doc_id"),
-          posexplode(split(trim(col("text")), " +")).as(Seq("pos", "w")))
+          explode(split(trim(col("text")), " +")).as("w"))
       val tokStats = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id").agg(
           sum(col("cnt")).as("n_tok"),
           count(lit(1)).as("n_distinct"),
           max(col("cnt")).as("top_cnt"))
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val bigStats = toks
-        .withColumn("w2", lead(col("w"), 1).over(byDoc))
-        .filter(col("w2").isNotNull)
-        .groupBy("doc_id", "w", "w2").agg(count(lit(1)).as("cnt"))
+      val bigStats = bigramPairs(spread(t(s, d, "documents")))
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id").agg(
           sum(col("cnt")).as("n_big"),
           sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_big"))
@@ -512,14 +520,7 @@ object TextQueries {
     // double division. The LM table is vocab²-bounded (a model
     // artifact, like KenLM): at 100 TB it is the small join side.
     "t18_lm_score" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      def bigrams = spread(t(s, d, "documents"))
-        .select(col("doc_id"),
-          posexplode(split(trim(col("text")), " +")).as(Seq("pos", "w")))
-        .withColumn("w2", lead(col("w"), 1).over(byDoc))
-        .filter(col("w2").isNotNull)
-        .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      def bigrams = bigramPairs(spread(t(s, d, "documents")))
       val lm = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("gcnt"))
       val docIds = t(s, d, "documents").select("doc_id")
       docIds.join(

@@ -52,18 +52,25 @@ class PlanShapeSpec extends SparkSpec {
     "t25_novelty" -> (6, 1, 0, 2),
     "p1_corpus_pipeline" -> (3, 0, 0, 1),
     "p7_crawl_pipeline" -> (4, 1, 0, 2),
-    // r11 proactive fixes. t15: the 2 windows are the per-DOC lead
-    // (bounded by doc length) appearing once per join branch in the
-    // STATIC plan — both branches consume the same bigram-count
-    // exchange, which AQE reuses at runtime, so one actually executes;
-    // the w1-keyed hub window is gone. t10: two-level bucketed cumsum —
+    // r11/r14 fixes. t15/t17/t18: bigrams are formed map-side on the
+    // split array (zip_with against its own tail, TextQueries
+    // .bigramPairs) — 0 WindowExec; the former per-doc lead window
+    // and its sort are gone (VERDICT r13 item 5). t15's 3 shuffles =
+    // bigram-count agg + w1 denominator agg + output TakeOrdered
+    // prep. t10: two-level bucketed cumsum —
     // all 3 windows are BOUNDED (the within-(stratum,bucket) cumsum
     // over stratum/numBuckets-sized groups appears in BOTH the offsets
     // and join branches of the static plan — column pruning defeats
     // static exchange reuse, the t15 pattern — plus the per-stratum
     // offset prefix over ≤ numBuckets tiny rows); the lang-keyed
     // mega-stratum window is gone.
-    "t15_bigram_lm" -> (5, 1, 2, 2),
+    "t15_bigram_lm" -> (3, 1, 0, 2),
+    // t17: 7 = spread repartition ×2 (token + bigram branch) +
+    // (doc,w) and (doc,w1,w2) count aggs + the two per-doc rollups +
+    // output sort; windows 0. t18: bigram-count agg feeds both the LM
+    // table (broadcast) and the per-doc probe branch; windows 0.
+    "t17_repetition" -> (7, 1, 0, 2),
+    "t18_lm_score" -> (5, 2, 0, 3),
     // t10 (r12): autoBuckets picks numBuckets=1 at spec SF (50 docs),
     // so the plan IS the cheap single per-lang prefix window + the
     // report agg — the bucketed (6,1,3,2) shape only engages past
