@@ -230,6 +230,41 @@ object Quality {
       spark.range(50).select(concat_ws(" ", (0 until 60).map(j =>
         hex(xxhash64(col("id"), lit(j)))): _*).as("text")))
 
+    // ---- t37: trained language-ID held-out accuracy --------------
+    // The synthetic documents' text is lang-INDEPENDENT (every
+    // language draws from the same token pool — majority-class 'en'
+    // at ~44 % is the information-theoretic ceiling on raw labels),
+    // so the usefulness gate follows the planted-structure convention
+    // the ANN twin-recall metrics use: plant per-language marker
+    // tokens (for de/en/fr/es the t1 heuristic's OWN markers, so the
+    // heuristic stays competitive on those; for zh a marker the
+    // heuristic doesn't know), train t37's setup on the 20 % sample,
+    // and measure held-out accuracy. The trained model must identify
+    // all five languages (heuristic caps at 4/5 — it has no zh rule).
+    val langMarkers = map(Seq("de" -> "der", "en" -> "the", "fr" -> "le",
+      "es" -> "el", "zh" -> "zhong").flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*)
+    val langDocs = t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          array_join(array_repeat(element_at(langMarkers, col("lang")),
+            10), " ")).as("text"),
+        col("lang"))
+    val heldOut = langDocs.filter(col("doc_id") % 5 =!= 0)
+    val langModels = graft.operators.QualityClassifier.trainOneVsRest(
+      langDocs.filter(col("doc_id") % 5 === 0), "doc_id", "text", "lang",
+      Seq("de", "en", "es", "fr", "zh"), nBuckets = 128, epochs = 3,
+      lr = 0.5, link = "algebraic")
+    def acc(pred: org.apache.spark.sql.Column, df: DataFrame): Double =
+      df.agg(avg(when(pred === col("lang"), 1.0).otherwise(0.0)))
+        .head().getDouble(0)
+    metrics("t37_langid_planted_heldout_acc") = acc(col("pred_lang"),
+      graft.operators.QualityClassifier.classifyOneVsRest(
+        heldOut, "doc_id", "text", langModels, "pred_lang", "__s",
+        link = "algebraic"))
+    metrics("t1_langid_heuristic_planted_acc") = acc(
+      graft.functions.TextOps.langId(col("text")), heldOut)
+
     // ---- d6: KMV sketch worst-group relative error ---------------
     val kmv = SparkEntry.queries("d6_kmv_distinct")(spark, sfDir)
       .select(col("est_distinct"), col("exact_distinct"))

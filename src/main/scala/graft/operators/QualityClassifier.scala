@@ -133,6 +133,97 @@ object QualityClassifier {
     (bias, w)
   }
 
+  /** One-vs-rest multiclass training (the trained language-ID form,
+    * t37): K independent binary models y_j = (label == classes(j)),
+    * trained JOINTLY — each epoch computes all K dot products in one
+    * doc-keyed aggregation and all K per-bucket gradients in one
+    * bucket-keyed aggregation, so the epoch cost is one feature-table
+    * pass whatever K (vs K passes for K train() calls). The math per
+    * class is EXACTLY [[train]]'s — same decimal sums, same update
+    * order — so the result is bit-identical to K independent train()
+    * runs (QualityClassifierSpec pins the equality), which is what
+    * lets the DuckDB oracle replay each class independently.
+    * Driver state: K·(nBuckets+1) doubles — still a model artifact. */
+  def trainOneVsRest(df: DataFrame, idCol: String, textCol: String,
+                     labelCol: String, classes: Seq[String],
+                     nBuckets: Int = 1024, epochs: Int = 20,
+                     lr: Double = 0.5, link: String = "logistic")
+      : Seq[(String, (Double, Array[Double]))] = {
+    val k = classes.size
+    require(k > 0, "classes must be non-empty")
+    val docs = df.select(col(idCol), col(labelCol).cast("string").as("__cls"))
+      .localCheckpoint(true)
+    val n = docs.count().toDouble
+    require(n > 0, "empty training set")
+    val featsAug = features(df, idCol, textCol, nBuckets)
+      .unionByName(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0).as("x")))
+      .join(docs, idCol).localCheckpoint(true)
+    val feats = featsAug.filter(col("b") >= 0)
+
+    val bias = Array.fill(k)(0.0)
+    val w = Array.fill(k)(Array.fill(nBuckets)(0.0))
+    for (_ <- 1 to epochs) {
+      val dotCols = classes.indices.map { j =>
+        sum((element_at(lit(w(j)), col("b").cast("int") + 1) * col("x"))
+            .cast("decimal(28,16)")).cast("double").as(s"__dot$j")
+      }
+      val dots = feats.groupBy(idCol).agg(dotCols.head, dotCols.tail: _*)
+      val errCols = classes.indices.map { j =>
+        (linkCol(coalesce(col(s"__dot$j"), lit(0.0)) + bias(j), link) -
+          when(col("__cls") === classes(j), 1.0).otherwise(0.0)).as(s"__e$j")
+      }
+      val err = docs.join(dots, Seq(idCol), "left")
+        .select(col(idCol) +: errCols: _*)
+      val gradCols = classes.indices.map { j =>
+        sum((col(s"__e$j") * col("x")).cast("decimal(28,16)")).as(s"__g$j")
+      }
+      val gradRows = featsAug.join(err, idCol)
+        .groupBy("b").agg(gradCols.head, gradCols.tail: _*)
+        .collect()
+      gradRows.foreach { r =>
+        val b = r.getLong(0).toInt
+        classes.indices.foreach { j =>
+          val g = r.getDecimal(j + 1).doubleValue()
+          if (b < 0) bias(j) -= lr * g / n
+          else w(j)(b) -= lr * g / n
+        }
+      }
+    }
+    featsAug.unpersist(); docs.unpersist()
+    classes.zipWithIndex.map { case (c, j) => c -> ((bias(j), w(j))) }
+  }
+
+  /** Map-side one-vs-rest scoring + argmax: one feature aggregation
+    * computes every model's dot product (K sum columns, one shuffle);
+    * `predCol` gets the argmax class, `scoreCol` its link score. Ties
+    * break toward the lexicographically GREATER class (greatest over
+    * (score, class) structs — the p11 argmax convention, replayed in
+    * the oracle as ORDER BY score DESC, cls DESC). */
+  def classifyOneVsRest(df: DataFrame, idCol: String, textCol: String,
+                        models: Seq[(String, (Double, Array[Double]))],
+                        predCol: String, scoreCol: String,
+                        link: String = "logistic"): DataFrame = {
+    require(models.nonEmpty, "models must be non-empty")
+    val nb = models.head._2._2.length
+    val dotCols = models.zipWithIndex.map { case ((_, (_, wj)), j) =>
+      sum((element_at(lit(wj), col("b").cast("int") + 1) * col("x"))
+          .cast("decimal(28,16)")).cast("double").as(s"__dot$j")
+    }
+    val dots = features(df, idCol, textCol, nb)
+      .groupBy(idCol).agg(dotCols.head, dotCols.tail: _*)
+    val scoreStructs = models.zipWithIndex.map { case ((c, (bj, _)), j) =>
+      struct(linkCol(coalesce(col(s"__dot$j"), lit(0.0)) + bj, link).as("s"),
+        lit(c).as("c"))
+    }
+    df.join(dots, Seq(idCol), "left")
+      .withColumn("__best",
+        if (scoreStructs.size > 1) greatest(scoreStructs: _*)
+        else scoreStructs.head)
+      .withColumn(predCol, col("__best.c"))
+      .withColumn(scoreCol, col("__best.s"))
+      .drop("__best" +: models.indices.map(j => s"__dot$j"): _*)
+  }
+
   /** Map-side scoring: adds `scoreCol` (the sigmoid probability) —
     * broadcast weights, no shuffle beyond the feature aggregation. */
   def score(df: DataFrame, idCol: String, textCol: String,

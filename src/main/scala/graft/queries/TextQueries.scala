@@ -673,6 +673,31 @@ object TextQueries {
         t(s, d, "documents"), "source", "text")
     },
 
+    // Trained language ID (t37, VERDICT r13 item 4) — the learned
+    // companion to t1's marker heuristic: one-vs-rest logistic models
+    // (fastText's supervised setup, Joulin et al. 2017) over the same
+    // hashed bag-of-words features as t35, trained jointly (one
+    // doc-keyed dot aggregation + one bucket-keyed gradient
+    // aggregation per epoch for ALL five classes) on the
+    // deterministic 20 % sample, then argmax-classified map-side over
+    // the full corpus. Algebraic link + decimal sums, so the whole
+    // 5-class × 3-epoch loop replays bit-for-bit in DuckDB. At
+    // 100 TB: train on the labeled sample; scoring is one broadcast
+    // of K·(nBuckets+1) doubles + one doc-keyed aggregation.
+    "t37_langid_trained" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val models = graft.operators.QualityClassifier.trainOneVsRest(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", "lang",
+        langClasses, nBuckets = 128, epochs = 3, lr = 0.5,
+        link = "algebraic")
+      graft.operators.QualityClassifier.classifyOneVsRest(
+          docs, "doc_id", "text", models, "pred_lang", "pred_score",
+          link = "algebraic")
+        .select("doc_id", "lang", "pred_lang", "pred_score")
+        .orderBy("doc_id")
+    },
+
     "t35_quality_classifier" -> { (s, d) =>
       val labeled = t(s, d, "documents")
         .select(col("doc_id"), col("text"),
@@ -804,6 +829,80 @@ object TextQueries {
     *     correctly-rounded IEEE ops in both engines.
     * Each stage MATERIALIZED (the chained-CTE discipline of the
     * hash/quantizer oracles). */
+  /** The five language classes, sorted — shared by the t37 query and
+    * its oracle so class order (and the argmax tiebreak) agree. */
+  private val langClasses = Seq("de", "en", "es", "fr", "zh")
+
+  /** t37's oracle: five independent replays of the t35 GD chain (one
+    * per language, y = (lang = cls)), sharing one hashed-feature
+    * table, then per-doc argmax with the (score DESC, cls DESC)
+    * tiebreak mirroring Spark's greatest-over-structs. */
+  private def t37OracleSql: String = {
+    val nb = 128; val epochs = 3
+    val dec = "DECIMAL(28,16)"
+    def d2dec(x: String) = s"CAST(CAST($x AS VARCHAR) AS $dec)"
+    def dec2d(x: String) = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    def lnk(s: String) = s"0.5 + (0.5 * ($s)) / (1.0 + abs($s))"
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    parts += s"""lc_tok AS MATERIALIZED (SELECT doc_id,
+  unnest(regexp_split_to_array(trim(text), ' +')) AS f FROM documents)"""
+    parts += s"""lc_feats AS MATERIALIZED (SELECT doc_id,
+  list_reduce(list_transform(range(1, length(f) + 1),
+      i -> ascii(substr(f, CAST(i AS INT), 1))::BIGINT),
+    (x, y) -> (x * 31 + y) % 1000000007) % $nb AS b,
+  CAST(COUNT(*) AS DOUBLE) AS x
+  FROM lc_tok WHERE length(f) > 0 GROUP BY doc_id, b)"""
+    parts += s"""lc_tfeat AS MATERIALIZED (SELECT * FROM lc_feats
+  WHERE doc_id % 5 = 0)"""
+    parts += s"""lc_n AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+  FROM documents WHERE doc_id % 5 = 0)"""
+    for (cls <- langClasses) {
+      val m = s"l$cls"
+      parts += s"""${m}_tlab AS MATERIALIZED (SELECT doc_id,
+  CAST(CASE WHEN lang = '$cls' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+  FROM documents WHERE doc_id % 5 = 0)"""
+      parts += s"""${m}_w0 AS MATERIALIZED (SELECT unnest(generate_series(0, ${nb - 1}))::BIGINT AS b, 0.0 AS wv)"""
+      parts += s"""${m}_b0 AS MATERIALIZED (SELECT 0.0 AS bv)"""
+      for (k <- 1 to epochs) {
+        val p = k - 1
+        parts += s"""${m}_dot$k AS MATERIALIZED (SELECT f.doc_id,
+  ${dec2d(s"SUM(${d2dec("w.wv * f.x")})")} AS dot
+  FROM lc_tfeat f JOIN ${m}_w$p w USING (b) GROUP BY f.doc_id)"""
+        parts += s"""${m}_p$k AS MATERIALIZED (SELECT l.doc_id, l.y,
+  ${lnk("COALESCE(d.dot, 0.0) + b.bv")} AS p
+  FROM ${m}_tlab l LEFT JOIN ${m}_dot$k d USING (doc_id) CROSS JOIN ${m}_b$p b)"""
+        parts += s"""${m}_g$k AS MATERIALIZED (SELECT f.b,
+  ${dec2d(s"SUM(${d2dec("(p.p - p.y) * f.x")})")} AS g
+  FROM lc_tfeat f JOIN ${m}_p$k p USING (doc_id) GROUP BY f.b)"""
+        parts += s"""${m}_gb$k AS MATERIALIZED (SELECT
+  ${dec2d(s"SUM(${d2dec("p.p - p.y")})")} AS g FROM ${m}_p$k p)"""
+        parts += s"""${m}_w$k AS MATERIALIZED (SELECT w.b,
+  w.wv - (0.5 * COALESCE(g.g, 0.0)) / nn.n AS wv
+  FROM ${m}_w$p w LEFT JOIN ${m}_g$k g USING (b) CROSS JOIN lc_n nn)"""
+        parts += s"""${m}_b$k AS MATERIALIZED (SELECT b.bv - (0.5 * gb.g) / nn.n AS bv
+  FROM ${m}_b$p b CROSS JOIN ${m}_gb$k gb CROSS JOIN lc_n nn)"""
+      }
+      parts += s"""${m}_sdot AS MATERIALIZED (SELECT f.doc_id,
+  ${dec2d(s"SUM(${d2dec("w.wv * f.x")})")} AS dot
+  FROM lc_feats f JOIN ${m}_w$epochs w USING (b) GROUP BY f.doc_id)"""
+    }
+    val scoredUnion = langClasses.map { cls =>
+      val m = s"l$cls"
+      s"""SELECT d.doc_id, '$cls' AS cls,
+  ${lnk("COALESCE(s.dot, 0.0) + b.bv")} AS score
+  FROM documents d LEFT JOIN ${m}_sdot s USING (doc_id) CROSS JOIN ${m}_b$epochs b"""
+    }.mkString("\nUNION ALL\n")
+    "WITH " + parts.mkString(",\n") + s""",
+lc_scored AS MATERIALIZED (
+$scoredUnion),
+lc_best AS (SELECT doc_id, cls, score,
+  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls DESC) AS rn
+  FROM lc_scored)
+SELECT d.doc_id, d.lang, b.cls AS pred_lang, b.score AS pred_score
+FROM documents d JOIN lc_best b ON d.doc_id = b.doc_id AND b.rn = 1
+ORDER BY d.doc_id"""
+  }
+
   private def t35OracleSql: String = {
     val nb = 256; val epochs = 5
     val dec = "DECIMAL(28,16)"
@@ -916,6 +1015,7 @@ ORDER BY l.doc_id"""
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t35_quality_classifier" -> t35OracleSql,
+    "t37_langid_trained" -> t37OracleSql,
 
     // Drift.sourceDrift mirror: t26's fingerprint-mod bucket fold, the
     // FULL generated (source x bucket) grid (absent buckets count with

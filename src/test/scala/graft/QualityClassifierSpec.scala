@@ -107,6 +107,47 @@ class QualityClassifierSpec extends SparkSpec {
     assert(acc.toMap == batchScores)
   }
 
+  test("one-vs-rest joint loop == K independent train() runs, " +
+      "bit-for-bit (the invariant the t37 oracle's per-class replay " +
+      "rests on), and classify picks the argmax class") {
+    // three classes with distinct vocabularies + shared filler
+    val pools = Map(
+      "aa" -> Seq("alpha", "apex", "arrow"),
+      "bb" -> Seq("beta", "brick", "bloom"),
+      "cc" -> Seq("gamma", "cloud", "crisp"))
+    val filler = Seq("the", "of", "and", "data")
+    def doc(i: Int, cls: String): (Long, String, String) = {
+      val rnd = new scala.util.Random(i * 31 + cls.hashCode)
+      val pool = pools(cls) ++ filler
+      (i.toLong, (1 to 20).map(_ => pool(rnd.nextInt(pool.size)))
+        .mkString(" "), cls)
+    }
+    val classes = Seq("aa", "bb", "cc")
+    val rows = (1 to 90).map(i => doc(i, classes(i % 3)))
+    val df = rows.toDF("doc_id", "text", "cls")
+    val joint = QualityClassifier.trainOneVsRest(
+      df, "doc_id", "text", "cls", classes, nBuckets = 64, epochs = 6,
+      lr = 1.0, link = "algebraic")
+    classes.foreach { c =>
+      val (bSolo, wSolo) = QualityClassifier.train(
+        df.withColumn("y", when(col("cls") === c, 1.0).otherwise(0.0)),
+        "doc_id", "text", "y", nBuckets = 64, epochs = 6, lr = 1.0,
+        link = "algebraic")
+      val (bJoint, wJoint) = joint.toMap.apply(c)
+      assert(bJoint == bSolo && wJoint.sameElements(wSolo),
+        s"joint OvR diverges from independent train() for class $c")
+    }
+    // held-out classification: argmax recovers the planted class
+    val held = (1000 to 1059).map(i => doc(i, classes(i % 3)))
+      .toDF("doc_id", "text", "cls")
+    val preds = QualityClassifier.classifyOneVsRest(
+        held, "doc_id", "text", joint, "pred", "score", link = "algebraic")
+      .select(col("cls"), col("pred")).collect()
+    val accuracy = preds.count(r => r.getString(0) == r.getString(1))
+      .toDouble / preds.length
+    assert(accuracy >= 0.95, s"held-out OvR accuracy $accuracy")
+  }
+
   test("unseen vocabulary scores the bias alone, no NaN") {
     val df = trainRows.toDF("doc_id", "text", "label")
     val (bias, w) = QualityClassifier.train(
