@@ -37,9 +37,46 @@ class AsOfJoinPropSpec extends SparkSpec {
       // so feed right pre-sorted is NOT needed; instead dedupe ties:
       val rDf = right.toDF("r_id", "rk", "rt")
         .groupBy("rk", "rt").agg(max("r_id").as("r_id"))
-      val got = AsOfJoin.asofBackward(lDf, "k", "lt", rDf, "rk", "rt")
-        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
-      assert(got == expected, s"trial $trial mismatch")
+      // BOTH adaptive branches must match the naive reference:
+      // hubFactor=0 forces the bucketed two-level carry,
+      // hubFactor=MaxValue forces the single keyed window
+      for (hf <- Seq(0.0, Double.MaxValue)) {
+        val got = AsOfJoin.asofBackward(lDf, "k", "lt", rDf, "rk", "rt",
+            hubFactor = hf)
+          .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+        assert(got == expected, s"trial $trial hubFactor=$hf mismatch")
+      }
     }
+  }
+
+  test("adaptive switch: balanced keys take the single-window path, " +
+      "a hub key engages the bucketed carry") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(df: org.apache.spark.sql.DataFrame): Int = {
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def flat(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case _ => p +: p.children.flatMap(flat)
+      }
+      flat(df.queryExecution.executedPlan).count(_.isInstanceOf[WindowExec])
+    }
+    val balancedL = (1 to 400)
+      .map(i => (i.toLong, (i % 40).toLong, (i % 97).toLong))
+      .toDF("l_id", "k", "lt")
+    val balancedR = (1 to 400)
+      .map(j => (j.toLong + 1000, (j % 40).toLong, (j % 89).toLong))
+      .toDF("r_id", "rk", "rt").groupBy("rk", "rt")
+      .agg(max("r_id").as("r_id"))
+    // fast path: exactly ONE window (the per-key running last)
+    assert(windows(AsOfJoin.asofBackward(
+      balancedL, "k", "lt", balancedR, "rk", "rt")) === 1)
+    // hub: one key holds ~95 % of rows — the bucketed carry's TWO
+    // bounded windows appear instead
+    val hubL = (1 to 800)
+      .map(i => (i.toLong, if (i % 50 == 0) i.toLong else 7L, (i % 97).toLong))
+      .toDF("l_id", "k", "lt")
+    assert(windows(AsOfJoin.asofBackward(
+      hubL, "k", "lt", balancedR, "rk", "rt")) === 2)
   }
 }

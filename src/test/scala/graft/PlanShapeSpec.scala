@@ -96,12 +96,16 @@ class PlanShapeSpec extends SparkSpec {
     // ---- r12: the last two hub-keyed windows, converted. q_cdc:
     // latest-wins is a combinable max-struct agg — 0 windows (3
     // shuffles = latest agg + anti-join side + output sort; the
-    // reduced changelog broadcasts). q_asof: both remaining windows
-    // are BOUNDED (within-(bucket,key) over ~n/nPart rows; per-key
-    // carry over ≤ nPart boundary rows); 0 scans because the tagged
-    // union reads localCheckpointed blocks.
+    // reduced changelog broadcasts). q_asof (r14, adaptive): the
+    // catalog's balanced keys take the FAST path — detection agg saw
+    // no hub, so the plan is the single per-key running-last window +
+    // output sort (2 shuffles, 1 BOUNDED window: largest key ≤
+    // 2× fair share by the switch rule); the bucketed two-window
+    // carry engages only on detected hubs (AsOfJoinPropSpec pins
+    // both branches and the switch itself); 0 scans because the
+    // tagged union reads localCheckpointed blocks.
     "q_cdc_upsert" -> (3, 1, 0, 3),
-    "q_asof_join" -> (4, 1, 2, 0),
+    "q_asof_join" -> (2, 0, 1, 0),
     // ---- r13 additions. t33: one map-side pass + the output sort —
     // a second shuffle/scan would mean the struct got recomputed per
     // field. t34: bucket-count agg + lang re-partition + pick agg +
