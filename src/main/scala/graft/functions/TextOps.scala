@@ -170,6 +170,79 @@ object TextOps {
       when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
   }
 
+  /** The 27 printable characters Windows-1252 places in 0x80–0x9F
+    * (where Latin-1 has control codes) and the bytes they display —
+    * the "sloppy cp1252" table every mojibake fixer carries (ftfy's
+    * `sloppy-windows-1252` convention): a UTF-8 byte like 0x94 read
+    * through cp1252 shows up as U+201D ("), so repair first folds
+    * these 27 characters back to their byte values (the byte string
+    * holds U+0080–U+009F code points, one per display char, same
+    * order). */
+  private[graft] val Cp1252Chars: String =
+    "€‚ƒ„…†‡ˆ‰Š‹" +
+      "ŒŽ‘’“”•–—˜" +
+      "™š›œžŸ"
+  private[graft] val Cp1252Bytes: String =
+    "" +
+      "" +
+      ""
+
+  /** Mojibake (double-encoded UTF-8) repair — the ftfy-style crawl
+    * cleanup stage (t38): text whose UTF-8 bytes were once read as
+    * Latin-1/cp1252 shows "Ã©" for "é" and "â€”" for "—"; this
+    * reverses it. Map-side column arithmetic only, exact-oracle
+    * replayable:
+    *
+    *   1. fold the 27 printable cp1252 displays back to bytes
+    *      (1:1 `translate`);
+    *   2. per character position, classify by code point: a valid
+    *      2-byte lead (0xC2–0xDF + continuation) or 3-byte lead
+    *      (0xE0–0xEF + 2 continuations, overlong/surrogate forms
+    *      excluded so the byte run is always well-formed UTF-8)
+    *      re-decodes via `decode(unhex(hex bytes), 'UTF-8')`; its
+    *      continuations emit ""; everything else passes through
+    *      (cp1252 displays folded back out, so a lone "€" survives).
+    *
+    * Per-position lookups hit a pre-split char/codepoint ARRAY
+    * (O(1) access — `substr(s, i, 1)` would seek byte offsets and go
+    * quadratic per doc). Sequences the rules don't cover (truncated
+    * leads, 4-byte emoji mojibake) pass through unchanged — repair
+    * never invents bytes; running it on clean text is the identity
+    * (EncodingRepairSpec). One deliberate exception: a stray C1
+    * control char (U+0080-U+009F) that is NOT a continuation of a
+    * valid sequence re-emerges as its cp1252 printable — ftfy's
+    * "fix C1 controls" repair, a side effect of the fold being
+    * byte-level. */
+  def fixMojibake(c: Column): Column = {
+    val s = translate(c, Cp1252Chars, Cp1252Bytes)
+    val chars = split(s, "")
+    val cps = transform(chars, ch => ascii(ch))
+    // index 0 throws even in try_element_at; clamp below-range
+    def at(j: Column) = coalesce(
+      try_element_at(cps, when(j >= 1, j).otherwise(lit(1000000000))),
+      lit(-1))
+    def cont(x: Column) = x.between(128, 191)
+    def l2(x: Column) = x.between(194, 223)
+    def v3(a: Column, b: Column, c2: Column) =
+      a.between(224, 239) && cont(b) && cont(c2) &&
+        !(a === 224 && b < 160) && !(a === 237 && b > 159)
+    def hx(x: Column) = lpad(hex(x), 2, "0")
+    val pieces = transform(sequence(lit(1), size(chars)), i => {
+      val c0 = at(i); val c1 = at(i + 1); val c2 = at(i + 2)
+      val p1 = at(i - 1); val p2 = at(i - 2)
+      val isL2 = l2(c0) && cont(c1)
+      val isL3 = v3(c0, c1, c2)
+      val consumed = cont(c0) &&
+        (l2(p1) || v3(p1, c0, c1) || v3(p2, p1, c0))
+      when(isL3, decode(unhex(concat(hx(c0), hx(c1), hx(c2))), "UTF-8"))
+        .when(isL2, decode(unhex(concat(hx(c0), hx(c1))), "UTF-8"))
+        .when(consumed, lit(""))
+        .otherwise(translate(element_at(chars, i), Cp1252Bytes, Cp1252Chars))
+    })
+    when(length(c) === 0 || c.isNull, coalesce(c, lit(null).cast("string")))
+      .otherwise(array_join(pieces, ""))
+  }
+
   /** Gopher document-shape metrics (Rae et al. 2021, Table A1) as a
     * single struct — the structural complement to the t17 repetition
     * rules: word-count band, mean-word-length band, symbol ratios,

@@ -698,6 +698,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Mojibake repair (t38, VERDICT r13 item 9 — the ftfy-style
+    // crawl-cleanup stage): the corpus text is ASCII, so the query
+    // PLANTS the two classic double-encoding classes (" the " →
+    // " thÃ© ", a 2-byte Latin-1 digraph; " and " → " â€”and ", a
+    // 3-byte cp1252 sequence), repairs with TextOps.fixMojibake, and
+    // reports per-doc sizes plus repaired_ok — the repaired text must
+    // equal the directly-planted clean twin, char for char. Map-side
+    // only; the oracle replays the entire byte-classification cascade
+    // in SQL.
+    "t38_fix_mojibake" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val bad = replace(replace(col("text"),
+        lit(" the "), lit(Moj2)),
+        lit(" and "), lit(Moj3))
+      val want = replace(replace(col("text"),
+        lit(" the "), lit(Fix2)),
+        lit(" and "), lit(Fix3))
+      docs.select(col("doc_id"), bad.as("bad"), want.as("want"))
+        .select(col("doc_id"), col("bad"), col("want"),
+          TextOps.fixMojibake(col("bad")).as("fixed"))
+        .select(col("doc_id"),
+          length(col("bad")).cast("long").as("chars_corrupt"),
+          length(col("fixed")).cast("long").as("chars_fixed"),
+          (col("fixed") === col("want")).as("repaired_ok"))
+        .orderBy("doc_id")
+    },
+
     "t35_quality_classifier" -> { (s, d) =>
       val labeled = t(s, d, "documents")
         .select(col("doc_id"), col("text"),
@@ -832,6 +859,62 @@ object TextQueries {
   /** The five language classes, sorted — shared by the t37 query and
     * its oracle so class order (and the argmax tiebreak) agree. */
   private val langClasses = Seq("de", "en", "es", "fr", "zh")
+
+  // t38's planted mojibake pairs, from explicit code points so the
+  // source carries no ambiguous bytes (shared by query + oracle):
+  // " thÃ© " repairs to " thé " (2-byte Latin-1 digraph C3 A9) and
+  // " â€”and " to " —and " (3-byte cp1252 display of E2 80 94).
+  private val Moj2 = " thÃ© "
+  private val Fix2 = " thé "
+  private val Moj3 = " â€”and "
+  private val Fix3 = " —and "
+
+  /** t38's oracle: the full fixMojibake cascade in DuckDB SQL —
+    * cp1252 fold (`translate` over the shared tables), per-position
+    * byte classification over the char/codepoint arrays (same
+    * validity rules: 0xC2 floor, overlong-E0 and surrogate-ED bands
+    * excluded), re-decode via `decode(unhex(..))`, pass-through with
+    * the reverse fold. Mirrors TextOps.fixMojibake clause for
+    * clause. */
+  private def t38OracleSql: String = {
+    import graft.functions.TextOps.{Cp1252Bytes, Cp1252Chars}
+    def at(j: String) =
+      s"(CASE WHEN ($j) >= 1 THEN coalesce(cps[CAST($j AS INT)], -1) ELSE -1 END)"
+    def cont(x: String) = s"($x BETWEEN 128 AND 191)"
+    def l2(x: String) = s"($x BETWEEN 194 AND 223)"
+    def v3(a: String, b: String, c: String) =
+      s"($a BETWEEN 224 AND 239 AND ${cont(b)} AND ${cont(c)} AND " +
+        s"NOT ($a = 224 AND $b < 160) AND NOT ($a = 237 AND $b > 159))"
+    def hx(x: String) = s"lpad(hex($x), 2, '0')"
+    val (c0, c1, c2) = (at("i"), at("i + 1"), at("i + 2"))
+    val (p1, p2) = (at("i - 1"), at("i - 2"))
+    val piece =
+      s"""CASE WHEN ${v3(c0, c1, c2)}
+         |       THEN decode(unhex(${hx(c0)} || ${hx(c1)} || ${hx(c2)}))
+         |     WHEN ${l2(c0)} AND ${cont(c1)}
+         |       THEN decode(unhex(${hx(c0)} || ${hx(c1)}))
+         |     WHEN ${cont(c0)} AND (${l2(p1)} OR ${v3(p1, c0, c1)} OR ${v3(p2, p1, c0)})
+         |       THEN ''
+         |     ELSE translate(ch[CAST(i AS INT)], '$Cp1252Bytes', '$Cp1252Chars')
+         |END""".stripMargin
+    s"""WITH t38_src AS (SELECT doc_id,
+       |    replace(replace(text, ' the ', '$Moj2'), ' and ', '$Moj3') AS bad,
+       |    replace(replace(text, ' the ', '$Fix2'), ' and ', '$Fix3') AS want
+       |  FROM documents),
+       | t38_arr AS (SELECT doc_id, bad, want,
+       |    string_split(translate(bad, '$Cp1252Chars', '$Cp1252Bytes'), '') AS ch,
+       |    list_transform(string_split(translate(bad, '$Cp1252Chars', '$Cp1252Bytes'), ''),
+       |      x -> ascii(x)) AS cps
+       |  FROM t38_src),
+       | t38_fx AS (SELECT doc_id, bad, want,
+       |    array_to_string(list_transform(range(1, len(ch) + 1), i ->
+       |      $piece), '') AS fixed
+       |  FROM t38_arr)
+       |SELECT doc_id, CAST(length(bad) AS BIGINT) AS chars_corrupt,
+       |  CAST(length(fixed) AS BIGINT) AS chars_fixed,
+       |  (fixed = want) AS repaired_ok
+       |FROM t38_fx ORDER BY doc_id""".stripMargin
+  }
 
   /** t37's oracle: five independent replays of the t35 GD chain (one
     * per language, y = (lang = cls)), sharing one hashed-feature
@@ -1016,6 +1099,7 @@ ORDER BY l.doc_id"""
 
     "t35_quality_classifier" -> t35OracleSql,
     "t37_langid_trained" -> t37OracleSql,
+    "t38_fix_mojibake" -> t38OracleSql,
 
     // Drift.sourceDrift mirror: t26's fingerprint-mod bucket fold, the
     // FULL generated (source x bucket) grid (absent buckets count with
