@@ -196,9 +196,10 @@ object TextOps {
     *   1. fold the 27 printable cp1252 displays back to bytes
     *      (1:1 `translate`);
     *   2. per character position, classify by code point: a valid
-    *      2-byte lead (0xC2–0xDF + continuation) or 3-byte lead
-    *      (0xE0–0xEF + 2 continuations, overlong/surrogate forms
-    *      excluded so the byte run is always well-formed UTF-8)
+    *      2-byte lead (0xC2–0xDF + continuation), 3-byte lead
+    *      (0xE0–0xEF + 2 continuations) or 4-byte lead (0xF0–0xF4
+    *      + 3 continuations — overlong/surrogate/past-U+10FFFF forms
+    *      all excluded so the byte run is always well-formed UTF-8)
     *      re-decodes via `decode(unhex(hex bytes), 'UTF-8')`; its
     *      continuations emit ""; everything else passes through
     *      (cp1252 displays folded back out, so a lone "€" survives).
@@ -206,7 +207,7 @@ object TextOps {
     * Per-position lookups hit a pre-split char/codepoint ARRAY
     * (O(1) access — `substr(s, i, 1)` would seek byte offsets and go
     * quadratic per doc). Sequences the rules don't cover (truncated
-    * leads, 4-byte emoji mojibake) pass through unchanged — repair
+    * leads, malformed continuations) pass through unchanged — repair
     * never invents bytes; running it on clean text is the identity
     * (EncodingRepairSpec). One deliberate exception: a stray C1
     * control char (U+0080-U+009F) that is NOT a continuation of a
@@ -226,15 +227,23 @@ object TextOps {
     def v3(a: Column, b: Column, c2: Column) =
       a.between(224, 239) && cont(b) && cont(c2) &&
         !(a === 224 && b < 160) && !(a === 237 && b > 159)
+    // 4-byte (astral/emoji) class: F0 90-BF / F1-F3 80-BF / F4 80-8F
+    // first-continuation bands (overlongs and > U+10FFFF excluded)
+    def v4(a: Column, b: Column, c2: Column, d: Column) =
+      a.between(240, 244) && cont(b) && cont(c2) && cont(d) &&
+        !(a === 240 && b < 144) && !(a === 244 && b > 143)
     def hx(x: Column) = lpad(hex(x), 2, "0")
     val pieces = transform(sequence(lit(1), size(chars)), i => {
-      val c0 = at(i); val c1 = at(i + 1); val c2 = at(i + 2)
-      val p1 = at(i - 1); val p2 = at(i - 2)
+      val c0 = at(i); val c1 = at(i + 1); val c2 = at(i + 2); val c3 = at(i + 3)
+      val p1 = at(i - 1); val p2 = at(i - 2); val p3 = at(i - 3)
       val isL2 = l2(c0) && cont(c1)
       val isL3 = v3(c0, c1, c2)
+      val isL4 = v4(c0, c1, c2, c3)
       val consumed = cont(c0) &&
-        (l2(p1) || v3(p1, c0, c1) || v3(p2, p1, c0))
-      when(isL3, decode(unhex(concat(hx(c0), hx(c1), hx(c2))), "UTF-8"))
+        (l2(p1) || v3(p1, c0, c1) || v3(p2, p1, c0) ||
+          v4(p1, c0, c1, c2) || v4(p2, p1, c0, c1) || v4(p3, p2, p1, c0))
+      when(isL4, decode(unhex(concat(hx(c0), hx(c1), hx(c2), hx(c3))), "UTF-8"))
+        .when(isL3, decode(unhex(concat(hx(c0), hx(c1), hx(c2))), "UTF-8"))
         .when(isL2, decode(unhex(concat(hx(c0), hx(c1))), "UTF-8"))
         .when(consumed, lit(""))
         .otherwise(translate(element_at(chars, i), Cp1252Bytes, Cp1252Chars))

@@ -885,15 +885,21 @@ object TextQueries {
     def v3(a: String, b: String, c: String) =
       s"($a BETWEEN 224 AND 239 AND ${cont(b)} AND ${cont(c)} AND " +
         s"NOT ($a = 224 AND $b < 160) AND NOT ($a = 237 AND $b > 159))"
+    def v4(a: String, b: String, c: String, d: String) =
+      s"($a BETWEEN 240 AND 244 AND ${cont(b)} AND ${cont(c)} AND ${cont(d)} AND " +
+        s"NOT ($a = 240 AND $b < 144) AND NOT ($a = 244 AND $b > 143))"
     def hx(x: String) = s"lpad(hex($x), 2, '0')"
-    val (c0, c1, c2) = (at("i"), at("i + 1"), at("i + 2"))
-    val (p1, p2) = (at("i - 1"), at("i - 2"))
+    val (c0, c1, c2, c3) = (at("i"), at("i + 1"), at("i + 2"), at("i + 3"))
+    val (p1, p2, p3) = (at("i - 1"), at("i - 2"), at("i - 3"))
     val piece =
-      s"""CASE WHEN ${v3(c0, c1, c2)}
+      s"""CASE WHEN ${v4(c0, c1, c2, c3)}
+         |       THEN decode(unhex(${hx(c0)} || ${hx(c1)} || ${hx(c2)} || ${hx(c3)}))
+         |     WHEN ${v3(c0, c1, c2)}
          |       THEN decode(unhex(${hx(c0)} || ${hx(c1)} || ${hx(c2)}))
          |     WHEN ${l2(c0)} AND ${cont(c1)}
          |       THEN decode(unhex(${hx(c0)} || ${hx(c1)}))
-         |     WHEN ${cont(c0)} AND (${l2(p1)} OR ${v3(p1, c0, c1)} OR ${v3(p2, p1, c0)})
+         |     WHEN ${cont(c0)} AND (${l2(p1)} OR ${v3(p1, c0, c1)} OR ${v3(p2, p1, c0)}
+         |       OR ${v4(p1, c0, c1, c2)} OR ${v4(p2, p1, c0, c1)} OR ${v4(p3, p2, p1, c0)})
          |       THEN ''
          |     ELSE translate(ch[CAST(i AS INT)], '$Cp1252Bytes', '$Cp1252Chars')
          |END""".stripMargin

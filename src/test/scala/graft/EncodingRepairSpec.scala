@@ -13,7 +13,8 @@ import graft.functions.TextOps
 class EncodingRepairSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cp(cps: Int*): String = cps.map(_.toChar).mkString
+  private def cp(cps: Int*): String =
+    cps.flatMap(Character.toChars(_)).mkString
 
   private def fix(s: String): String =
     Seq(Tuple1(s)).toDF("t")
@@ -63,6 +64,12 @@ class EncodingRepairSpec extends SparkSpec {
     assert(fix(cp(0xE0, 0x80, 0x80)) == cp(0xE0, 0x20AC, 0x20AC))
     // surrogate range ED A0 80 excluded (0xA0 is not C1, stays)
     assert(fix(cp(0xED, 0xA0, 0x80)) == cp(0xED, 0xA0, 0x20AC))
+    // 4-byte overlong (F0 80-8F band) and past-U+10FFFF (F4 90+)
+    // excluded; F5+ is not a lead at all
+    assert(fix(cp(0xF0, 0x80, 0x80, 0x80)) ==
+      cp(0xF0, 0x20AC, 0x20AC, 0x20AC))
+    assert(fix(cp(0xF4, 0xBF, 0xBF, 0xBF)) == cp(0xF4, 0xBF, 0xBF, 0xBF))
+    assert(fix(cp(0xF5, 0xBF, 0xBF, 0xBF)) == cp(0xF5, 0xBF, 0xBF, 0xBF))
   }
 
   test("null-safe") {
@@ -78,7 +85,8 @@ class EncodingRepairSpec extends SparkSpec {
       cp(0x2014) + "dash" + cp(0x2026) + " " + cp(0x201C) + "quoted" +
         cp(0x201D) + " " + cp(0x20AC) + "5",
       cp(0x4F60, 0x597D, 0x4E16, 0x754C),
-      "mixed ascii + " + cp(0xE9, 0x2014, 0x4F60) + " end")
+      "emoji " + cp(0x1F600) + " and " + cp(0x1F680, 0x2708) + " travel",
+      "mixed ascii + " + cp(0xE9, 0x2014, 0x4F60, 0x1F389) + " end")
     for (s <- samples) {
       val bad = corrupt(s)
       assert(bad != s, s"corruption should change '$s'")
