@@ -14,6 +14,7 @@ import graft.sources.ShardSink
   * corpus suite ships, composed into ONE streaming pipeline —
   *
   *   crawl batch (url, doc_id, text)
+  *     → encoding repair                (TextOps.fixMojibake, t38 — optional)
   *     → URL canonicalization           (TextOps.canonicalizeUrl, t32)
   *     → cross-batch URL frontier gate  (BloomMembership, D14/t32×D14)
   *     → Gopher document-shape gate     (TextOps.gopherShape, t33)
@@ -80,11 +81,21 @@ object CorpusIngest {
                   numShards: Int = 8,
                   expectedItems: Long = 100000L,
                   qualityGate: Option[QualityGate] = None,
-                  driftDir: Option[String] = None): Long = {
+                  driftDir: Option[String] = None,
+                  repairEncoding: Boolean = false): Long = {
     val ss = batch.sparkSession
 
+    // 0. optional encoding repair (t38) — FIRST, before any gate or
+    //    hash: a mojibake variant of an already-shipped page must
+    //    repair to the same bytes and fall to the exact-text dedup,
+    //    and the quality gates must judge the repaired text
+    val input =
+      if (repairEncoding)
+        batch.withColumn("text", TextOps.fixMojibake(col("text")))
+      else batch
+
     // 1. canonicalize; within-batch URL dedup by min doc_id
-    val canon = batch
+    val canon = input
       .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
       .groupBy("canon_url")
       .agg(min(struct(col("doc_id"), col("text"))).as("__r"))
@@ -160,11 +171,12 @@ object CorpusIngest {
             shardDir: String, numShards: Int = 8,
             expectedItems: Long = 100000L,
             qualityGate: Option[QualityGate] = None,
-            driftDir: Option[String] = None): StreamingQuery =
+            driftDir: Option[String] = None,
+            repairEncoding: Boolean = false): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, urlBloomPath, textBloomPath, shardDir,
-          numShards, expectedItems, qualityGate, driftDir)
+          numShards, expectedItems, qualityGate, driftDir, repairEncoding)
         ()
       }
       .start()

@@ -160,4 +160,49 @@ class CorpusIngestSpec extends SparkSpec {
     assert(cardS == cardB)
     assert(cardS.map(_.head).toSet == Set("alpha.com", "beta.org"))
   }
+
+  test("encoding-repair stage: a mojibake variant repairs, passes the " +
+      "gates on its REPAIRED text, and dedups against its clean twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_moj").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+
+    // clean doc planted with an accent; the crawler saw the mojibake
+    // form (é -> C3 A9 read as Latin-1 -> "Ã©")
+    def accented(i: Long) = s"$stops café$i alpha$i beta$i gamma$i delta$i"
+    def mojibake(i: Long) = s"$stops cafÃ©$i alpha$i beta$i gamma$i delta$i"
+
+    val b1 = Seq(
+      ("https://site.com/m1", 1L, mojibake(1)),  // repairs, ships as accented(1)
+      ("https://site.com/p2", 2L, good(2)))
+    val b2 = Seq(
+      // clean twin of the repaired doc 1 under a NEW url: the repair
+      // ran BEFORE the text hash, so this is a cross-batch exact dup
+      ("https://site.com/p3", 3L, accented(1)),
+      ("https://site.com/p4", 4L, good(4)))
+
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(
+      mem.toDF().toDF("url", "doc_id", "text"), ub, tb, shards,
+      numShards = 4, repairEncoding = true)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(shards)
+    assert(streamed.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // the shipped text is the REPAIRED form, byte-exact
+    assert(streamed.filter(col("doc_id") === 1L)
+      .select("text").as[String].head() == accented(1))
+
+    // batch twin with the stage on: identical shards
+    val (ub2, tb2, shards2) = (s"$dir/u2", s"$dir/t2", s"$dir/s2")
+    CorpusIngest.ingestBatch((b1 ++ b2).toDF("url", "doc_id", "text"),
+      ub2, tb2, shards2, numShards = 4, repairEncoding = true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "rk", "doc_id", "canon_url", "text")
+        .orderBy("shard", "rk").collect().map(_.toSeq).toSeq
+    assert(canon(streamed) == canon(spark.read.parquet(shards2)))
+  }
 }
