@@ -52,6 +52,12 @@ import graft.sources.ShardSink
   * dedup aggregations shuffle once each on their key; the shard write
   * is ShardSink's one hash shuffle. Bloom probe/build are map-side +
   * a driver-sized byte-array merge.
+  *
+  * MAINTENANCE: appendShards leaves one file per touched shard per
+  * micro-batch; run [[graft.sources.ShardSink.compactShards]]
+  * periodically (e.g. every 10^3 batches, or off-peak) to rewrite
+  * each shard dir back to one rk-clustered file — manifests, resume
+  * order, and rank pushdown are invariant (ShardSinkSpec).
   */
 object CorpusIngest {
 

@@ -21,6 +21,12 @@ rm -rf "$OUT"
 sbt -batch "runMain graft.Verify $SF $OUT"
 python3 tools/check.py "$SF" "$OUT"
 
+# NOTE: per-query noise-vs-regression calls are NOT made here (the
+# smoke below is 1 run at sf0.001). For plan-regression triage compare
+# two full sf0.1 artifacts with spread fields:
+#   python3 tools/bench_drift.py tools/bench_local_r13.json BENCH_LOCAL_latest.json
+# THE RULE (VERDICT r13 item 2): a median move counts only if it falls
+# outside the other artifact's [min,max] band.
 echo "== 4/4 bench smoke (sf0.001, 1 run) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_RUNS=1 \
   SPARK_GRAFT_BENCH_OUT=/tmp/round_check_bench.json \
