@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.functions.TextOps
-import graft.operators.{BloomMembership, Drift, QualityClassifier}
+import graft.operators.{BloomMembership, Dedup, Drift, QualityClassifier}
 import graft.sources.ShardSink
 
 /** The production ingest loop end to end (p10): every stage the
@@ -20,6 +20,8 @@ import graft.sources.ShardSink
   *     → Gopher document-shape gate     (TextOps.gopherShape, t33)
   *     → trained quality-filter gate    (QualityClassifier, t35 — optional)
   *     → exact-text dedup, in-batch + cross-batch   (D1's hash key)
+  *     → MinHash-LSH near-dup, in-batch + cross-batch against the
+  *       persisted (doc, band, bucket) index   (D2/D9 — optional)
   *     → deterministic training shards  (ShardSink, p9)
   *     → per-source drift-store fold    (Drift, t36 — optional)
   *
@@ -70,6 +72,17 @@ object CorpusIngest {
                                threshold: Double = 0.5,
                                link: String = "logistic")
 
+  /** Near-dup stage config: the batch's MinHash signatures are banded
+    * once ([[Dedup.minhashIndex]]'s layout); docs colliding with a
+    * smaller-id batch doc or ANY doc in the persisted index on ≥
+    * `minBands` bands are dropped, and survivors' band rows APPEND to
+    * the index — so the store at `indexDir` always holds exactly the
+    * shipped corpus's index (D9's daily-ingest shape: the corpus is
+    * only ever touched through its index; no text rescan). */
+  final case class NearDupGate(indexDir: String, minBands: Int = 8,
+                               k: Int = 3, numHashes: Int = 128,
+                               bands: Int = 16)
+
   /** Source id for the drift stage: the canonical URL's host — the
     * granularity a crawl monitor acts on (re-balance / quarantine a
     * DOMAIN, not a page). canonicalizeUrl lowercases and strips the
@@ -88,7 +101,8 @@ object CorpusIngest {
                   expectedItems: Long = 100000L,
                   qualityGate: Option[QualityGate] = None,
                   driftDir: Option[String] = None,
-                  repairEncoding: Boolean = false): Long = {
+                  repairEncoding: Boolean = false,
+                  nearDup: Option[NearDupGate] = None): Long = {
     val ss = batch.sparkSession
 
     // 0. optional encoding repair (t38) — FIRST, before any gate or
@@ -134,12 +148,44 @@ object CorpusIngest {
         hashed, loadBloom(ss, textBloomPath), "text_hash")
       .localCheckpoint(true) // one execution feeds sink + both blooms
 
+    // 4b. optional near-dup stage: band the batch ONCE, then
+    //     (a) in-batch greedy keep-first — any doc colliding with a
+    //         smaller doc_id on >= minBands bands drops;
+    //     (b) cross-batch — any doc colliding with the persisted
+    //         index drops (the corpus side is touched only through
+    //         its (band, bucket) rows — no text rescan);
+    //     survivors' band rows append to the index, so the store
+    //     stays exactly the shipped corpus's index.
+    val survivors = nearDup.fold(fresh) { nd =>
+      val batchIdx = Dedup.minhashIndex(fresh, "doc_id", "text",
+        nd.k, nd.numHashes, nd.bands).localCheckpoint(true)
+      val a = batchIdx.alias("a"); val b = batchIdx.alias("b")
+      val dropIn = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+        .groupBy(col("b.doc").as("doc_id"))
+        .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= nd.minBands)
+        .select("doc_id")
+      val dropCross = loadIndex(ss, nd.indexDir).alias("c")
+        .join(batchIdx.alias("p"), col("c.band") === col("p.band") &&
+          col("c.bucket") === col("p.bucket") && col("c.doc") =!= col("p.doc"))
+        .groupBy(col("p.doc").as("doc_id"))
+        .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= nd.minBands)
+        .select("doc_id")
+      val kept = fresh.join(dropIn.unionByName(dropCross).distinct(),
+          Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      batchIdx.join(kept.select("doc_id"),
+          batchIdx("doc") === kept("doc_id"), "left_semi")
+        .write.mode("append").parquet(nd.indexDir)
+      kept
+    }
+
     // 5. shard append (per-batch files keep ShardSink's (rank, id)
     //    in-file training order; resume/manifest read the union)
-    val n = fresh.count()
+    val n = survivors.count()
     if (n > 0)
       ShardSink.appendShards(
-        fresh.select("doc_id", "canon_url", "text"), "doc_id",
+        survivors.select("doc_id", "canon_url", "text"), "doc_id",
         shardDir, numShards)
 
     // 6. fold this batch's keys into the persisted frontier state.
@@ -148,14 +194,14 @@ object CorpusIngest {
     //    text bloom learns the hashes that actually shipped.
     saveBloom(ss, urlBloomPath, urlFresh.select("canon_url"),
       "canon_url", expectedItems)
-    saveBloom(ss, textBloomPath, fresh.select("text_hash"),
+    saveBloom(ss, textBloomPath, survivors.select("text_hash"),
       "text_hash", expectedItems)
 
     // 7. drift monitor fold: count increments of what actually
     //    SHIPPED (per source host) into the persisted bounded store —
     //    the t36 card stays readable at any point via [[driftCard]]
     driftDir.foreach { dd =>
-      val src = fresh.select(hostOf(col("canon_url")).as("source"),
+      val src = survivors.select(hostOf(col("canon_url")).as("source"),
         col("text"))
       Drift.foldIntoStore(s"$dd/buckets",
         Drift.bucketCounts(src, "source", "text"), Seq("source", "b"), "cnt")
@@ -178,14 +224,22 @@ object CorpusIngest {
             expectedItems: Long = 100000L,
             qualityGate: Option[QualityGate] = None,
             driftDir: Option[String] = None,
-            repairEncoding: Boolean = false): StreamingQuery =
+            repairEncoding: Boolean = false,
+            nearDup: Option[NearDupGate] = None): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, urlBloomPath, textBloomPath, shardDir,
-          numShards, expectedItems, qualityGate, driftDir, repairEncoding)
+          numShards, expectedItems, qualityGate, driftDir, repairEncoding,
+          nearDup)
         ()
       }
       .start()
+
+  private def loadIndex(ss: SparkSession, path: String): DataFrame = {
+    import ss.implicits._
+    if (new File(path).exists()) ss.read.parquet(path)
+    else Seq.empty[(Long, Int, Long)].toDF("doc", "band", "bucket")
+  }
 
   private def loadBloom(ss: SparkSession, path: String): DataFrame = {
     import ss.implicits._

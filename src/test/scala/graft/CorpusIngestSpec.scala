@@ -205,4 +205,55 @@ class CorpusIngestSpec extends SparkSpec {
         .orderBy("shard", "rk").collect().map(_.toSeq).toSeq
     assert(canon(streamed) == canon(spark.read.parquet(shards2)))
   }
+
+  test("near-dup gate: in-batch keep-first, cross-batch drop via the " +
+      "persisted index, index holds exactly the shipped corpus; " +
+      "streamed == batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_nd").toString
+    val (ub, tb, shards, idx) =
+      (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/ndidx")
+    val nd = Some(CorpusIngest.NearDupGate(idx))
+
+    // near-variants share the long stops prefix + most unique tokens —
+    // high shingle Jaccard, well over the 8-band default
+    def variant(i: Long) = good(1) + s" tail$i"
+    val b1 = Seq(
+      ("https://site.com/p1", 1L, good(1)),
+      ("https://site.com/p2", 2L, variant(2)),   // in-batch near-dup of 1
+      ("https://site.com/p3", 3L, good(3)))
+    val b2 = Seq(
+      ("https://site.com/p4", 4L, variant(4)),   // cross-batch near-dup
+      ("https://site.com/p5", 5L, good(5)))
+
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(
+      mem.toDF().toDF("url", "doc_id", "text"), ub, tb, shards,
+      numShards = 4, nearDup = nd)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = Set(1L, 3L, 5L)
+    val streamed = spark.read.parquet(shards)
+    assert(streamed.select("doc_id").as[Long].collect().toSet == expected)
+    // the persisted index holds exactly the shipped docs' band rows
+    assert(spark.read.parquet(idx).select("doc").as[Long]
+      .collect().toSet == expected)
+
+    // batch twin, fresh state: doc 4 now drops by the IN-batch rule
+    // (smaller-id collision with 1) — same survivors either way
+    val (ub2, tb2, shards2, idx2) =
+      (s"$dir/u2", s"$dir/t2", s"$dir/s2", s"$dir/i2")
+    CorpusIngest.ingestBatch((b1 ++ b2).toDF("url", "doc_id", "text"),
+      ub2, tb2, shards2, numShards = 4,
+      nearDup = Some(CorpusIngest.NearDupGate(idx2)))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "rk", "doc_id", "canon_url", "text")
+        .orderBy("shard", "rk").collect().map(_.toSeq).toSeq
+    assert(canon(streamed) == canon(spark.read.parquet(shards2)))
+    assert(spark.read.parquet(idx2).select("doc").as[Long]
+      .collect().toSet == expected)
+  }
 }
