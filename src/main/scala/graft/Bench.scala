@@ -66,8 +66,6 @@ object Bench {
       }
     def medianOf(times: Seq[Double]): Double =
       if (times.contains(-1.0)) -1.0 else times.sorted.apply(runs / 2)
-    def medianTimed(f: () => Unit, keepPersisted: Boolean = false): Double =
-      medianOf(allTimed(f, keepPersisted))
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the catalog (the
     // driver sets no filter and always times everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -94,37 +92,44 @@ object Bench {
     import graft.operators.{IvfPq, KMeans, ProductQuantizer, SimilaritySearch}
     import graft.ql.t
     val splits = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def medianKeep(f: () => Unit): Double = medianTimed(f, keepPersisted = true)
+    val splitRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    // named split timing: records raw runs so the spread object covers
+    // the index-split rows too (same noise rule as the catalog rows)
+    def timeSplit(name: String)(f: => Unit): Unit = {
+      val ts = allTimed(() => f, keepPersisted = true)
+      splitRuns(name) = ts
+      splits(name) = medianOf(ts)
+    }
     if (only.isEmpty) try {
       val emb = t(spark, sfDir, "embeddings")
       val qv = emb.filter(col("vec_id") < 5)
       var quant3: DataFrame = null
-      splits("s3_ivf_ann_build") = medianKeep { () =>
+      timeSplit("s3_ivf_ann_build") {
         quant3 = KMeans.fitLocal(emb, "vec_id", "embedding", k = 8,
           iters = 3, sampleMod = 8)
         quant3.count(); ()
       }
-      splits("s3_ivf_ann_probe") = medianKeep { () =>
+      timeSplit("s3_ivf_ann_probe") {
         SimilaritySearch.ivfKmeansTopK(qv, emb, "vec_id", "embedding",
           k = 3, nCells = 8, nProbe = 2, quantizer = Some(quant3)).count(); ()
       }
       var cent4: DataFrame = null
-      splits("s4_ivf_label_build") = medianKeep { () =>
+      timeSplit("s4_ivf_label_build") {
         cent4 = SimilaritySearch.ivfLabelIndex(
           emb, "vec_id", "embedding", "label").localCheckpoint(true); ()
       }
-      splits("s4_ivf_label_probe") = medianKeep { () =>
+      timeSplit("s4_ivf_label_probe") {
         SimilaritySearch.ivfTopK(qv, emb, "vec_id", "embedding", "label",
           k = 3, centroids = Some(cent4)).count(); ()
       }
       var mdl6: ProductQuantizer.PqModel = null
       var idx6: DataFrame = null
-      splits("s6_pq_ann_build") = medianKeep { () =>
+      timeSplit("s6_pq_ann_build") {
         mdl6 = ProductQuantizer.fit(emb, "vec_id", "embedding", m = 8, ks = 16)
         idx6 = ProductQuantizer.encode(emb, "vec_id", "embedding", mdl6)
           .localCheckpoint(true); ()
       }
-      splits("s6_pq_ann_probe") = medianKeep { () =>
+      timeSplit("s6_pq_ann_probe") {
         ProductQuantizer.pqTopK(qv, emb, "vec_id", "embedding", k = 5,
           m = 8, ks = 16, refine = 4, model = Some(mdl6), index = Some(idx6))
           .count(); ()
@@ -132,14 +137,14 @@ object Bench {
       var quant7: DataFrame = null
       var mdl7: ProductQuantizer.PqModel = null
       var idx7: DataFrame = null
-      splits("s7_ivfpq_build") = medianKeep { () =>
+      timeSplit("s7_ivfpq_build") {
         quant7 = KMeans.fitLocal(emb, "vec_id", "embedding", k = 8, iters = 3)
         mdl7 = ProductQuantizer.fit(emb, "vec_id", "embedding", m = 8, ks = 8,
           iters = 3)
         idx7 = IvfPq.buildIndex(emb, "vec_id", "embedding", quant7, mdl7)
           .localCheckpoint(true); ()
       }
-      splits("s7_ivfpq_probe") = medianKeep { () =>
+      timeSplit("s7_ivfpq_probe") {
         IvfPq.topK(qv, emb, "vec_id", "embedding", k = 5, nProbe = 3,
           refine = 4, quantizer = Some(quant7), model = Some(mdl7),
           index = Some(idx7)).count(); ()
@@ -148,12 +153,12 @@ object Bench {
       // vs probe (train-once/probe-forever, same terms as s8_bm25)
       import graft.operators.Bm25
       var idx8: Bm25.Bm25Index = null
-      splits("s8_bm25_build") = medianKeep { () =>
+      timeSplit("s8_bm25_build") {
         val built = Bm25.buildIndex(t(spark, sfDir, "documents"), "doc_id", "text")
         idx8 = Bm25.Bm25Index(built.postings.localCheckpoint(true),
           built.stats.localCheckpoint(true)); ()
       }
-      splits("s8_bm25_probe") = medianKeep { () =>
+      timeSplit("s8_bm25_probe") {
         Bm25.topKFromIndex(idx8,
           terms = Seq("dup", "spark", "window", "key"), k = 10).count(); ()
       }
@@ -165,7 +170,7 @@ object Bench {
       var segIdx: DataFrame = null
       var segIdxRdds: Set[Int] = Set.empty
       val paraDocs = t(spark, sfDir, "documents")
-      splits("t30_para_build") = medianKeep { () =>
+      timeSplit("t30_para_build") {
         // drop the previous run's replica first — keepPersisted skips
         // the blanket unpersist, so without this every extra run leaks
         // a cached copy of the segment index for the process lifetime.
@@ -180,7 +185,7 @@ object Bench {
           .select("doc_id", "seg").localCheckpoint(true)
         segIdxRdds = sc.getPersistentRDDs.keySet.toSet.diff(before); ()
       }
-      splits("t30_para_probe") = medianKeep { () =>
+      timeSplit("t30_para_probe") {
         ParaDedup.cleanAgainstIndex(segIdx,
           paraDocs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
           .count(); ()
@@ -191,7 +196,7 @@ object Bench {
       // a scratch dir (the sink IS the cost; there is no probe half).
       val shardDir = java.nio.file.Files
         .createTempDirectory("bench_shards").toFile.getAbsolutePath
-      splits("p9_shard_write") = medianKeep { () =>
+      timeSplit("p9_shard_write") {
         graft.sources.ShardSink.writeShards(
           t(spark, sfDir, "documents")
             .select(col("doc_id"),
@@ -214,7 +219,7 @@ object Bench {
           fragDocs.filter(col("doc_id") % 4 === m), "doc_id", d, 16))
         d
       }.iterator
-      splits("p9_shard_compact") = medianKeep { () =>
+      timeSplit("p9_shard_compact") {
         graft.sources.ShardSink.compactShards(spark, fragDirs.next(),
           "doc_id"); ()
       }
@@ -238,7 +243,7 @@ object Bench {
     // noise-vs-regression discriminator (VERDICT r13 item 2). A
     // failed run poisons the whole triple to -1 so breakage stays
     // visible in every field.
-    val spread = allRuns.map { case (k, ts) =>
+    val spread = (allRuns ++ splitRuns.toSeq).map { case (k, ts) =>
       val bad = ts.contains(-1.0)
       val (mn, mx) = if (bad) (-1.0, -1.0) else (ts.min, ts.max)
       s"\"" + k + "\":{\"min\":" + r3(mn) + ",\"med\":" + r3(medianOf(ts)) +
