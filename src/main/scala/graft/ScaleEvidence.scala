@@ -1079,3 +1079,131 @@ object ScaleEvidencePack {
     spark.stop()
   }
 }
+
+/** The FULL ingest loop (p10) with every optional stage on — encoding
+  * repair (t38), trained quality gate (t35), exact + MinHash near-dup
+  * (D1/D2/D9), drift fold (t36) — over a large synthetic crawl with
+  * planted work for every stage: per 100-doc century, 1 exact dup,
+  * 1 mojibake twin (repairs into an exact dup), 1 near-dup variant,
+  * 7 spam docs (Gopher-passing; only the classifier can drop them) →
+  * steady-state batches must ship ~90 %. Logs per-batch throughput,
+  * then the maintenance pass (compactShards) and the drift card read.
+  * Evidence, not a spec: CorpusIngestSpec pins stage correctness; this
+  * pins that the composition HOLDS ITS SHAPE at volume. */
+object ScaleEvidenceIngest {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.CorpusIngest
+    import graft.operators.QualityClassifier
+
+    // clean text: Gopher-passing skeleton + 48 words from a shared
+    // 1000-word vocabulary (shared so the classifier generalizes;
+    // random pairs stay far below the 8-band near-dup threshold) + an
+    // accented tail word the mojibake class corrupts
+    // 100k-token vocabulary: wide enough that random doc pairs sit far
+    // below the near-dup band threshold (a 1k vocab measured 7% false
+    // near-dup drops by batch 4), narrow enough that the classifier's
+    // hashed buckets still generalize
+    def pick(tag: String, seed: org.apache.spark.sql.Column, j: Int) =
+      concat(lit("c"), pmod(xxhash64(lit(tag), seed, lit(j)), lit(100000L)))
+    def cleanText(seed: org.apache.spark.sql.Column) =
+      concat(lit("s1 s2 the mid and the "),
+        concat_ws(" ", (0 until 48).map(j => pick("w", seed, j)): _*),
+        lit(" café"), pmod(xxhash64(lit("c"), seed), lit(1000L)))
+    val spamPool = array((Seq("buy", "pills", "click", "winner", "free")
+      ++ Seq("c0", "c1", "c2")).map(lit): _*)
+    def spamText(seed: org.apache.spark.sql.Column) =
+      concat(lit("s1 s2 the mid and the "),
+        concat_ws(" ", (0 until 48).map(j => element_at(spamPool,
+          (pmod(xxhash64(lit("s"), seed, lit(j)), lit(8L)) + 1).cast("int"))): _*),
+        lit(" café"), pmod(xxhash64(lit("c"), seed), lit(1000L)))
+
+    // offline classifier training on a labeled sample (disjoint ids)
+    val lab = spark.range(2000).select(
+      (col("id") + 2000000000L).as("doc_id"),
+      when(col("id") % 2 === 0, cleanText(col("id") + 2000000000L))
+        .otherwise(spamText(col("id") + 2000000000L)).as("text"),
+      when(col("id") % 2 === 0, 1.0).otherwise(0.0).as("y"))
+    val ((bias, w), tTrain) = timed {
+      QualityClassifier.train(lab, "doc_id", "text", "y",
+        nBuckets = 256, epochs = 5, lr = 1.0)
+    }
+    println(f"[ingest-train] classifier: 2000 labeled docs, 5 epochs in " +
+      f"${tTrain}%.1f s")
+
+    // the crawl: per century c00 exact-dups c50, c01 mojibakes c51
+    // (repairs to an exact dup of it), c02 near-dups c52, c03-c09 spam
+    val m = pmod(col("doc_id"), lit(100L))
+    def textOf = {
+      val prev = col("doc_id") - 50
+      when(m === 0 && col("doc_id") >= 50, cleanText(prev))
+        .when(m === 1 && col("doc_id") >= 50,
+          replace(cleanText(prev), lit("é"), lit("Ã©")))
+        .when(m === 2 && col("doc_id") >= 50,
+          concat(cleanText(prev), lit(" tailx")))
+        .when(m.between(3, 9), spamText(col("doc_id")))
+        .otherwise(cleanText(col("doc_id")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ingest_scale").toString
+    val (ub, tb, shards, dd, nidx) = (s"$dir/ub", s"$dir/tb", s"$dir/shards",
+      s"$dir/drift", s"$dir/ndidx")
+    val gate = Some(CorpusIngest.QualityGate(bias, w))
+    val nd = Some(CorpusIngest.NearDupGate(nidx, k = 4))
+    val perBatch = nDocs / nBatches
+    var shipped = 0L
+    val (_, tAll) = timed {
+      for (b <- 0 until nBatches) {
+        val batch = spark.range(b.toLong * perBatch, (b + 1).toLong * perBatch)
+          .select(col("id").as("doc_id"),
+            concat(lit("https://src"), pmod(col("id"), lit(20L)),
+              lit(".example.com/doc"), col("id")).as("url"))
+          .withColumn("text", textOf)
+        val (n, tB) = timed {
+          CorpusIngest.ingestBatch(batch, ub, tb, shards, numShards = 16,
+            expectedItems = nDocs.toLong, qualityGate = gate,
+            driftDir = Some(dd), repairEncoding = true, nearDup = nd)
+        }
+        shipped += n
+        println(f"[ingest-batch] batch $b: $perBatch%,d in -> $n%,d shipped " +
+          f"(${100.0 * n / perBatch}%.1f%%) in ${tB}%.1f s = " +
+          f"${perBatch / tB}%,.0f docs/s")
+      }
+    }
+    println(f"[ingest-total] $nDocs%,d docs, $nBatches batches, all stages " +
+      f"on: ${tAll}%.1f s = ${nDocs / tAll}%,.0f docs/s end-to-end, " +
+      f"$shipped%,d shipped (${100.0 * shipped / nDocs}%.1f%%)")
+
+    val preFiles = new java.io.File(shards).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    val (nf, tCompact) = timed {
+      graft.sources.ShardSink.compactShards(spark, shards, "doc_id")
+    }
+    val postFiles = new java.io.File(shards).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    println(f"[ingest-compact] ${preFiles.sum}%,d files -> ${postFiles.sum}%,d " +
+      f"($nf written) in ${tCompact}%.1f s; store rows " +
+      f"${spark.read.parquet(shards).count()}%,d == shipped $shipped%,d")
+
+    val (card, tCard) = timed {
+      CorpusIngest.driftCard(spark, dd).collect()
+    }
+    println(f"[ingest-drift] card over ${card.length} sources in " +
+      f"${tCard}%.1f s; tv min/max " +
+      f"${card.map(_.getDouble(2)).min}%.4f/${card.map(_.getDouble(2)).max}%.4f")
+    spark.stop()
+  }
+}
