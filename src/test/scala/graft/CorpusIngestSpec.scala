@@ -256,4 +256,72 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(idx2).select("doc").as[Long]
       .collect().toSet == expected)
   }
+
+  test("ALL optional stages on at once: one planted drop per stage, " +
+      "no interference; streamed == batch twin incl. drift card") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_all").toString
+    val (ub, tb, shards, dd, nidx) = (s"$dir/ub", s"$dir/tb", s"$dir/shards",
+      s"$dir/drift", s"$dir/ndidx")
+
+    // the trained-gate generator from the earlier test (shared shape)
+    val spamPool = Seq("buy", "pills", "click", "winner", "free")
+    val cleanPool = Seq("model", "data", "train", "corpus", "learn",
+      "token", "text", "sample")
+    def mkDoc(i: Long, spam: Boolean): String = {
+      val rnd = new scala.util.Random(i * 7919 + (if (spam) 1 else 0))
+      val pool = if (spam) spamPool ++ cleanPool.take(3) else cleanPool
+      val ws = (1 to 48).map(_ => pool(rnd.nextInt(pool.size)))
+      s"${ws.take(16).mkString(" ")} the ${ws.slice(16, 32).mkString(" ")} " +
+        s"and the ${ws.drop(32).mkString(" ")} café$i"
+    }
+    val trainDf = (0 until 150)
+      .map(i => (3000L + i, mkDoc(3000L + i, i % 2 == 1),
+        if (i % 2 == 1) 0.0 else 1.0)).toDF("doc_id", "text", "y")
+    val (bias, w) = graft.operators.QualityClassifier.train(
+      trainDf, "doc_id", "text", "y", nBuckets = 256, epochs = 25, lr = 1.0)
+    val gate = Some(CorpusIngest.QualityGate(bias, w))
+    val nd = Some(CorpusIngest.NearDupGate(nidx, minBands = 8))
+
+    def url(h: String, i: Long) = s"https://$h/d$i"
+    val clean1 = mkDoc(1, spam = false)
+    val b1 = Seq(
+      (url("a.com", 1), 1L, clean1),
+      (url("a.com", 2), 2L, mkDoc(2, spam = false)),
+      (url("b.org", 3), 3L, mkDoc(3, spam = true)),        // classifier drop
+      (url("b.org", 4), 4L, "too few words"))              // Gopher drop
+    val b2 = Seq(
+      // mojibake twin of doc 1: repairs, then exact-dedups against it
+      (url("a.com", 5), 5L, clean1.replace("café", "cafÃ©")),
+      (url("b.org", 6), 6L, clean1 + " tailzz"),           // near-dup drop
+      (url("a.com", 1) + "?utm_source=x", 7L, mkDoc(7, spam = false)), // URL dup
+      (url("b.org", 8), 8L, mkDoc(8, spam = false)))       // ships
+
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(
+      mem.toDF().toDF("url", "doc_id", "text"), ub, tb, shards,
+      numShards = 4, qualityGate = gate, driftDir = Some(dd),
+      repairEncoding = true, nearDup = nd)
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = Set(1L, 2L, 8L)
+    val streamed = spark.read.parquet(shards)
+    assert(streamed.select("doc_id").as[Long].collect().toSet == expected)
+
+    val (ub2, tb2, shards2, dd2, nidx2) = (s"$dir/u2", s"$dir/t2",
+      s"$dir/s2", s"$dir/d2", s"$dir/n2")
+    CorpusIngest.ingestBatch((b1 ++ b2).toDF("url", "doc_id", "text"),
+      ub2, tb2, shards2, numShards = 4, qualityGate = gate,
+      driftDir = Some(dd2), repairEncoding = true,
+      nearDup = Some(CorpusIngest.NearDupGate(nidx2, minBands = 8)))
+    def canon2(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "rk", "doc_id", "canon_url", "text")
+        .orderBy("shard", "rk").collect().map(_.toSeq).toSeq
+    assert(canon2(streamed) == canon2(spark.read.parquet(shards2)))
+    assert(CorpusIngest.driftCard(spark, dd).collect().map(_.toSeq).toSeq ==
+      CorpusIngest.driftCard(spark, dd2).collect().map(_.toSeq).toSeq)
+  }
 }
