@@ -152,10 +152,16 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = bk
       .withColumn("__c", last(col("__m"), ignoreNulls = true).over(cw))
-      .select(col("__b"), col("__k"), col("__c").getField("__r").as("__rcb"))
+      .select(col("__b").as("__cb"), col("__k").as("__ck"),
+        col("__c").getField("__r").as("__rcb"))
 
-    // 3. fill left rows whose bucket had no earlier right row
-    val joined = local.join(carry, Seq("__b", "__k"), "left")
+    // 3. fill left rows whose bucket had no earlier right row. The
+    // key equality is NULL-SAFE (<=>): window partitioning groups
+    // null keys together on the fast path, so the bucketed carry must
+    // match them too or the two differentially-pinned branches would
+    // return different rows for null-key inputs (r14 review finding)
+    val joined = local.join(carry,
+        col("__b") === col("__cb") && col("__k") <=> col("__ck"), "left")
       .filter(col("__src") === 1)
       .withColumn("__rlast", coalesce(col("__rloc"), col("__rcb")))
     val kept = if (inner) joined.filter(col("__rlast").isNotNull) else joined

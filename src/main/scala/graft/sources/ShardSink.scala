@@ -100,8 +100,23 @@ object ShardSink {
     import scala.concurrent.duration.Duration
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shardDirs = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath).filter(_.getName.startsWith("shard="))
+    val allDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    // crash recovery BEFORE listing shards: a leftover `__compact`
+    // twin means a prior run died mid-swap. If its target shard dir
+    // is gone the compact had completed (crash between delete and
+    // rename) — finish the rename; otherwise the twin is a partial
+    // write — discard it. Either way the twin must never be listed as
+    // a shard dir itself (it matches the `shard=` prefix).
+    allDirs.filter(_.getName.endsWith("__compact")).foreach { twin =>
+      val target = new org.apache.hadoop.fs.Path(twin.getParent,
+        twin.getName.stripSuffix("__compact"))
+      if (!fs.exists(target)) fs.rename(twin, target)
+      else fs.delete(twin, true)
+    }
+    // re-list after recovery so restored targets are seen
+    val shardDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(d => d.getName.startsWith("shard=") &&
+        !d.getName.endsWith("__compact"))
     val pool = Executors.newFixedThreadPool(
       math.max(1, math.min(concurrency, shardDirs.length)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)

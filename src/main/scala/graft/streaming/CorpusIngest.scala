@@ -159,19 +159,8 @@ object CorpusIngest {
     val survivors = nearDup.fold(fresh) { nd =>
       val batchIdx = Dedup.minhashIndex(fresh, "doc_id", "text",
         nd.k, nd.numHashes, nd.bands).localCheckpoint(true)
-      val a = batchIdx.alias("a"); val b = batchIdx.alias("b")
-      val dropIn = a.join(b, col("a.band") === col("b.band") &&
-          col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-        .groupBy(col("b.doc").as("doc_id"))
-        .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= nd.minBands)
-        .select("doc_id")
-      val dropCross = loadIndex(ss, nd.indexDir).alias("c")
-        .join(batchIdx.alias("p"), col("c.band") === col("p.band") &&
-          col("c.bucket") === col("p.bucket") && col("c.doc") =!= col("p.doc"))
-        .groupBy(col("p.doc").as("doc_id"))
-        .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= nd.minBands)
-        .select("doc_id")
-      val kept = fresh.join(dropIn.unionByName(dropCross).distinct(),
+      val kept = fresh.join(
+          nearDupDrops(batchIdx, loadIndex(ss, nd.indexDir), nd.minBands),
           Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       batchIdx.join(kept.select("doc_id"),
@@ -209,6 +198,35 @@ object CorpusIngest {
         Drift.tokenCounts(src, "source", "text"), Seq("source", "w"), "c")
     }
     n
+  }
+
+  /** Near-dup drop set: batch docs colliding with a smaller-id batch
+    * doc (keep-first) or ANY corpus doc on ≥ `minBands` bands.
+    * Collisions are counted PER PARTNER PAIR (the minhashLshPairs
+    * contract) and only then reduced to a doc set — summing bands
+    * across all partners would let many sub-threshold overlaps
+    * (shared boilerplate with several docs) add up to a false drop
+    * (CorpusIngestSpec pins both directions). The corpus index is
+    * distincted before the probe — the dedupIndex=true replay defense
+    * of minhashLshPairsAgainst: foreachBatch is at-least-once, and a
+    * retried batch would otherwise double every band row and halve
+    * the effective threshold for all future batches. */
+  private[graft] def nearDupDrops(batchIdx: DataFrame,
+                                  corpusIdx: DataFrame,
+                                  minBands: Int): DataFrame = {
+    val a = batchIdx.alias("a"); val b = batchIdx.alias("b")
+    val dropIn = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("__a"), col("b.doc").as("doc_id"))
+      .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= minBands)
+      .select("doc_id")
+    val dropCross = corpusIdx.distinct().alias("c")
+      .join(batchIdx.alias("p"), col("c.band") === col("p.band") &&
+        col("c.bucket") === col("p.bucket") && col("c.doc") =!= col("p.doc"))
+      .groupBy(col("c.doc").as("__c"), col("p.doc").as("doc_id"))
+      .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= minBands)
+      .select("doc_id")
+    dropIn.unionByName(dropCross).distinct()
   }
 
   /** The t36 drift card over everything shipped so far — exactly the

@@ -49,6 +49,21 @@ class AsOfJoinPropSpec extends SparkSpec {
     }
   }
 
+  test("null keys: both adaptive branches agree — null matches null " +
+      "(the window groups nulls; the carry join is null-safe)") {
+    val lDf = Seq((1L, Option(1L), 10L), (2L, Option.empty[Long], 10L),
+      (3L, Option.empty[Long], 5L)).toDF("l_id", "k", "lt")
+    val rDf = Seq((100L, Option(1L), 5L), (200L, Option.empty[Long], 4L),
+      (300L, Option.empty[Long], 8L)).toDF("r_id", "rk", "rt")
+    def run(hf: Double) =
+      AsOfJoin.asofBackward(lDf, "k", "lt", rDf, "rk", "rt", hubFactor = hf)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    val bucketed = run(0.0)
+    assert(bucketed == run(Double.MaxValue),
+      "bucketed and window paths disagree on null keys")
+    assert(bucketed == Set((1L, 100L), (2L, 300L), (3L, 200L)))
+  }
+
   test("adaptive switch: balanced keys take the single-window path, " +
       "a hub key engages the bucketed carry") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -257,6 +257,38 @@ class CorpusIngestSpec extends SparkSpec {
       .collect().toSet == expected)
   }
 
+  test("nearDupDrops: bands count PER PAIR (not summed across " +
+      "partners) and the replayed index is distincted before the probe") {
+    // synthetic (doc, band, bucket) rows — 16 bands per doc
+    def doc(id: Long, bucketAt: Int => Long): Seq[(Long, Int, Long)] =
+      (0 until 16).map(b => (id, b, bucketAt(b)))
+    val uniq = (id: Long) => (b: Int) => id * 1000L + b
+    val batch = (
+      doc(1L, b => if (b < 4) 100L + b
+        else if (b >= 8) 300L + b else uniq(1L)(b)) ++
+      doc(2L, b => if (b >= 4 && b < 8) 200L + b else uniq(2L)(b)) ++
+      // doc 10: 4 bands vs doc 1 + 4 bands vs doc 2 = 8 summed, but
+      // each PAIR is below the threshold — must survive
+      doc(10L, b => if (b < 4) 100L + b
+        else if (b < 8) 200L + b else uniq(10L)(b)) ++
+      // doc 20: 8 bands vs doc 1 alone — must drop
+      doc(20L, b => if (b >= 8) 300L + b else uniq(20L)(b)) ++
+      doc(30L, b => if (b < 8) 400L + b else uniq(30L)(b)) ++
+      doc(31L, b => if (b < 4) 500L + b else uniq(31L)(b))
+    ).toDF("doc", "band", "bucket")
+    // corpus: doc 99 hits batch doc 30 on 8 bands (drop); doc 98 hits
+    // batch doc 31 on only 4 bands but its rows are REPLAYED twice —
+    // without the distinct defense the count would double to 8
+    val corpus = (
+      doc(99L, b => if (b < 8) 400L + b else uniq(99L)(b)) ++
+      doc(98L, b => if (b < 4) 500L + b else uniq(98L)(b)) ++
+      doc(98L, b => if (b < 4) 500L + b else uniq(98L)(b))
+    ).toDF("doc", "band", "bucket")
+    val drops = CorpusIngest.nearDupDrops(batch, corpus, minBands = 8)
+      .as[Long].collect().toSet
+    assert(drops == Set(20L, 30L))
+  }
+
   test("ALL optional stages on at once: one planted drop per stage, " +
       "no interference; streamed == batch twin incl. drift card") {
     implicit val sqlCtx = spark.sqlContext

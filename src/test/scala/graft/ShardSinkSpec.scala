@@ -132,6 +132,35 @@ class ShardSinkSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(rk"))
   }
 
+  test("compactShards recovers from a crashed swap: partial twins " +
+      "discarded, completed twins renamed in, twins never listed as shards") {
+    val outDir = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    val oneShot = Files.createTempDirectory("shards").toFile.getAbsolutePath
+    (0 until 3).foreach { m =>
+      ShardSink.appendShards(docs.filter(col("doc_id") % 3 === m),
+        "doc_id", outDir, numShards)
+    }
+    // crash A (mid-write): a partial twin beside its intact target
+    val partial = new java.io.File(s"$outDir/shard=0__compact")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(partial.getPath, "part-junk.parquet"), "junk")
+    // crash B (between delete and rename): target gone, twin complete
+    assert(new java.io.File(s"$outDir/shard=1")
+      .renameTo(new java.io.File(s"$outDir/shard=1__compact")))
+
+    ShardSink.compactShards(spark, outDir, "doc_id")
+    val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(!dirs.exists(_.endsWith("__compact")), s"twin left behind: $dirs")
+    assert(dirs == (0 until numShards).map(s => s"shard=$s").toSet)
+    ShardSink.writeShards(docs, "doc_id", oneShot, numShards)
+    assert(ShardSink.manifestsFromDisk(spark, outDir, "doc_id")
+      .collect().map(_.toSeq).toSeq ===
+      ShardSink.manifestsFromDisk(spark, oneShot, "doc_id")
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("deterministic under parallelism: 1-partition rewrite is identical") {
     val outA = Files.createTempDirectory("shards").toFile.getAbsolutePath
     val outB = Files.createTempDirectory("shards").toFile.getAbsolutePath

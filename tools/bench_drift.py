@@ -22,19 +22,32 @@ def load(p):
         return json.load(f)
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thresh = 1.15
-    for a in sys.argv[1:]:
+    raw = sys.argv[1:]
+    args, thresh, skip = [], 1.15, False
+    for i, a in enumerate(raw):
+        if skip:
+            skip = False
+            continue
         if a.startswith("--thresh"):
-            thresh = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                thresh = float(a.split("=", 1)[1])
+            else:
+                thresh = float(raw[i + 1])
+                skip = True
+        else:
+            args.append(a)
     old, new = load(args[0]), load(args[1])
     os, ns = old.get("spread", {}), new.get("spread", {})
     if not os or not ns:
         print("NOTE: one artifact lacks 'spread' fields (pre-r14); "
               "falling back to medians only — band test unavailable")
+    # catalog rows AND index-split rows (both carry spread since r14)
+    def rows(d):
+        return {**d.get("queries", {}), **d.get("ann_split", {})}
+    orows, nrows = rows(old), rows(new)
     n_reg = n_imp = 0
-    for q in sorted(set(old.get("queries", {})) & set(new.get("queries", {}))):
-        om, nm = old["queries"][q], new["queries"][q]
+    for q in sorted(set(orows) & set(nrows)):
+        om, nm = orows[q], nrows[q]
         if om <= 0 or nm <= 0:
             continue
         oband = (os.get(q, {}).get("min", om), os.get(q, {}).get("max", om))
