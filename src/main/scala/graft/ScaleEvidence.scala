@@ -1112,10 +1112,12 @@ object ScaleEvidenceIngest {
     // 1000-word vocabulary (shared so the classifier generalizes;
     // random pairs stay far below the 8-band near-dup threshold) + an
     // accented tail word the mojibake class corrupts
-    // 100k-token vocabulary: wide enough that random doc pairs sit far
-    // below the near-dup band threshold (a 1k vocab measured 7% false
-    // near-dup drops by batch 4), narrow enough that the classifier's
-    // hashed buckets still generalize
+    // 100k-token vocabulary — realistic shingle diversity. (A 1k vocab
+    // initially measured 7% false near-dup drops accumulating by
+    // batch 4; that was the pre-fix PER-PARTNER band summing in the
+    // gate, not vocab density — with per-pair counting the 1k-vocab
+    // rerun is flat at the planted 89.5%. The review finding's
+    // attribution was exact.)
     def pick(tag: String, seed: org.apache.spark.sql.Column, j: Int) =
       concat(lit("c"), pmod(xxhash64(lit(tag), seed, lit(j)), lit(100000L)))
     def cleanText(seed: org.apache.spark.sql.Column) =
