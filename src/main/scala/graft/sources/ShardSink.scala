@@ -80,11 +80,15 @@ object ShardSink {
     * manifests invariant, resume order invariant, rank-predicate
     * row-group pruning restored (ShardSinkSpec, off disk).
     *
-    * One rewrite job per shard directory, swapped in via a
-    * delete+rename on completion — incremental and restartable (a
-    * crash mid-store leaves some dirs compacted, some not; re-running
-    * finishes the rest; a crash between delete and rename of ONE dir
-    * is recoverable from its `<dir>__compact` twin). Up to
+    * One rewrite job per shard directory, swapped in via
+    * [[DirSwap]]'s RENAME-ONLY protocol on completion — incremental
+    * and restartable: a crash mid-store leaves some dirs compacted,
+    * some not, and re-running finishes the rest; a crash at ANY point
+    * inside one dir's swap leaves a complete copy under a known name
+    * (`shard=<s>`, `...__compact`, or `...__old`) that the recovery
+    * pass restores before compacting (ADVICE r14: the previous
+    * delete-then-rename swap could lose a shard to a crash
+    * mid-recursive-delete — recursive delete is not atomic). Up to
     * `concurrency` directory jobs run at once (driver-side Futures —
     * Spark's scheduler interleaves their stages, so small rewrite
     * jobs don't serialize on per-job overhead and big ones keep the
@@ -100,23 +104,23 @@ object ShardSink {
     import scala.concurrent.duration.Duration
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val allDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-    // crash recovery BEFORE listing shards: a leftover `__compact`
-    // twin means a prior run died mid-swap. If its target shard dir
-    // is gone the compact had completed (crash between delete and
-    // rename) — finish the rename; otherwise the twin is a partial
-    // write — discard it. Either way the twin must never be listed as
-    // a shard dir itself (it matches the `shard=` prefix).
-    allDirs.filter(_.getName.endsWith("__compact")).foreach { twin =>
-      val target = new org.apache.hadoop.fs.Path(twin.getParent,
-        twin.getName.stripSuffix("__compact"))
-      if (!fs.exists(target)) fs.rename(twin, target)
-      else fs.delete(twin, true)
-    }
+    // crash recovery BEFORE listing shards: any `__compact` twin or
+    // `__old` backup left behind means a prior run died mid-swap —
+    // DirSwap.recover restores each affected shard dir from whichever
+    // complete copy survives (see DirSwap's case table). Scratch dirs
+    // must never be listed as shard dirs themselves (they match the
+    // `shard=` prefix).
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(DirSwap.isScratch(_, "__compact"))
+      .map(DirSwap.baseOf(_, "__compact")).distinct
+      .foreach { base =>
+        DirSwap.recover(fs, new org.apache.hadoop.fs.Path(root, base),
+          "__compact")
+      }
     // re-list after recovery so restored targets are seen
     val shardDirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(d => d.getName.startsWith("shard=") &&
-        !d.getName.endsWith("__compact"))
+        !DirSwap.isScratch(d.getName, "__compact"))
     val pool = Executors.newFixedThreadPool(
       math.max(1, math.min(concurrency, shardDirs.length)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -127,9 +131,8 @@ object ShardSink {
             new org.apache.hadoop.fs.Path(d.getParent, d.getName + "__compact")
           val n = Layout.compact(spark, d.toString, tmp.toString,
             targetFileBytes, clusterCols = Seq("rk", idCol))
-          // rename is per-directory; no two futures touch the same dir
-          fs.delete(d, true)
-          fs.rename(tmp, d)
+          // the swap is per-directory; no two futures touch the same dir
+          DirSwap.swap(fs, d, tmp)
           n
         }
       }

@@ -132,27 +132,44 @@ class ShardSinkSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(rk"))
   }
 
-  test("compactShards recovers from a crashed swap: partial twins " +
-      "discarded, completed twins renamed in, twins never listed as shards") {
+  test("compactShards recovers from a crash at EVERY swap step: " +
+      "partial twins discarded, complete twins renamed in, __old " +
+      "backups resolved, scratch dirs never listed as shards") {
     val outDir = Files.createTempDirectory("shards").toFile.getAbsolutePath
     val oneShot = Files.createTempDirectory("shards").toFile.getAbsolutePath
     (0 until 3).foreach { m =>
       ShardSink.appendShards(docs.filter(col("doc_id") % 3 === m),
         "doc_id", outDir, numShards)
     }
-    // crash A (mid-write): a partial twin beside its intact target
-    val partial = new java.io.File(s"$outDir/shard=0__compact")
-    partial.mkdirs()
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(partial.getPath, "part-junk.parquet"), "junk")
-    // crash B (between delete and rename): target gone, twin complete
+    def junkDir(p: String): Unit = {
+      val d = new java.io.File(p); d.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p, "part-junk.parquet"), "junk")
+    }
+    // crash A (mid-twin-write): a PARTIAL twin beside its intact
+    // target — recovery must prefer the target and discard the twin
+    junkDir(s"$outDir/shard=0__compact")
+    // crash B (legacy delete+rename layout, between delete and
+    // rename): target gone, twin complete — twin renamed in
     assert(new java.io.File(s"$outDir/shard=1")
       .renameTo(new java.io.File(s"$outDir/shard=1__compact")))
+    // crash C (between swap steps 1 and 2): target renamed to __old,
+    // complete twin waiting — twin renamed in, __old (the superseded
+    // copy) discarded. The twin here is the real data; __old simulates
+    // a half-deleted leftover (the exact state the r14 protocol lost
+    // data in: a partial target that recovery preferred over the twin)
+    assert(new java.io.File(s"$outDir/shard=2")
+      .renameTo(new java.io.File(s"$outDir/shard=2__compact")))
+    junkDir(s"$outDir/shard=2__old")
+    // crash D (mid-step-3 delete): swap completed, partial __old
+    // garbage beside the intact target — __old deleted
+    junkDir(s"$outDir/shard=3__old")
 
     ShardSink.compactShards(spark, outDir, "doc_id")
     val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
-    assert(!dirs.exists(_.endsWith("__compact")), s"twin left behind: $dirs")
+    assert(!dirs.exists(d => d.endsWith("__compact") || d.endsWith("__old")),
+      s"scratch dir left behind: $dirs")
     assert(dirs == (0 until numShards).map(s => s"shard=$s").toSet)
     ShardSink.writeShards(docs, "doc_id", oneShot, numShards)
     assert(ShardSink.manifestsFromDisk(spark, outDir, "doc_id")
