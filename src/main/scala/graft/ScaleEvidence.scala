@@ -716,48 +716,72 @@ object ScaleEvidenceHub {
       "input partition BEFORE the shuffle, so the agg shape is the one " +
       "that holds when the hot entity has 500M changes.")
 
-    // ---- as-of join: 500k left + 500k right, key 1 carries 50% of
-    // BOTH sides. Right unique per (key, time) by construction.
-    val half = n / 2
-    val asofKey = when(pmod(col("id"), lit(2)) === 0, lit(1L))
-      .otherwise(pmod(xxhash64(lit("ak"), col("id")), lit((nKeys / 4).toLong)) + 2L)
-    spark.range(half).select(col("id").as("l_id"), asofKey.as("k"),
-        pmod(xxhash64(lit("lt"), col("id")), lit(1000000L)).as("lt"))
-      .write.mode("overwrite").parquet("target/scale/asof_left")
-    spark.range(half).select((col("id") + 10000000L).as("r_id"),
-        asofKey.as("rk"),
-        // unique (key, time): quotes on a per-key lattice
-        (col("id") * 2 + 1).as("rt"))
-      .write.mode("overwrite").parquet("target/scale/asof_right")
-    val lDf = spark.read.parquet("target/scale/asof_left")
-    val rDf0 = spark.read.parquet("target/scale/asof_right")
-      .groupBy("rk", "rt").agg(max("r_id").as("r_id"))
-    def asofSum(df: DataFrame) =
-      df.agg(count(lit(1)), sum(col("l_id")), sum(col("r_id"))).head()
-    val (abRes, tAsof) = timed {
-      asofSum(graft.operators.AsOfJoin.asofBackward(
-        lDf, "k", "lt", rDf0, "rk", "rt"))
+    // ---- as-of join, ADAPTIVE switch evidence (r15, VERDICT r14
+    // item 8): per case — replay the operator's own detection
+    // aggregation to NAME the branch that fires, run the adaptive
+    // operator, the forced-bucketed form (hubFactor = 0) and the raw
+    // keyed-window formulation, assert all three merge identically,
+    // report timings. Cases: balanced control, the r12 planted hub
+    // (key 1 = 50% of both sides) at n, and the same hub at 8n —
+    // where the window's single hot-key sort stops fitting its share.
+    def asofCase(label: String, half: Long, hub: Boolean): Unit = {
+      val keyed =
+        if (hub) when(pmod(col("id"), lit(2)) === 0, lit(1L))
+          .otherwise(pmod(xxhash64(lit("ak"), col("id")),
+            lit((nKeys / 4).toLong)) + 2L)
+        else pmod(xxhash64(lit("ak"), col("id")), lit((nKeys / 4).toLong)) + 2L
+      spark.range(half).select(col("id").as("l_id"), keyed.as("k"),
+          pmod(xxhash64(lit("lt"), col("id")), lit(2 * half)).as("lt"))
+        .write.mode("overwrite").parquet("target/scale/asof_left")
+      spark.range(half).select((col("id") + 100000000L).as("r_id"),
+          keyed.as("rk"),
+          // unique (key, time): quotes on a per-key lattice
+          (col("id") * 2 + 1).as("rt"))
+        .write.mode("overwrite").parquet("target/scale/asof_right")
+      val lDf = spark.read.parquet("target/scale/asof_left")
+      val rDf0 = spark.read.parquet("target/scale/asof_right")
+        .groupBy("rk", "rt").agg(max("r_id").as("r_id"))
+      // the operator's detection agg, replayed to name the branch
+      val st = lDf.select(col("k")).unionByName(rDf0.select(col("rk")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")), max(col("n"))).head()
+      val (total, maxKey) = (st.getLong(0), st.getLong(1))
+      val fair = total.toDouble / 32
+      val branch = if (maxKey <= 2.0 * fair) "window" else "bucketed"
+      def asofSum(df: DataFrame) =
+        df.agg(count(lit(1)), sum(col("l_id")), sum(col("r_id"))).head()
+      val (adRes, tAdaptive) = timed {
+        asofSum(graft.operators.AsOfJoin.asofBackward(
+          lDf, "k", "lt", rDf0, "rk", "rt"))
+      }
+      val (abRes, tBucketed) = timed {
+        asofSum(graft.operators.AsOfJoin.asofBackward(
+          lDf, "k", "lt", rDf0, "rk", "rt", hubFactor = 0.0))
+      }
+      val (awRes, tAsofWin) = timed {
+        // the pre-r12 formulation: one last() window over the raw key
+        val lT = lDf.select(col("k").as("__k"), col("lt").as("__t"),
+          lit(1).as("__src"), col("l_id"), lit(null).cast("long").as("r_id"))
+        val rT = rDf0.select(col("rk").as("__k"), col("rt").as("__t"),
+          lit(0).as("__src"), lit(null).cast("long").as("l_id"), col("r_id"))
+        val w = Window.partitionBy("__k").orderBy(col("__t"), col("__src"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        asofSum(lT.unionByName(rT)
+          .withColumn("__rlast", last(col("r_id"), ignoreNulls = true).over(w))
+          .filter(col("__src") === 1 && col("__rlast").isNotNull)
+          .select(col("l_id"), col("__rlast").as("r_id")))
+      }
+      assert(adRes == awRes && abRes == awRes,
+        s"asof diverged: $adRes / $abRes vs $awRes")
+      println(f"[hub-asof] $label @ ${2 * half}%,d rows: largest key " +
+        f"$maxKey%,d vs fair share $fair%,.0f -> DETECTED branch=" +
+        f"$branch; adaptive ${tAdaptive}%.1f s, forced-bucketed " +
+        f"${tBucketed}%.1f s, raw keyed window ${tAsofWin}%.1f s, " +
+        f"identical matches (${adRes.getLong(0)}%,d rows)")
     }
-    val (awRes, tAsofWin) = timed {
-      // the pre-r12 formulation: one last() window over the raw key
-      val lT = lDf.select(col("k").as("__k"), col("lt").as("__t"),
-        lit(1).as("__src"), col("l_id"), lit(null).cast("long").as("r_id"))
-      val rT = rDf0.select(col("rk").as("__k"), col("rt").as("__t"),
-        lit(0).as("__src"), lit(null).cast("long").as("l_id"), col("r_id"))
-      val w = Window.partitionBy("__k").orderBy(col("__t"), col("__src"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      asofSum(lT.unionByName(rT)
-        .withColumn("__rlast", last(col("r_id"), ignoreNulls = true).over(w))
-        .filter(col("__src") === 1 && col("__rlast").isNotNull)
-        .select(col("l_id"), col("__rlast").as("r_id")))
-    }
-    assert(abRes == awRes, s"asof diverged: $abRes vs $awRes")
-    println(f"[hub-asof] asofBackward @ ${2 * half}%,d rows (key 1 = 50%% " +
-      f"of both sides): two-level bucketed carry ${tAsof}%.1f s vs keyed " +
-      f"window ${tAsofWin}%.1f s, identical matches (${abRes.getLong(0)}%,d " +
-      "rows). Same trade as [crawl-mix]: the single window is faster " +
-      "while one task can hold the hub's 500k-row sort; the bucketed " +
-      "carry caps every task at ~n/32 rows whatever the skew.")
+    asofCase("balanced control", n / 2L, hub = false)
+    asofCase("planted hub (key 1 = 50% both sides)", n / 2L, hub = true)
+    asofCase("planted hub, 8x volume", 4L * n, hub = true)
     spark.stop()
   }
 }
@@ -1165,6 +1189,8 @@ object ScaleEvidenceIngest {
     val nd = Some(CorpusIngest.NearDupGate(nidx, k = 4))
     val perBatch = nDocs / nBatches
     var shipped = 0L
+    val stageRows =
+      scala.collection.mutable.Buffer.empty[(Int, Seq[(String, Double)])]
     val (_, tAll) = timed {
       for (b <- 0 until nBatches) {
         val batch = spark.range(b.toLong * perBatch, (b + 1).toLong * perBatch)
@@ -1172,12 +1198,15 @@ object ScaleEvidenceIngest {
             concat(lit("https://src"), pmod(col("id"), lit(20L)),
               lit(".example.com/doc"), col("id")).as("url"))
           .withColumn("text", textOf)
+        val stageBuf = scala.collection.mutable.Buffer.empty[(String, Double)]
         val (n, tB) = timed {
           CorpusIngest.ingestBatch(batch, ub, tb, shards, numShards = 16,
             expectedItems = nDocs.toLong, qualityGate = gate,
-            driftDir = Some(dd), repairEncoding = true, nearDup = nd)
+            driftDir = Some(dd), repairEncoding = true, nearDup = nd,
+            stageLog = Some(stageBuf))
         }
         shipped += n
+        stageRows += b -> stageBuf.toSeq
         println(f"[ingest-batch] batch $b: $perBatch%,d in -> $n%,d shipped " +
           f"(${100.0 * n / perBatch}%.1f%%) in ${tB}%.1f s = " +
           f"${perBatch / tB}%,.0f docs/s")
@@ -1186,6 +1215,26 @@ object ScaleEvidenceIngest {
     println(f"[ingest-total] $nDocs%,d docs, $nBatches batches, all stages " +
       f"on: ${tAll}%.1f s = ${nDocs / tAll}%,.0f docs/s end-to-end, " +
       f"$shipped%,d shipped (${100.0 * shipped / nDocs}%.1f%%)")
+
+    // per-stage wall-time table (VERDICT r14 item 5) — one row per
+    // stage, one column per batch. The near-dup columns are the item-1
+    // evidence: the persisted band index grows ~linearly with every
+    // batch, so FLAT neardup_gate times across batches show per-batch
+    // work no longer scales with the index (the semi-join narrowing).
+    val stageNames = stageRows.head._2.map(_._1)
+      .filterNot(_.startsWith("fill:"))
+    println("[ingest-stages] stage          " +
+      stageRows.map(r => f"b${r._1}%-7d").mkString)
+    stageNames.foreach { s =>
+      val cells = stageRows.map { case (_, rows) =>
+        rows.find(_._1 == s).map(r => f"${r._2}%-7.2f").getOrElse("-      ")
+      }
+      println(f"[ingest-stages] ${s}%-15s" + cells.mkString)
+    }
+    val lastFills = stageRows.last._2.filter(_._1.startsWith("fill:"))
+    println("[ingest-bloom] final fill gauges: " + lastFills
+      .map { case (k, v) => f"$k=${v * 100}%.2f%%" }.mkString(", ") +
+      f" (warn at ${graft.operators.BloomMembership.FillWarnAt * 100}%.0f%%)")
 
     val preFiles = new java.io.File(shards).listFiles()
       .filter(_.getName.startsWith("shard="))

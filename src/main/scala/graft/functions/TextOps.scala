@@ -252,6 +252,44 @@ object TextOps {
       .otherwise(array_join(pieces, ""))
   }
 
+  /** High-confidence mojibake SIGNATURES over the cp1252-folded text —
+    * the plausibility gate [[repairMojibake]] requires before touching
+    * a doc (ftfy's "only fix what looks broken" convention):
+    *
+    *   - `[Â-Å]` + continuation — the 2-byte leads C2–C5 cover
+    *     U+0080–U+017F (Latin-1 supplement + Latin Extended-A), i.e.
+    *     virtually every Western/Central-European letter's mojibake
+    *     ("Ã©" for é, "Å‚" for ł); clean prose with Â/Ã/Ä/Å directly
+    *     followed by a C1-control/«»°±-range char essentially does not
+    *     occur (those letters precede ASCII letters in real words).
+    *   - `â` + 2 continuations — E2-led General Punctuation ("â€”"
+    *     for —, "â€œ" for curly quotes), the other dominant class.
+    *   - `ð` + 3 continuations — F0-led astral/emoji ("ðŸ˜€").
+    *
+    * Deliberately NARROWER than what [[fixMojibake]] can decode: rarer
+    * leads (Æ–ß 2-byte, ã–ï 3-byte) only repair when the doc also
+    * carries one of the signatures above. */
+  private[graft] val MojibakeSignature: String =
+    "[Â-Å][-¿]|â[-¿]{2}|ð[-¿]{3}"
+
+  /** [[fixMojibake]] gated per doc on [[MojibakeSignature]] — the form
+    * the ingest loop runs unconditionally over every crawled doc
+    * (ADVICE r14): the raw rewrite is NOT the identity on all clean
+    * text — a genuine lead-range char followed by continuation-range
+    * chars (e.g. clean "Ö«", U+00D6 U+00AB) is indistinguishable from
+    * mojibake at the byte level and falsely re-decodes (→ U+05AB). The
+    * gate only rewrites docs bearing a high-confidence signature, so
+    * clean docs — including the "Ö«" class — pass through untouched.
+    * Residual false-positive class (documented, accepted): a doc
+    * containing BOTH real mojibake and a clean lead+continuation pair
+    * still re-decodes the clean pair; each doc is judged whole because
+    * mojibake corruption is a whole-doc encoding event, not per-char.
+    * The signature check reads the same cp1252 fold the repair uses,
+    * so "â€”"-style displays (folded: E2 80 94) trigger correctly. */
+  def repairMojibake(c: Column): Column =
+    when(translate(c, Cp1252Chars, Cp1252Bytes).rlike(MojibakeSignature),
+      fixMojibake(c)).otherwise(c)
+
   /** Gopher document-shape metrics (Rae et al. 2021, Table A1) as a
     * single struct — the structural complement to the t17 repetition
     * rules: word-count band, mean-word-length band, symbol ratios,

@@ -725,6 +725,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Gated mojibake repair (t39, r15 — the exact form CorpusIngest
+    // runs over every crawled doc): repairMojibake only rewrites docs
+    // bearing a high-confidence signature. Three planted classes by
+    // doc_id mod 3 — real mojibake (must repair to the clean twin),
+    // clean text ending in lead+continuation pairs the RAW rewrite
+    // would falsely re-decode (must pass through byte-identical), and
+    // untouched ascii. Map-side only; the oracle replays gate +
+    // cascade.
+    "t39_repair_mojibake_gated" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val m3 = col("doc_id") % 3
+      val bad = when(m3 === 0, replace(replace(col("text"),
+          lit(" the "), lit(Moj2)), lit(" and "), lit(Moj3)))
+        .when(m3 === 1, concat(col("text"), lit(CleanTail)))
+        .otherwise(col("text"))
+      val want = when(m3 === 0, replace(replace(col("text"),
+          lit(" the "), lit(Fix2)), lit(" and "), lit(Fix3)))
+        .when(m3 === 1, concat(col("text"), lit(CleanTail)))
+        .otherwise(col("text"))
+      docs.select(col("doc_id"), bad.as("bad"), want.as("want"))
+        .select(col("doc_id"), col("bad"), col("want"),
+          TextOps.repairMojibake(col("bad")).as("rep"))
+        .select(col("doc_id"),
+          length(col("rep")).cast("long").as("chars_out"),
+          (col("rep") =!= col("bad")).as("rewritten"),
+          (col("rep") === col("want")).as("repaired_ok"))
+        .orderBy("doc_id")
+    },
+
     "t35_quality_classifier" -> { (s, d) =>
       val labeled = t(s, d, "documents")
         .select(col("doc_id"), col("text"),
@@ -868,6 +897,11 @@ object TextQueries {
   private val Fix2 = " thé "
   private val Moj3 = " â€”and "
   private val Fix3 = " —and "
+  // t39's clean-but-byte-ambiguous tail: lead-range chars followed by
+  // continuation-range chars ("Ö«", "ß»") — valid-looking byte runs
+  // the RAW rewrite would re-decode; the gated repair must not touch
+  // them (no mojibake signature anywhere in the doc)
+  private val CleanTail = " Ö« ß»"
 
   /** t38's oracle: the full fixMojibake cascade in DuckDB SQL —
     * cp1252 fold (`translate` over the shared tables), per-position
@@ -876,7 +910,10 @@ object TextQueries {
     * excluded), re-decode via `decode(unhex(..))`, pass-through with
     * the reverse fold. Mirrors TextOps.fixMojibake clause for
     * clause. */
-  private def t38OracleSql: String = {
+  /** The per-position byte-classification CASE of the fixMojibake
+    * cascade (shared by the t38 and t39 oracles — both CTE chains
+    * bind the same `ch`/`cps`/`i` names). */
+  private def mojibakePieceSql: String = {
     import graft.functions.TextOps.{Cp1252Bytes, Cp1252Chars}
     def at(j: String) =
       s"(CASE WHEN ($j) >= 1 THEN coalesce(cps[CAST($j AS INT)], -1) ELSE -1 END)"
@@ -891,18 +928,22 @@ object TextQueries {
     def hx(x: String) = s"lpad(hex($x), 2, '0')"
     val (c0, c1, c2, c3) = (at("i"), at("i + 1"), at("i + 2"), at("i + 3"))
     val (p1, p2, p3) = (at("i - 1"), at("i - 2"), at("i - 3"))
-    val piece =
-      s"""CASE WHEN ${v4(c0, c1, c2, c3)}
-         |       THEN decode(unhex(${hx(c0)} || ${hx(c1)} || ${hx(c2)} || ${hx(c3)}))
-         |     WHEN ${v3(c0, c1, c2)}
-         |       THEN decode(unhex(${hx(c0)} || ${hx(c1)} || ${hx(c2)}))
-         |     WHEN ${l2(c0)} AND ${cont(c1)}
-         |       THEN decode(unhex(${hx(c0)} || ${hx(c1)}))
-         |     WHEN ${cont(c0)} AND (${l2(p1)} OR ${v3(p1, c0, c1)} OR ${v3(p2, p1, c0)}
-         |       OR ${v4(p1, c0, c1, c2)} OR ${v4(p2, p1, c0, c1)} OR ${v4(p3, p2, p1, c0)})
-         |       THEN ''
-         |     ELSE translate(ch[CAST(i AS INT)], '$Cp1252Bytes', '$Cp1252Chars')
-         |END""".stripMargin
+    s"""CASE WHEN ${v4(c0, c1, c2, c3)}
+       |       THEN decode(unhex(${hx(c0)} || ${hx(c1)} || ${hx(c2)} || ${hx(c3)}))
+       |     WHEN ${v3(c0, c1, c2)}
+       |       THEN decode(unhex(${hx(c0)} || ${hx(c1)} || ${hx(c2)}))
+       |     WHEN ${l2(c0)} AND ${cont(c1)}
+       |       THEN decode(unhex(${hx(c0)} || ${hx(c1)}))
+       |     WHEN ${cont(c0)} AND (${l2(p1)} OR ${v3(p1, c0, c1)} OR ${v3(p2, p1, c0)}
+       |       OR ${v4(p1, c0, c1, c2)} OR ${v4(p2, p1, c0, c1)} OR ${v4(p3, p2, p1, c0)})
+       |       THEN ''
+       |     ELSE translate(ch[CAST(i AS INT)], '$Cp1252Bytes', '$Cp1252Chars')
+       |END""".stripMargin
+  }
+
+  private def t38OracleSql: String = {
+    import graft.functions.TextOps.{Cp1252Bytes, Cp1252Chars}
+    val piece = mojibakePieceSql
     s"""WITH t38_src AS (SELECT doc_id,
        |    replace(replace(text, ' the ', '$Moj2'), ' and ', '$Moj3') AS bad,
        |    replace(replace(text, ' the ', '$Fix2'), ' and ', '$Fix3') AS want
@@ -920,6 +961,42 @@ object TextQueries {
        |  CAST(length(fixed) AS BIGINT) AS chars_fixed,
        |  (fixed = want) AS repaired_ok
        |FROM t38_fx ORDER BY doc_id""".stripMargin
+  }
+
+  /** t39's oracle: the SAME cascade behind the same per-doc
+    * plausibility gate — rewrite only when the cp1252-folded text
+    * matches a high-confidence mojibake signature
+    * (TextOps.MojibakeSignature verbatim; RE2 and Java agree on
+    * literal-char classes and bounded repeats). */
+  private def t39OracleSql: String = {
+    import graft.functions.TextOps.{Cp1252Bytes, Cp1252Chars, MojibakeSignature}
+    val piece = mojibakePieceSql
+    s"""WITH t39_src AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |           THEN replace(replace(text, ' the ', '$Moj2'), ' and ', '$Moj3')
+       |         WHEN doc_id % 3 = 1 THEN text || '$CleanTail'
+       |         ELSE text END AS bad,
+       |    CASE WHEN doc_id % 3 = 0
+       |           THEN replace(replace(text, ' the ', '$Fix2'), ' and ', '$Fix3')
+       |         WHEN doc_id % 3 = 1 THEN text || '$CleanTail'
+       |         ELSE text END AS want
+       |  FROM documents),
+       | t39_arr AS (SELECT doc_id, bad, want,
+       |    string_split(translate(bad, '$Cp1252Chars', '$Cp1252Bytes'), '') AS ch,
+       |    list_transform(string_split(translate(bad, '$Cp1252Chars', '$Cp1252Bytes'), ''),
+       |      x -> ascii(x)) AS cps
+       |  FROM t39_src),
+       | t39_fx AS (SELECT doc_id, bad, want,
+       |    CASE WHEN regexp_matches(
+       |           translate(bad, '$Cp1252Chars', '$Cp1252Bytes'),
+       |           '$MojibakeSignature')
+       |         THEN array_to_string(list_transform(range(1, len(ch) + 1), i ->
+       |           $piece), '')
+       |         ELSE bad END AS rep
+       |  FROM t39_arr)
+       |SELECT doc_id, CAST(length(rep) AS BIGINT) AS chars_out,
+       |  (rep <> bad) AS rewritten, (rep = want) AS repaired_ok
+       |FROM t39_fx ORDER BY doc_id""".stripMargin
   }
 
   /** t37's oracle: five independent replays of the t35 GD chain (one
@@ -1106,6 +1183,7 @@ ORDER BY l.doc_id"""
     "t35_quality_classifier" -> t35OracleSql,
     "t37_langid_trained" -> t37OracleSql,
     "t38_fix_mojibake" -> t38OracleSql,
+    "t39_repair_mojibake_gated" -> t39OracleSql,
 
     // Drift.sourceDrift mirror: t26's fingerprint-mod bucket fold, the
     // FULL generated (source x bucket) grid (absent buckets count with

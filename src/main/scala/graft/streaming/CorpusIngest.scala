@@ -50,16 +50,45 @@ import graft.sources.ShardSink
   * (combinable min-struct — deterministic under any partitioning,
   * unlike dropDuplicates).
   *
+  * BLOOM CAPACITY (VERDICT r14 item 2): the sketches are sized once
+  * (`expectedItems`) and merged forever, so a stream that outlives
+  * its sizing saturates them — fpp rises quietly and every false
+  * positive is a genuinely-new doc silently dropped. Each fold
+  * therefore measures the merged filter's set-bit fraction
+  * ([[graft.operators.BloomMembership.fillRatio]]; reported in
+  * `stageLog` as `fill:url_bloom` / `fill:text_bloom`) and logs a
+  * warning past 50% — the optimal-k design point where the filter
+  * holds exactly its design capacity. The RE-SHARD path when the
+  * gauge trips: freeze the saturated artifact as epoch state and
+  * start a NEW, larger bloom for subsequent folds; the probe is then
+  * "seen in ANY epoch" — chain [[BloomMembership.flagSeen]] once per
+  * epoch (a bloom probe is map-side, so k epochs cost k codegen'd
+  * predicates, no extra pass). When sizings match the epochs can
+  * instead OR into one filter with [[BloomMembership.merge]]; the
+  * merged probe flags a SUPERSET of the chained one (cross-epoch bit
+  * mixes add false positives, never false negatives — the containment
+  * BloomMembershipSpec pins), so chaining is the tighter form and
+  * merging the cheaper one.
+  *
   * At 100 TB: canonicalize/gate/hash are map-side codegen; the two
   * dedup aggregations shuffle once each on their key; the shard write
   * is ShardSink's one hash shuffle. Bloom probe/build are map-side +
-  * a driver-sized byte-array merge.
+  * a driver-sized byte-array merge. Per batch the loop runs a FIXED
+  * job inventory (r15, after folding the cheap driver actions: the
+  * shipped-row count rides the shard write as an observed metric, the
+  * two drift folds are one kind-tagged write, each bloom artifact is
+  * read once and its bytes reused for probe + merge): 2 bloom loads,
+  * 2 checkpoints (canon+frontier, gates+exact-dedup), the shard
+  * write, 2 sketch-agg + 2 bloom writes, 1 drift write, plus 3
+  * near-dup jobs when that gate is on — none of whose input grows
+  * with the corpus.
   *
   * MAINTENANCE: appendShards leaves one file per touched shard per
-  * micro-batch; run [[graft.sources.ShardSink.compactShards]]
-  * periodically (e.g. every 10^3 batches, or off-peak) to rewrite
-  * each shard dir back to one rk-clustered file — manifests, resume
-  * order, and rank pushdown are invariant (ShardSinkSpec).
+  * micro-batch; [[start]] runs
+  * [[graft.sources.ShardSink.compactShards]] automatically every
+  * `compactEvery` batches when set (VERDICT r14 item 3) — manifests,
+  * resume order, and rank pushdown are invariant (ShardSinkSpec,
+  * CorpusIngestSpec). Batch callers compact on their own cadence.
   */
 object CorpusIngest {
 
@@ -94,7 +123,10 @@ object CorpusIngest {
     * appended to the shard store. Pure function of (batch, persisted
     * bloom + drift state) — called by the streaming sink and the
     * batch twin alike. `expectedItems` sizes NEW bloom increments;
-    * merge requires the same sizing across a store's lifetime. */
+    * merge requires the same sizing across a store's lifetime.
+    * `stageLog`, when supplied, receives (stage, seconds) wall-time
+    * rows per driver-side action plus the two `fill:*_bloom` gauge
+    * readings — the per-stage profile the ingest evidence prints. */
   def ingestBatch(batch: DataFrame, urlBloomPath: String,
                   textBloomPath: String, shardDir: String,
                   numShards: Int = 8,
@@ -102,30 +134,48 @@ object CorpusIngest {
                   qualityGate: Option[QualityGate] = None,
                   driftDir: Option[String] = None,
                   repairEncoding: Boolean = false,
-                  nearDup: Option[NearDupGate] = None): Long = {
+                  nearDup: Option[NearDupGate] = None,
+                  stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None): Long = {
     val ss = batch.sparkSession
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val a = f
+      stageLog.foreach(_ += name -> (System.nanoTime() - t0) / 1e9); a
+    }
+
+    // persisted frontier state is read ONCE per batch; the bytes feed
+    // both the probes and the end-of-batch merges (r15 — previously
+    // each artifact was read twice)
+    val (urlPrev, textPrev) = timed("state_load")(
+      (loadBloomBytes(ss, urlBloomPath), loadBloomBytes(ss, textBloomPath)))
 
     // 0. optional encoding repair (t38) — FIRST, before any gate or
     //    hash: a mojibake variant of an already-shipped page must
     //    repair to the same bytes and fall to the exact-text dedup,
-    //    and the quality gates must judge the repaired text
+    //    and the quality gates must judge the repaired text. Gated
+    //    per doc on a mojibake-signature check (ADVICE r14: the raw
+    //    rewrite is not the identity on clean text containing a
+    //    lead-range char before a continuation-range char, e.g. "Ö«")
     val input =
       if (repairEncoding)
-        batch.withColumn("text", TextOps.fixMojibake(col("text")))
+        batch.withColumn("text", TextOps.repairMojibake(col("text")))
       else batch
 
-    // 1. canonicalize; within-batch URL dedup by min doc_id
-    val canon = input
-      .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
-      .groupBy("canon_url")
-      .agg(min(struct(col("doc_id"), col("text"))).as("__r"))
-      .select(col("canon_url"), col("__r.doc_id"), col("__r.text"))
+    // 1. canonicalize; within-batch URL dedup by min doc_id; then the
+    //    cross-batch frontier (drop URLs any earlier batch spent).
+    //    Checkpointed: the chain below consumes it AND the url-bloom
+    //    fold needs its keys — without the cache the repair+canon
+    //    work would run twice per batch (r15, VERDICT item 5)
+    val urlFresh = timed("canon_frontier") {
+      val canon = input
+        .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+        .groupBy("canon_url")
+        .agg(min(struct(col("doc_id"), col("text"))).as("__r"))
+        .select(col("canon_url"), col("__r.doc_id"), col("__r.text"))
+      BloomMembership.definitelyNew(canon, urlPrev, "canon_url")
+        .localCheckpoint(true)
+    }
 
-    // 2. cross-batch frontier: drop URLs any earlier batch shipped
-    val urlFresh = BloomMembership.definitelyNew(
-      canon, loadBloom(ss, urlBloomPath), "canon_url")
-
-    // 3. quality gates — the t33 heuristic composite, then (when a
+    // 2. quality gates — the t33 heuristic composite, then (when a
     //    model is supplied) the t35 trained filter: broadcast-weights
     //    scoring, keep P(keep) ≥ threshold
     val shaped = urlFresh
@@ -136,19 +186,20 @@ object CorpusIngest {
         .filter(col("__q") >= g.threshold).drop("__q")
     }
 
-    // 4. exact-text dedup: in-batch (min doc_id per hash), then
+    // 3. exact-text dedup: in-batch (min doc_id per hash), then
     //    cross-batch via the text bloom
-    val hashed = gated
-      .withColumn("text_hash", xxhash64(col("text")))
-      .groupBy("text_hash")
-      .agg(min(struct(col("doc_id"), col("canon_url"), col("text"))).as("__r"))
-      .select(col("text_hash"), col("__r.doc_id"), col("__r.canon_url"),
-        col("__r.text"))
-    val fresh = BloomMembership.definitelyNew(
-        hashed, loadBloom(ss, textBloomPath), "text_hash")
-      .localCheckpoint(true) // one execution feeds sink + both blooms
+    val fresh = timed("gates_exact_dedup") {
+      val hashed = gated
+        .withColumn("text_hash", xxhash64(col("text")))
+        .groupBy("text_hash")
+        .agg(min(struct(col("doc_id"), col("canon_url"), col("text"))).as("__r"))
+        .select(col("text_hash"), col("__r.doc_id"), col("__r.canon_url"),
+          col("__r.text"))
+      BloomMembership.definitelyNew(hashed, textPrev, "text_hash")
+        .localCheckpoint(true) // one execution feeds sink + both blooms
+    }
 
-    // 4b. optional near-dup stage: band the batch ONCE, then
+    // 3b. optional near-dup stage: band the batch ONCE, then
     //     (a) in-batch greedy keep-first — any doc colliding with a
     //         smaller doc_id on >= minBands bands drops;
     //     (b) cross-batch — any doc colliding with the persisted
@@ -157,45 +208,66 @@ object CorpusIngest {
     //     survivors' band rows append to the index, so the store
     //     stays exactly the shipped corpus's index.
     val survivors = nearDup.fold(fresh) { nd =>
-      val batchIdx = Dedup.minhashIndex(fresh, "doc_id", "text",
-        nd.k, nd.numHashes, nd.bands).localCheckpoint(true)
-      val kept = fresh.join(
-          nearDupDrops(batchIdx, loadIndex(ss, nd.indexDir), nd.minBands),
-          Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      batchIdx.join(kept.select("doc_id"),
-          batchIdx("doc") === kept("doc_id"), "left_semi")
-        .write.mode("append").parquet(nd.indexDir)
+      val batchIdx = timed("neardup_band") {
+        Dedup.minhashIndex(fresh, "doc_id", "text",
+          nd.k, nd.numHashes, nd.bands).localCheckpoint(true)
+      }
+      val kept = timed("neardup_gate") {
+        fresh.join(
+            nearDupDrops(batchIdx, loadIndex(ss, nd.indexDir), nd.minBands),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+      }
+      timed("neardup_append") {
+        batchIdx.join(kept.select("doc_id"),
+            batchIdx("doc") === kept("doc_id"), "left_semi")
+          .write.mode("append").parquet(nd.indexDir)
+      }
       kept
     }
 
-    // 5. shard append (per-batch files keep ShardSink's (rank, id)
-    //    in-file training order; resume/manifest read the union)
-    val n = survivors.count()
-    if (n > 0)
+    // 4. shard append (per-batch files keep ShardSink's (rank, id)
+    //    in-file training order; resume/manifest read the union).
+    //    The shipped-row count rides the SAME job as an observed
+    //    metric — no separate count action (r15, VERDICT item 5)
+    val obs = org.apache.spark.sql.Observation()
+    val n = timed("shard_write") {
       ShardSink.appendShards(
-        survivors.select("doc_id", "canon_url", "text"), "doc_id",
-        shardDir, numShards)
+        survivors.select("doc_id", "canon_url", "text")
+          .observe(obs, count(lit(1)).as("n")),
+        "doc_id", shardDir, numShards)
+      // a zero-row batch folds to an empty write whose plan never
+      // executes, so the metric key is simply absent — that IS n = 0
+      obs.get.get("n").fold(0L)(_.asInstanceOf[Long])
+    }
 
-    // 6. fold this batch's keys into the persisted frontier state.
+    // 5. fold this batch's keys into the persisted frontier state.
     //    URL bloom learns every canonical url SEEN (kept or dropped
     //    by quality/text-dedup — a crawled url is spent either way);
-    //    text bloom learns the hashes that actually shipped.
-    saveBloom(ss, urlBloomPath, urlFresh.select("canon_url"),
-      "canon_url", expectedItems)
-    saveBloom(ss, textBloomPath, survivors.select("text_hash"),
-      "text_hash", expectedItems)
+    //    text bloom learns the hashes that actually shipped. Each
+    //    save reports the merged filter's fill ratio (the saturation
+    //    gauge — see the object scaladoc's BLOOM CAPACITY section)
+    timed("bloom_fold") {
+      val fills = Seq(
+        "fill:url_bloom" -> saveBloom(ss, urlBloomPath, urlPrev,
+          urlFresh.select("canon_url"), "canon_url", expectedItems),
+        "fill:text_bloom" -> saveBloom(ss, textBloomPath, textPrev,
+          survivors.select("text_hash"), "text_hash", expectedItems))
+      stageLog.foreach { buf =>
+        fills.foreach { case (name, f) => f.foreach(buf += name -> _) }
+      }
+    }
 
-    // 7. drift monitor fold: count increments of what actually
+    // 6. drift monitor fold: count increments of what actually
     //    SHIPPED (per source host) into the persisted bounded store —
-    //    the t36 card stays readable at any point via [[driftCard]]
-    driftDir.foreach { dd =>
-      val src = survivors.select(hostOf(col("canon_url")).as("source"),
-        col("text"))
-      Drift.foldIntoStore(s"$dd/buckets",
-        Drift.bucketCounts(src, "source", "text"), Seq("source", "b"), "cnt")
-      Drift.foldIntoStore(s"$dd/tokens",
-        Drift.tokenCounts(src, "source", "text"), Seq("source", "w"), "c")
+    //    the t36 card stays readable at any point via [[driftCard]].
+    //    Both count tables move in ONE kind-tagged merge + write
+    timed("drift_fold") {
+      driftDir.foreach { dd =>
+        val src = survivors.select(hostOf(col("canon_url")).as("source"),
+          col("text"))
+        Drift.foldDocsIntoStore(dd, src, "source", "text")
+      }
     }
     n
   }
@@ -206,11 +278,19 @@ object CorpusIngest {
     * contract) and only then reduced to a doc set — summing bands
     * across all partners would let many sub-threshold overlaps
     * (shared boilerplate with several docs) add up to a false drop
-    * (CorpusIngestSpec pins both directions). The corpus index is
-    * distincted before the probe — the dedupIndex=true replay defense
-    * of minhashLshPairsAgainst: foreachBatch is at-least-once, and a
-    * retried batch would otherwise double every band row and halve
-    * the effective threshold for all future batches. */
+    * (CorpusIngestSpec pins both directions).
+    *
+    * The corpus side is NARROWED before anything shuffles it
+    * (VERDICT r14 item 1): a broadcast semi-join on the batch's
+    * distinct (band, bucket) keys filters the persisted index
+    * map-side — the batch key set is batch-sized (≤ |batch| × bands
+    * rows), the index is corpus-sized, and only rows in a bucket the
+    * batch actually touches can ever collide. The replay-defense
+    * distinct (foreachBatch is at-least-once; a retried batch's
+    * re-appended band rows would otherwise double-count and halve the
+    * effective threshold) then runs on the collision-sized slice, not
+    * the corpus — per-batch shuffle work no longer grows with the
+    * index; the index contributes one filtered columnar scan. */
   private[graft] def nearDupDrops(batchIdx: DataFrame,
                                   corpusIdx: DataFrame,
                                   minBands: Int): DataFrame = {
@@ -220,7 +300,10 @@ object CorpusIngest {
       .groupBy(col("a.doc").as("__a"), col("b.doc").as("doc_id"))
       .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= minBands)
       .select("doc_id")
-    val dropCross = corpusIdx.distinct().alias("c")
+    val batchKeys = batchIdx.select("band", "bucket").distinct()
+    val dropCross = corpusIdx
+      .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+      .distinct().alias("c")
       .join(batchIdx.alias("p"), col("c.band") === col("p.band") &&
         col("c.bucket") === col("p.bucket") && col("c.doc") =!= col("p.doc"))
       .groupBy(col("c.doc").as("__c"), col("p.doc").as("doc_id"))
@@ -236,22 +319,38 @@ object CorpusIngest {
     Drift.cardFromStore(spark, driftDir)
 
   /** Start the streaming form: a (url, doc_id, text) stream through
-    * [[ingestBatch]] per micro-batch. */
+    * [[ingestBatch]] per micro-batch. `compactEvery` > 0 runs
+    * [[ShardSink.compactShards]] on the shard store after every
+    * `compactEvery`-th batch (VERDICT r14 item 3 — the loop owns its
+    * own maintenance cadence; manifests/resume/pushdown invariant,
+    * CorpusIngestSpec exercises it through the loop). Default off:
+    * operators who compact off-peak pass 0 and keep the old contract. */
   def start(stream: DataFrame, urlBloomPath: String, textBloomPath: String,
             shardDir: String, numShards: Int = 8,
             expectedItems: Long = 100000L,
             qualityGate: Option[QualityGate] = None,
             driftDir: Option[String] = None,
             repairEncoding: Boolean = false,
-            nearDup: Option[NearDupGate] = None): StreamingQuery =
+            nearDup: Option[NearDupGate] = None,
+            compactEvery: Int = 0): StreamingQuery = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, urlBloomPath, textBloomPath, shardDir,
           numShards, expectedItems, qualityGate, driftDir, repairEncoding,
           nearDup)
+        if (compactEvery > 0 &&
+            batches.incrementAndGet() % compactEvery == 0) {
+          val ss = batch.sparkSession
+          val root = new org.apache.hadoop.fs.Path(shardDir)
+          val fs = root.getFileSystem(ss.sparkContext.hadoopConfiguration)
+          if (fs.exists(root)) // every batch so far may have shipped 0
+            ShardSink.compactShards(ss, shardDir, "doc_id")
+        }
         ()
       }
       .start()
+  }
 
   private def loadIndex(ss: SparkSession, path: String): DataFrame = {
     import ss.implicits._
@@ -259,25 +358,58 @@ object CorpusIngest {
     else Seq.empty[(Long, Int, Long)].toDF("doc", "band", "bucket")
   }
 
-  private def loadBloom(ss: SparkSession, path: String): DataFrame = {
-    import ss.implicits._
-    if (new File(path).exists()) ss.read.parquet(path)
-    else Seq.empty[Option[Array[Byte]]].toDF("bloom")
+  private def fsOf(ss: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(ss.sparkContext.hadoopConfiguration), p)
   }
 
-  private def saveBloom(ss: SparkSession, path: String, keys: DataFrame,
-                        keyCol: String, expectedItems: Long): Unit = {
-    import ss.implicits._
-    val prev = loadBloom(ss, path).take(1).headOption
+  /** Serialized sketch bytes of a persisted bloom artifact (None
+    * before the first fold). Runs the twin-swap recovery first, so a
+    * crash inside a previous [[saveBloom]] never loses the frontier. */
+  private def loadBloomBytes(ss: SparkSession,
+                             path: String): Option[Array[Byte]] = {
+    val (fs, target) = fsOf(ss, path)
+    graft.sources.DirSwap.recover(fs, target, "__fold")
+    if (!fs.exists(target)) None
+    else ss.read.parquet(path).take(1).headOption
       .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Sketch this batch's keys, OR-merge into `prev` (the bytes
+    * [[loadBloomBytes]] returned at batch start), and twin-swap the
+    * merged artifact over `path` — rename-only, so a crash at any
+    * point leaves a complete copy (the previous overwrite-in-place
+    * had a window where the only frontier copy was driver memory).
+    * Returns the MERGED filter's fill ratio (the saturation gauge —
+    * see the BLOOM CAPACITY scaladoc), warning past
+    * [[BloomMembership.FillWarnAt]]; None when there is no state yet
+    * (empty batch onto no store). */
+  private def saveBloom(ss: SparkSession, path: String,
+                        prev: Option[Array[Byte]], keys: DataFrame,
+                        keyCol: String, expectedItems: Long): Option[Double] = {
+    import ss.implicits._
     val inc = BloomMembership.sketch(keys, keyCol, expectedItems)
       .take(1).headOption.flatMap(r => Option(r.getAs[Array[Byte]](0)))
     val merged = (prev, inc) match {
       case (Some(a), Some(b)) => Some(BloomMembership.merge(a, b))
       case (a, b) => a.orElse(b)
     }
-    merged.foreach { m =>
-      Seq(Option(m)).toDF("bloom").write.mode("overwrite").parquet(path)
+    merged.map { m =>
+      val (fs, target) = fsOf(ss, path)
+      Seq(Option(m)).toDF("bloom")
+        .write.mode("overwrite").parquet(path + "__fold")
+      graft.sources.DirSwap.swap(fs, target,
+        new org.apache.hadoop.fs.Path(path + "__fold"))
+      val fill = BloomMembership.fillRatio(m)
+      if (fill > BloomMembership.FillWarnAt)
+        log.warn(f"bloom $path is $fill%.2f full (> " +
+          f"${BloomMembership.FillWarnAt}%.2f design capacity) — fpp is " +
+          "degrading and new docs will start dropping as false " +
+          "positives; freeze this artifact as an epoch and start a " +
+          "larger filter (see CorpusIngest's BLOOM CAPACITY scaladoc)")
+      fill
     }
   }
 }

@@ -53,6 +53,51 @@ class BloomMembershipSpec extends SparkSpec {
     assert(BloomMembership.definitelyNew(batch, bloom, "key").count() == batch.count())
   }
 
+  test("fillRatio saturation gauge: in-capacity filter sits low, an " +
+      "overfilled one trips FillWarnAt, and merging only raises it") {
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[Array[Byte]].collect().head
+    // 10k keys into a 100k-sized filter: ~7% of bits set
+    val roomy = bytesOf(BloomMembership.sketch(corpus, "key", 100000L))
+    val roomyFill = BloomMembership.fillRatio(roomy)
+    assert(roomyFill > 0.0 && roomyFill < 0.2,
+      s"in-capacity filter should sit well under warn: $roomyFill")
+    // 10k keys into a filter sized for 1k: saturated — the silent-
+    // degradation state the gauge exists to catch (VERDICT r14 item 2)
+    val overfull = bytesOf(BloomMembership.sketch(corpus, "key", 1000L))
+    val overFill = BloomMembership.fillRatio(overfull)
+    assert(overFill > BloomMembership.FillWarnAt,
+      s"saturated filter must trip the gauge: $overFill")
+    // folding more keys in can only raise the gauge (bits only OR on)
+    val half = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") < 5000), "key", 100000L))
+    val merged = BloomMembership.merge(half, roomy)
+    assert(BloomMembership.fillRatio(merged) >= roomyFill)
+  }
+
+  test("epoch re-shard path: chained per-epoch probes flag a SUBSET " +
+      "of the merged-filter probe; both keep zero false negatives") {
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[Array[Byte]].collect().head
+    val epochA = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") < 5000), "key", 10000L))
+    val epochB = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") >= 5000), "key", 10000L))
+    val merged = BloomMembership.merge(epochA, epochB)
+    val flags = BloomMembership.flagSeen(
+        BloomMembership.flagSeen(
+          BloomMembership.flagSeen(batch, Some(epochA), "key", "fa"),
+          Some(epochB), "key", "fb"),
+        Some(merged), "key", "fm")
+      .select("id", "fa", "fb", "fm")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    flags.foreach { case (id, fa, fb, fm) =>
+      if (fa || fb) assert(fm,
+        s"chained flag on $id missing from the merged probe (containment)")
+      if (id < 5000) assert(fa && fm, s"false negative on corpus key $id")
+    }
+  }
+
   test("sketch is partition-invariant and parquet round-trips") {
     val a = BloomMembership.sketch(corpus, "key", 10000).as[Array[Byte]].collect().head
     val b = BloomMembership.sketch(corpus.repartition(13), "key", 10000)

@@ -356,4 +356,83 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.driftCard(spark, dd).collect().map(_.toSeq).toSeq ==
       CorpusIngest.driftCard(spark, dd2).collect().map(_.toSeq).toSeq)
   }
+
+  test("auto-compaction: compactEvery through start folds per-batch " +
+      "files to one per shard; rows, manifests and resume invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_compact").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+
+    // 4 batches × 4 docs, ids spread over both shards
+    val batches = (0 until 4).map { b =>
+      (1 to 4).map { i =>
+        val id = b * 10L + i
+        (s"https://site.com/p$id", id, good(id))
+      }
+    }
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(
+      mem.toDF().toDF("url", "doc_id", "text"), ub, tb, shards,
+      numShards = 2, compactEvery = 2)
+    try {
+      batches.foreach { rows => mem.addData(rows: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // compaction ran after batches 2 and 4 → exactly one data file per
+    // shard dir (4 appends would have left ≥4 without it)
+    val shardDirs = new java.io.File(shards).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 2)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName} has ${files.length} files after auto-compaction")
+    }
+    // and no scratch dirs left behind by the swaps
+    assert(!new java.io.File(shards).listFiles()
+      .exists(f => f.getName.contains("__compact") || f.getName.contains("__old")))
+
+    // content invariant vs the batch twin (fresh state, no compaction)
+    val (ub2, tb2, shards2) = (s"$dir/u2", s"$dir/t2", s"$dir/s2")
+    CorpusIngest.ingestBatch(batches.flatten.toDF("url", "doc_id", "text"),
+      ub2, tb2, shards2, numShards = 2)
+    def canon3(df: org.apache.spark.sql.DataFrame) =
+      df.select("shard", "rk", "doc_id", "canon_url", "text")
+        .orderBy("shard", "rk").collect().map(_.toSeq).toSeq
+    assert(canon3(spark.read.parquet(shards)) ==
+      canon3(spark.read.parquet(shards2)))
+    assert(ShardSink.manifestsFromDisk(spark, shards, "doc_id")
+      .collect().map(_.toSeq).toSeq ==
+      ShardSink.manifestsFromDisk(spark, shards2, "doc_id")
+        .collect().map(_.toSeq).toSeq)
+    val s0 = ShardSink.resumeShard(spark, shards, 0, -1L)
+      .select("rk").as[Long].collect()
+    assert(s0.sorted.sameElements(s0) && s0.nonEmpty)
+  }
+
+  test("per-stage profile: the stage log times every driver action " +
+      "and carries both bloom fill gauges") {
+    val dir = Files.createTempDirectory("ingest_prof").toString
+    val docs = (1L to 8L)
+      .map(i => (s"https://site.com/p$i", i, good(i)))
+      .toDF("url", "doc_id", "text")
+    val buf = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val n = CorpusIngest.ingestBatch(docs, s"$dir/ub", s"$dir/tb",
+      s"$dir/shards", numShards = 2, driftDir = Some(s"$dir/drift"),
+      nearDup = Some(CorpusIngest.NearDupGate(s"$dir/idx")),
+      stageLog = Some(buf))
+    assert(n == 8L)
+    val stages = buf.map(_._1)
+    val wanted = Seq("state_load", "canon_frontier", "gates_exact_dedup",
+      "neardup_band", "neardup_gate", "neardup_append", "shard_write",
+      "bloom_fold", "drift_fold")
+    wanted.foreach(s => assert(stages.contains(s), s"stage '$s' missing"))
+    buf.filterNot(_._1.startsWith("fill:"))
+      .foreach { case (s, t) => assert(t >= 0, s"negative time for $s") }
+    // the saturation gauges: both blooms present, fractional, small
+    // for 8 keys in a 100k-sized filter
+    val fills = buf.filter(_._1.startsWith("fill:")).toMap
+    assert(fills.keySet == Set("fill:url_bloom", "fill:text_bloom"))
+    fills.values.foreach(f => assert(f > 0.0 && f < 0.01, s"fill $f"))
+  }
 }

@@ -78,6 +78,46 @@ class EncodingRepairSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  private def repair(s: String): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(TextOps.repairMojibake(col("t")).as("f")).head().getString(0)
+
+  test("repairMojibake gate: clean lead+continuation pairs survive " +
+      "(the raw rewrite's false-positive class, ADVICE r14)") {
+    // clean "Ö«" (U+00D6 U+00AB): byte-identical to a valid 2-byte
+    // sequence, so the RAW rewrite re-decodes it (→ U+05AB) — the
+    // documented non-identity. The gated form must pass it through:
+    // no high-confidence signature anywhere in the doc.
+    val cases = Seq(
+      "clean " + cp(0xD6, 0xAB) + " pair",          // Ö« → U+05AB raw
+      "angle " + cp(0xDF, 0xBB) + cp(0xDF, 0xBF),   // ß»ß¿
+      "deg " + cp(0xE9, 0xB0, 0xB1))                // é°± → U+9C31 raw
+    for (s <- cases) {
+      assert(fix(s) != s, s"expected the raw rewrite to corrupt '$s'")
+      assert(repair(s) == s, s"gated repair must not touch clean '$s'")
+    }
+    // and trivially-clean docs stay untouched too
+    for (s <- Seq("", "plain ascii", "caf" + cp(0xE9), cp(0x4F60, 0x597D)))
+      assert(repair(s) == s)
+  }
+
+  test("repairMojibake gate: signature-bearing docs repair exactly " +
+      "like the raw rewrite") {
+    val samples = Seq(
+      "th" + cp(0xC3, 0xA9) + " caf" + cp(0xC3, 0xA9),          // Ã©
+      "a" + cp(0xE2, 0x20AC, 0x201D) + "b",                     // â€� dash
+      cp(0x141) + "uk: " + cp(0xC5, 0x201A) + "san",            // Å‚
+      "emoji " + cp(0xF0, 0x178, 0x2DC, 0x20AC) + " end")       // ðŸ˜€
+    for (s <- samples) {
+      assert(repair(s) == fix(s), s"gated != raw on mojibake '$s'")
+      assert(repair(s) != s, s"signature doc must repair: '$s'")
+    }
+    // residual (documented): a doc carrying BOTH real mojibake and a
+    // clean pair re-decodes both — the gate is per doc, not per char
+    val mixed = "bad " + cp(0xC3, 0xA9) + " clean " + cp(0xD6, 0xAB)
+    assert(repair(mixed) == fix(mixed))
+  }
+
   test("corrupt-then-repair round trip across code point classes") {
     val samples = Seq(
       "caf" + cp(0xE9) + " na" + cp(0xEF) + "ve " + cp(0xFC) + "ber",

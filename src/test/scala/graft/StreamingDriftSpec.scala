@@ -55,4 +55,42 @@ class StreamingDriftSpec extends SparkSpec {
     // boundedness: the bucket store is grid-capped, not stream-sized
     assert(spark.read.parquet(bStore).count() <= 3L * 4096)
   }
+
+  test("kind-tagged store: foldDocsIntoStore == one-shot card; " +
+      "crash states (stale twin, orphaned __old) recover") {
+    val dir = Files.createTempDirectory("driftstore2").toString
+    val store = s"$dir/store"
+    val batches = Seq(
+      Seq(("web text common alpha beta", "a"), ("spamword spamword web", "c")),
+      Seq(("web text common alpha gamma", "b"), ("spamword spamword spam", "c")))
+    batches.foreach { rows =>
+      Drift.foldDocsIntoStore(store, rows.toDF("text", "source"),
+        "source", "text")
+    }
+    def card() = Drift.cardFromStore(spark, store)
+      .collect().map(_.toSeq).toSeq
+    val expect = Drift.sourceDrift(
+        batches.flatten.toDF("text", "source"), "source", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(card() == expect, "N folds must equal the one-shot card")
+
+    // crash A: a later fold died mid-twin-write — garbage twin beside
+    // an intact target must be discarded, not read
+    val twin = new java.io.File(s"${store}__fold")
+    assert(twin.mkdir())
+    java.nio.file.Files.write(twin.toPath.resolve("part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(card() == expect, "stale twin must not shadow the store")
+    assert(!twin.exists(), "recovery must clear the stale twin")
+
+    // crash B: __old left alone (outside the protocol's reachable
+    // states) — it holds the last complete store; restore it
+    assert(new java.io.File(store).renameTo(new java.io.File(s"${store}__old")))
+    assert(card() == expect, "orphaned __old must restore the store")
+    // and the next fold proceeds normally on the recovered target
+    Drift.foldDocsIntoStore(store,
+      Seq(("web text common beta", "a")).toDF("text", "source"),
+      "source", "text")
+    assert(card() != expect, "post-recovery fold must land")
+  }
 }
