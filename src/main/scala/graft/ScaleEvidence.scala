@@ -1222,7 +1222,7 @@ object ScaleEvidenceIngest {
     // batch, so FLAT neardup_gate times across batches show per-batch
     // work no longer scales with the index (the semi-join narrowing).
     val stageNames = stageRows.head._2.map(_._1)
-      .filterNot(_.startsWith("fill:"))
+      .filterNot(n => n.startsWith("fill:") || n.startsWith("epochs:"))
     println("[ingest-stages] stage          " +
       stageRows.map(r => f"b${r._1}%-7d").mkString)
     stageNames.foreach { s =>
@@ -1231,10 +1231,12 @@ object ScaleEvidenceIngest {
       }
       println(f"[ingest-stages] ${s}%-15s" + cells.mkString)
     }
-    val lastFills = stageRows.last._2.filter(_._1.startsWith("fill:"))
-    println("[ingest-bloom] final fill gauges: " + lastFills
-      .map { case (k, v) => f"$k=${v * 100}%.2f%%" }.mkString(", ") +
-      f" (warn at ${graft.operators.BloomMembership.FillWarnAt * 100}%.0f%%)")
+    val lastRows = stageRows.last._2
+    println("[ingest-bloom] final gauges: " + lastRows.collect {
+        case (k, v) if k.startsWith("fill:") => f"$k=${v * 100}%.2f%%"
+        case (k, v) if k.startsWith("epochs:") => f"$k=${v}%.0f"
+      }.mkString(", ") +
+      f" (rollover at ${graft.operators.BloomMembership.FillWarnAt * 100}%.0f%% active-epoch fill)")
 
     val preFiles = new java.io.File(shards).listFiles()
       .filter(_.getName.startsWith("shard="))

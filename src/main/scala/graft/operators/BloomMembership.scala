@@ -123,6 +123,32 @@ object BloomMembership {
     flagSeen(batch, bloom, keyCol, "__seen")
       .filter(!col("__seen")).drop("__seen")
 
+  /** [[flagSeen]] chained over PER-EPOCH sketches (the re-shard path a
+    * saturating frontier rolls onto — see CorpusIngest's BLOOM
+    * CAPACITY scaladoc): a key is seen if ANY epoch's filter contains
+    * it. The key hashes ONCE; each probe is a map-side codegen'd
+    * predicate on that hash, so k epochs cost k predicates inside the
+    * same scan — no extra pass, no shuffle. Chained probes flag a
+    * SUBSET of probing the OR-merged filter (cross-epoch bit mixes
+    * only ever add false positives — the containment case in
+    * BloomMembershipSpec) and false negatives stay impossible per
+    * epoch; overall fpp is ≤ the SUM of per-epoch fpps, linear in the
+    * epoch count — the visible, bounded trade of rolling instead of
+    * saturating. */
+  def flagSeenAny(batch: DataFrame, blooms: Seq[Array[Byte]],
+                  keyCol: String, flagCol: String): DataFrame =
+    batch.withColumn("__bm_h", xxhash64(col(keyCol)))
+      .withColumn(flagCol, blooms.foldLeft(lit(false)) { (acc, b) =>
+        acc || call_function("graft_bloom_contains", lit(b), col("__bm_h"))
+      })
+      .drop("__bm_h")
+
+  /** [[definitelyNew]] over per-epoch sketches (see [[flagSeenAny]]). */
+  def definitelyNewAny(batch: DataFrame, blooms: Seq[Array[Byte]],
+                       keyCol: String): DataFrame =
+    flagSeenAny(batch, blooms, keyCol, "__seen")
+      .filter(!col("__seen")).drop("__seen")
+
   /** Set-bit fraction of a serialized sketch — the SATURATION GAUGE
     * (VERDICT r14 item 2): a bloom sized once and merged forever
     * silently exceeds its design fpp as it fills; the actual false-

@@ -41,8 +41,9 @@ import graft.sources.ShardSink
   * asserts identical survivors and identical shard content.
   *
   * State between batches is two mergeable bloom sketches persisted as
-  * 1-row parquet artifacts (seen URLs, seen text hashes) — O(bits),
-  * not O(corpus); no batch ever rescans the corpus. The trade is the
+  * epoched 1-row-per-epoch parquet stores (seen URLs, seen text
+  * hashes) — O(bits), not O(corpus); no batch ever rescans the
+  * corpus. The trade is the
   * documented bloom one: a false positive drops a genuinely-new doc
   * at fpp (bounded, measured in the r11 frontier evidence at 45 ppm);
   * false negatives cannot happen, so no duplicate ever ships to a
@@ -50,25 +51,30 @@ import graft.sources.ShardSink
   * (combinable min-struct — deterministic under any partitioning,
   * unlike dropDuplicates).
   *
-  * BLOOM CAPACITY (VERDICT r14 item 2): the sketches are sized once
-  * (`expectedItems`) and merged forever, so a stream that outlives
-  * its sizing saturates them — fpp rises quietly and every false
-  * positive is a genuinely-new doc silently dropped. Each fold
-  * therefore measures the merged filter's set-bit fraction
-  * ([[graft.operators.BloomMembership.fillRatio]]; reported in
-  * `stageLog` as `fill:url_bloom` / `fill:text_bloom`) and logs a
-  * warning past 50% — the optimal-k design point where the filter
-  * holds exactly its design capacity. The RE-SHARD path when the
-  * gauge trips: freeze the saturated artifact as epoch state and
-  * start a NEW, larger bloom for subsequent folds; the probe is then
-  * "seen in ANY epoch" — chain [[BloomMembership.flagSeen]] once per
-  * epoch (a bloom probe is map-side, so k epochs cost k codegen'd
-  * predicates, no extra pass). When sizings match the epochs can
-  * instead OR into one filter with [[BloomMembership.merge]]; the
-  * merged probe flags a SUPERSET of the chained one (cross-epoch bit
-  * mixes add false positives, never false negatives — the containment
-  * BloomMembershipSpec pins), so chaining is the tighter form and
-  * merging the cheaper one.
+  * BLOOM CAPACITY (VERDICT r14 item 2; rollover wired r15): a sketch
+  * sized once (`expectedItems`) and merged forever saturates when the
+  * stream outlives its sizing — fpp rises quietly and every false
+  * positive is a genuinely-new doc silently dropped. The frontier
+  * store is therefore EPOCHED (`<path>/epoch=N/`, one immutable
+  * sketch per epoch dir): each fold merges the batch's keys into the
+  * ACTIVE (max) epoch, and when the merged filter's set-bit fraction
+  * ([[graft.operators.BloomMembership.fillRatio]]) would pass
+  * `rolloverAt` (default [[BloomMembership.FillWarnAt]] = 0.5, the
+  * optimal-k design point where the filter holds exactly its design
+  * capacity), the active epoch is FROZEN as-is and the increment
+  * starts epoch N+1 — no key is ever dropped and no epoch ever
+  * exceeds its design fpp. The probe is "seen in ANY epoch"
+  * ([[BloomMembership.flagSeenAny]]: the key hashes once, k epochs =
+  * k map-side codegen'd predicates in the same scan); chained probes
+  * flag a SUBSET of the OR-merged filter (containment pinned in
+  * BloomMembershipSpec) and overall fpp grows ≤ linearly in the epoch
+  * count — visible in `stageLog` as `fill:*` (active-epoch fill) and
+  * `epochs:*` (chain length). Per-fold I/O stays one epoch-dir write:
+  * frozen epochs are immutable, so rollover costs nothing extra. The
+  * only remaining silent-degradation case — ONE batch alone
+  * overfilling a fresh epoch (sizing too small for a single batch) —
+  * logs a warning; fix `expectedItems`, which bounds epoch count as
+  * totalKeys / expectedItems.
   *
   * At 100 TB: canonicalize/gate/hash are map-side codegen; the two
   * dedup aggregations shuffle once each on their key; the shard write
@@ -123,10 +129,12 @@ object CorpusIngest {
     * appended to the shard store. Pure function of (batch, persisted
     * bloom + drift state) — called by the streaming sink and the
     * batch twin alike. `expectedItems` sizes NEW bloom increments;
-    * merge requires the same sizing across a store's lifetime.
+    * merge requires the same sizing across a store's lifetime (a new
+    * epoch restarts the sizing clock — see BLOOM CAPACITY).
     * `stageLog`, when supplied, receives (stage, seconds) wall-time
-    * rows per driver-side action plus the two `fill:*_bloom` gauge
-    * readings — the per-stage profile the ingest evidence prints. */
+    * rows per driver-side action plus the `fill:*_bloom` /
+    * `epochs:*_bloom` gauge readings — the per-stage profile the
+    * ingest evidence prints. */
   def ingestBatch(batch: DataFrame, urlBloomPath: String,
                   textBloomPath: String, shardDir: String,
                   numShards: Int = 8,
@@ -135,18 +143,19 @@ object CorpusIngest {
                   driftDir: Option[String] = None,
                   repairEncoding: Boolean = false,
                   nearDup: Option[NearDupGate] = None,
-                  stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None): Long = {
+                  stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None,
+                  rolloverAt: Double = BloomMembership.FillWarnAt): Long = {
     val ss = batch.sparkSession
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val a = f
       stageLog.foreach(_ += name -> (System.nanoTime() - t0) / 1e9); a
     }
 
-    // persisted frontier state is read ONCE per batch; the bytes feed
-    // both the probes and the end-of-batch merges (r15 — previously
-    // each artifact was read twice)
+    // persisted frontier state is read ONCE per batch; the epoch
+    // bytes feed both the probes and the end-of-batch merges (r15 —
+    // previously each artifact was read twice)
     val (urlPrev, textPrev) = timed("state_load")(
-      (loadBloomBytes(ss, urlBloomPath), loadBloomBytes(ss, textBloomPath)))
+      (loadBloomEpochs(ss, urlBloomPath), loadBloomEpochs(ss, textBloomPath)))
 
     // 0. optional encoding repair (t38) — FIRST, before any gate or
     //    hash: a mojibake variant of an already-shipped page must
@@ -171,7 +180,7 @@ object CorpusIngest {
         .groupBy("canon_url")
         .agg(min(struct(col("doc_id"), col("text"))).as("__r"))
         .select(col("canon_url"), col("__r.doc_id"), col("__r.text"))
-      BloomMembership.definitelyNew(canon, urlPrev, "canon_url")
+      BloomMembership.definitelyNewAny(canon, urlPrev.map(_._2), "canon_url")
         .localCheckpoint(true)
     }
 
@@ -195,7 +204,7 @@ object CorpusIngest {
         .agg(min(struct(col("doc_id"), col("canon_url"), col("text"))).as("__r"))
         .select(col("text_hash"), col("__r.doc_id"), col("__r.canon_url"),
           col("__r.text"))
-      BloomMembership.definitelyNew(hashed, textPrev, "text_hash")
+      BloomMembership.definitelyNewAny(hashed, textPrev.map(_._2), "text_hash")
         .localCheckpoint(true) // one execution feeds sink + both blooms
     }
 
@@ -245,16 +254,24 @@ object CorpusIngest {
     //    URL bloom learns every canonical url SEEN (kept or dropped
     //    by quality/text-dedup — a crawled url is spent either way);
     //    text bloom learns the hashes that actually shipped. Each
-    //    save reports the merged filter's fill ratio (the saturation
-    //    gauge — see the object scaladoc's BLOOM CAPACITY section)
+    //    save reports the active epoch's fill ratio and the epoch
+    //    count, rolling onto a fresh epoch past `rolloverAt` (the
+    //    object scaladoc's BLOOM CAPACITY section)
     timed("bloom_fold") {
-      val fills = Seq(
-        "fill:url_bloom" -> saveBloom(ss, urlBloomPath, urlPrev,
-          urlFresh.select("canon_url"), "canon_url", expectedItems),
-        "fill:text_bloom" -> saveBloom(ss, textBloomPath, textPrev,
-          survivors.select("text_hash"), "text_hash", expectedItems))
+      val gauges = Seq(
+        "url_bloom" -> saveBloom(ss, urlBloomPath, urlPrev,
+          urlFresh.select("canon_url"), "canon_url", expectedItems,
+          rolloverAt),
+        "text_bloom" -> saveBloom(ss, textBloomPath, textPrev,
+          survivors.select("text_hash"), "text_hash", expectedItems,
+          rolloverAt))
       stageLog.foreach { buf =>
-        fills.foreach { case (name, f) => f.foreach(buf += name -> _) }
+        gauges.foreach { case (name, g) =>
+          g.foreach { case (fill, epochs) =>
+            buf += s"fill:$name" -> fill
+            buf += s"epochs:$name" -> epochs.toDouble
+          }
+        }
       }
     }
 
@@ -332,13 +349,14 @@ object CorpusIngest {
             driftDir: Option[String] = None,
             repairEncoding: Boolean = false,
             nearDup: Option[NearDupGate] = None,
-            compactEvery: Int = 0): StreamingQuery = {
+            compactEvery: Int = 0,
+            rolloverAt: Double = BloomMembership.FillWarnAt): StreamingQuery = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ingestBatch(batch, urlBloomPath, textBloomPath, shardDir,
           numShards, expectedItems, qualityGate, driftDir, repairEncoding,
-          nearDup)
+          nearDup, rolloverAt = rolloverAt)
         if (compactEvery > 0 &&
             batches.incrementAndGet() % compactEvery == 0) {
           val ss = batch.sparkSession
@@ -363,53 +381,87 @@ object CorpusIngest {
     (p.getFileSystem(ss.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Serialized sketch bytes of a persisted bloom artifact (None
-    * before the first fold). Runs the twin-swap recovery first, so a
-    * crash inside a previous [[saveBloom]] never loses the frontier. */
-  private def loadBloomBytes(ss: SparkSession,
-                             path: String): Option[Array[Byte]] = {
-    val (fs, target) = fsOf(ss, path)
-    graft.sources.DirSwap.recover(fs, target, "__fold")
-    if (!fs.exists(target)) None
-    else ss.read.parquet(path).take(1).headOption
-      .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+  /** The persisted frontier's per-epoch sketch bytes, oldest first
+    * (empty before the first fold). Store layout: `<path>/epoch=N/`,
+    * one 1-row parquet per epoch — frozen epochs are immutable, only
+    * the max epoch ever rewrites. Runs the twin-swap recovery on
+    * every epoch dir first, so a crash inside a previous [[saveBloom]]
+    * never loses the frontier. */
+  private def loadBloomEpochs(ss: SparkSession,
+                              path: String): Seq[(Int, Array[Byte])] = {
+    val (fs, root) = fsOf(ss, path)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(graft.sources.DirSwap.baseOf(_, "__fold"))
+      .distinct
+      .foreach(base => graft.sources.DirSwap.recover(
+        fs, new org.apache.hadoop.fs.Path(root, base), "__fold"))
+    val epochs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.matches("epoch=\\d+"))
+      .map(_.stripPrefix("epoch=").toInt).sorted
+    epochs.toSeq.flatMap { e =>
+      ss.read.parquet(s"$path/epoch=$e").take(1).headOption
+        .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+        .map(e -> _)
+    }
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Sketch this batch's keys, OR-merge into `prev` (the bytes
-    * [[loadBloomBytes]] returned at batch start), and twin-swap the
-    * merged artifact over `path` — rename-only, so a crash at any
-    * point leaves a complete copy (the previous overwrite-in-place
-    * had a window where the only frontier copy was driver memory).
-    * Returns the MERGED filter's fill ratio (the saturation gauge —
-    * see the BLOOM CAPACITY scaladoc), warning past
-    * [[BloomMembership.FillWarnAt]]; None when there is no state yet
-    * (empty batch onto no store). */
+  /** Fold this batch's keys into the epoched frontier store: sketch
+    * the keys, OR-merge into the ACTIVE (max) epoch — or, when the
+    * merged filter would pass `rolloverAt`, freeze the active epoch
+    * as-is and start the next epoch with the increment alone (the
+    * BLOOM CAPACITY contract: no epoch past design fpp, no key ever
+    * dropped). The touched epoch dir is written to a `__fold` twin
+    * and rename-swapped, so a crash at any point leaves a complete
+    * copy. Returns (active-epoch fill ratio, epoch count); None when
+    * there is no state yet (empty batch onto no store). */
   private def saveBloom(ss: SparkSession, path: String,
-                        prev: Option[Array[Byte]], keys: DataFrame,
-                        keyCol: String, expectedItems: Long): Option[Double] = {
+                        prevEpochs: Seq[(Int, Array[Byte])], keys: DataFrame,
+                        keyCol: String, expectedItems: Long,
+                        rolloverAt: Double): Option[(Double, Int)] = {
     import ss.implicits._
     val inc = BloomMembership.sketch(keys, keyCol, expectedItems)
       .take(1).headOption.flatMap(r => Option(r.getAs[Array[Byte]](0)))
-    val merged = (prev, inc) match {
-      case (Some(a), Some(b)) => Some(BloomMembership.merge(a, b))
-      case (a, b) => a.orElse(b)
+    val (fs, root) = fsOf(ss, path)
+    def writeEpoch(e: Int, bytes: Array[Byte]): Unit = {
+      Seq(Option(bytes)).toDF("bloom")
+        .write.mode("overwrite").parquet(s"$path/epoch=${e}__fold")
+      graft.sources.DirSwap.swap(fs,
+        new org.apache.hadoop.fs.Path(root, s"epoch=$e"),
+        new org.apache.hadoop.fs.Path(root, s"epoch=${e}__fold"))
     }
-    merged.map { m =>
-      val (fs, target) = fsOf(ss, path)
-      Seq(Option(m)).toDF("bloom")
-        .write.mode("overwrite").parquet(path + "__fold")
-      graft.sources.DirSwap.swap(fs, target,
-        new org.apache.hadoop.fs.Path(path + "__fold"))
-      val fill = BloomMembership.fillRatio(m)
-      if (fill > BloomMembership.FillWarnAt)
-        log.warn(f"bloom $path is $fill%.2f full (> " +
-          f"${BloomMembership.FillWarnAt}%.2f design capacity) — fpp is " +
-          "degrading and new docs will start dropping as false " +
-          "positives; freeze this artifact as an epoch and start a " +
-          "larger filter (see CorpusIngest's BLOOM CAPACITY scaladoc)")
+    def warnIfOverfull(fill: Double): Double = {
+      if (fill > rolloverAt)
+        log.warn(f"bloom $path: a SINGLE batch fills a fresh epoch to " +
+          f"$fill%.2f (> $rolloverAt%.2f) — expectedItems is undersized " +
+          "for the batch rate; raise it or shrink batches (BLOOM " +
+          "CAPACITY scaladoc)")
       fill
+    }
+    (prevEpochs.lastOption, inc) match {
+      case (None, None) => None
+      case (None, Some(b)) =>
+        writeEpoch(0, b)
+        Some((warnIfOverfull(BloomMembership.fillRatio(b)), 1))
+      case (Some((_, act)), None) =>
+        Some((BloomMembership.fillRatio(act), prevEpochs.size))
+      case (Some((e, act)), Some(b)) =>
+        val merged = BloomMembership.merge(act, b)
+        val mFill = BloomMembership.fillRatio(merged)
+        if (mFill > rolloverAt) {
+          writeEpoch(e + 1, b)
+          log.info(f"bloom $path: epoch $e frozen at " +
+            f"${BloomMembership.fillRatio(act)}%.2f fill (merge would hit " +
+            f"$mFill%.2f > $rolloverAt%.2f); epoch ${e + 1} started")
+          Some((warnIfOverfull(BloomMembership.fillRatio(b)),
+            prevEpochs.size + 1))
+        } else {
+          writeEpoch(e, merged)
+          Some((mFill, prevEpochs.size))
+        }
     }
   }
 }

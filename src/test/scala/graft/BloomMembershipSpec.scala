@@ -84,14 +84,18 @@ class BloomMembershipSpec extends SparkSpec {
     val epochB = bytesOf(BloomMembership.sketch(
       corpus.filter(col("id") >= 5000), "key", 10000L))
     val merged = BloomMembership.merge(epochA, epochB)
-    val flags = BloomMembership.flagSeen(
+    val flags = BloomMembership.flagSeenAny(
         BloomMembership.flagSeen(
-          BloomMembership.flagSeen(batch, Some(epochA), "key", "fa"),
-          Some(epochB), "key", "fb"),
-        Some(merged), "key", "fm")
-      .select("id", "fa", "fb", "fm")
-      .as[(Long, Boolean, Boolean, Boolean)].collect()
-    flags.foreach { case (id, fa, fb, fm) =>
+          BloomMembership.flagSeen(
+            BloomMembership.flagSeen(batch, Some(epochA), "key", "fa"),
+            Some(epochB), "key", "fb"),
+          Some(merged), "key", "fm"),
+        Seq(epochA, epochB), "key", "fany")
+      .select("id", "fa", "fb", "fm", "fany")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect()
+    flags.foreach { case (id, fa, fb, fm, fany) =>
+      assert(fany == (fa || fb),
+        s"flagSeenAny on $id must equal the manual per-epoch OR")
       if (fa || fb) assert(fm,
         s"chained flag on $id missing from the merged probe (containment)")
       if (id < 5000) assert(fa && fm, s"false negative on corpus key $id")

@@ -427,12 +427,64 @@ class CorpusIngestSpec extends SparkSpec {
       "neardup_band", "neardup_gate", "neardup_append", "shard_write",
       "bloom_fold", "drift_fold")
     wanted.foreach(s => assert(stages.contains(s), s"stage '$s' missing"))
-    buf.filterNot(_._1.startsWith("fill:"))
+    buf.filterNot(r => r._1.startsWith("fill:") || r._1.startsWith("epochs:"))
       .foreach { case (s, t) => assert(t >= 0, s"negative time for $s") }
     // the saturation gauges: both blooms present, fractional, small
-    // for 8 keys in a 100k-sized filter
-    val fills = buf.filter(_._1.startsWith("fill:")).toMap
-    assert(fills.keySet == Set("fill:url_bloom", "fill:text_bloom"))
-    fills.values.foreach(f => assert(f > 0.0 && f < 0.01, s"fill $f"))
+    // for 8 keys in a 100k-sized filter; one epoch each
+    val gauges = buf.filter(r =>
+      r._1.startsWith("fill:") || r._1.startsWith("epochs:")).toMap
+    assert(gauges.keySet == Set("fill:url_bloom", "fill:text_bloom",
+      "epochs:url_bloom", "epochs:text_bloom"))
+    Seq("fill:url_bloom", "fill:text_bloom").map(gauges)
+      .foreach(f => assert(f > 0.0 && f < 0.01, s"fill $f"))
+    Seq("epochs:url_bloom", "epochs:text_bloom").map(gauges)
+      .foreach(e => assert(e == 1.0, s"epochs $e"))
+  }
+
+  test("bloom epoch rollover: a frontier that outlives its sizing " +
+      "rolls onto fresh epochs — no false negatives across epochs, " +
+      "new docs still ship, per-fold writes touch one epoch dir") {
+    val dir = Files.createTempDirectory("ingest_epochs").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    // 600 distinct urls per batch into blooms sized for 1000: batch 1
+    // fits (fill ~0.34), batch 2's merge would pass 0.5 -> epoch 1,
+    // batch 3 -> epoch 2
+    def batchDf(b: Int) = (1 to 600)
+      .map(i => (s"https://site.com/b$b/p$i", b * 10000L + i, good(b * 10000L + i)))
+      .toDF("url", "doc_id", "text")
+    val buf = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val perBatch = (1 to 3).map { b =>
+      buf.clear()
+      CorpusIngest.ingestBatch(batchDf(b), ub, tb, shards, numShards = 2,
+        expectedItems = 1000L, stageLog = Some(buf))
+      (buf.filter(_._1 == "epochs:url_bloom").map(_._2).head,
+        buf.filter(_._1 == "fill:url_bloom").map(_._2).head)
+    }
+    val epochCounts = perBatch.map(_._1)
+    assert(epochCounts.last >= 2.0,
+      s"expected the url frontier to roll epochs, got $epochCounts")
+    assert(epochCounts == epochCounts.sorted, "epoch count must not shrink")
+    // no epoch ever past the rollover design point
+    perBatch.foreach { case (_, fill) =>
+      assert(fill <= graft.operators.BloomMembership.FillWarnAt + 1e-9,
+        s"active epoch fill $fill past rollover threshold")
+    }
+    // the store layout: one immutable dir per epoch, no scratch dirs
+    val epochDirs = new java.io.File(ub).listFiles().map(_.getName).sorted
+    assert(epochDirs.head == "epoch=0" &&
+      epochDirs.forall(_.matches("epoch=\\d+")), epochDirs.mkString(","))
+    assert(epochDirs.length == epochCounts.last.toInt)
+    // NO FALSE NEGATIVES across the chain: replaying batch 1's urls
+    // (flagged by a FROZEN epoch now) ships nothing
+    val replay = CorpusIngest.ingestBatch(batchDf(1), ub, tb, shards,
+      numShards = 2, expectedItems = 1000L)
+    assert(replay == 0L, s"replayed batch shipped $replay docs")
+    // and genuinely-new docs still ship. The documented trade: fpp ≤
+    // sum of per-epoch fpps per bloom (~3 × 0.34^5 ≈ 1.4% here), two
+    // blooms filtering independently → expect ≲3% false drops, not a
+    // silent saturation cliff
+    val n4 = CorpusIngest.ingestBatch(batchDf(9), ub, tb, shards,
+      numShards = 2, expectedItems = 1000L)
+    assert(n4 >= 560, s"fresh batch shipped only $n4 of 600")
   }
 }
