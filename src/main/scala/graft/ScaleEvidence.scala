@@ -742,7 +742,8 @@ object ScaleEvidenceHub {
       val rDf0 = spark.read.parquet("target/scale/asof_right")
         .groupBy("rk", "rt").agg(max("r_id").as("r_id"))
       // the operator's detection agg, replayed to name the branch
-      val st = lDf.select(col("k")).unionByName(rDf0.select(col("rk")))
+      val st = lDf.select(col("k"))
+        .unionByName(rDf0.select(col("rk").as("k")))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .agg(sum(col("n")), max(col("n"))).head()
       val (total, maxKey) = (st.getLong(0), st.getLong(1))

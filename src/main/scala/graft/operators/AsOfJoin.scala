@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** As-of (backward) join: for each left row, attach the most recent
   * right row with `right.time <= left.time` for the same key.
   *
-  * ADAPTIVE plan shape (r14): one cheap detection aggregation over
-  * the tagged union — `groupBy(key).count` reduced to (total, max) —
-  * decides between two differentially-equivalent physical forms:
+  * ADAPTIVE plan shape (r14; detection column-pruned r15): one cheap
+  * detection aggregation over the two KEY columns alone —
+  * `groupBy(key).count` reduced to (total, max) — decides between two
+  * differentially-equivalent physical forms:
   *
   *   - NO hub (largest key ≤ `hubFactor` × rows/partition): a single
   *     per-key running-`last` window. One shuffle, no sampling pass —
@@ -64,6 +65,21 @@ object AsOfJoin {
     val spark = left.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    // hub detection (SkewJoin's count-threshold convention, reduced
+    // to two scalars): total rows + largest key's rows in ONE
+    // map-side-combinable pass over the KEY COLUMNS ALONE (r15) — the
+    // stats need nothing else, so the pass rides a column-pruned scan
+    // of both sides instead of forcing the full tagged union to
+    // materialize first (the r14 form checkpointed the whole union
+    // before detecting; at 8M balanced rows that materialization was
+    // most of the operator's 2.4x overhead vs a bare keyed window).
+    val statsRow = left.select(left(leftKey).as("__k"))
+      .unionByName(right.select(right(rightKey).as("__k")))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")), max(col("__n"))).head()
+    val n = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val maxKeyRows = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+
     val lStruct = struct(left.columns.map(left(_)).toIndexedSeq: _*)
     val rStruct = struct(right.columns.map(right(_)).toIndexedSeq: _*)
     val lType = left.select(lStruct.as("s")).schema.head.dataType
@@ -77,35 +93,30 @@ object AsOfJoin {
       right(rightTime).as("__t"), lit(0).as("__src"),
       lit(null).cast(lType).as("__l"), rStruct.as("__r"))
     // __h: deterministic per-row tiebreak so equal-(k, t, src) runs —
-    // the hub-key hot spot — can be SPLIT across buckets. ONE upstream
-    // execution: the boundary sample and the main pass both read the
-    // checkpointed blocks.
+    // the hub-key hot spot — can be SPLIT across buckets
     val u0 = lT.unionByName(rT)
-    val u = u0.withColumn("__h",
-        xxhash64(struct(u0.columns.map(col).toIndexedSeq: _*)))
-      .localCheckpoint(true)
-
-    // hub detection (SkewJoin's count-threshold convention, reduced
-    // to two scalars): total rows + largest key's rows in ONE
-    // map-side-combinable pass — replaces the count() the bucketed
-    // path needed anyway, so the fast path costs nothing extra.
-    val statsRow = u.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
-      .agg(sum(col("__n")), max(col("__n"))).head()
-    val n = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
-    val maxKeyRows = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val uLazy = u0.withColumn("__h",
+      xxhash64(struct(u0.columns.map(col).toIndexedSeq: _*)))
 
     if (n == 0 || maxKeyRows.toDouble <= hubFactor * n.toDouble / nPart) {
       // fast path: balanced keys — one per-key running-last window,
-      // largest task bounded by maxKeyRows ≤ hubFactor × fair share
+      // largest task bounded by maxKeyRows ≤ hubFactor × fair share.
+      // The union stays LAZY: this branch consumes it exactly once,
+      // so there is nothing to share and nothing to materialize
       val w = Window.partitionBy(col("__k"))
         .orderBy(col("__t"), col("__src"), col("__h"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val joined = u
+      val joined = uLazy
         .withColumn("__rlast", last(col("__r"), ignoreNulls = true).over(w))
         .filter(col("__src") === 1)
       val kept = if (inner) joined.filter(col("__rlast").isNotNull) else joined
       return kept.select(col("__l.*"), col("__rlast.*"))
     }
+
+    // bucketed path: the boundary SAMPLE and the main pass must read
+    // identical rows, so here the union IS checkpointed — one upstream
+    // execution shared by both consumers
+    val u = uLazy.localCheckpoint(true)
 
     // sampled literal range boundaries over (key, time, src, hash) —
     // the PrefixSum discipline: deterministic hash-thinned sample,

@@ -96,16 +96,20 @@ class PlanShapeSpec extends SparkSpec {
     // ---- r12: the last two hub-keyed windows, converted. q_cdc:
     // latest-wins is a combinable max-struct agg — 0 windows (3
     // shuffles = latest agg + anti-join side + output sort; the
-    // reduced changelog broadcasts). q_asof (r14, adaptive): the
-    // catalog's balanced keys take the FAST path — detection agg saw
-    // no hub, so the plan is the single per-key running-last window +
-    // output sort (2 shuffles, 1 BOUNDED window: largest key ≤
+    // reduced changelog broadcasts). q_asof (r14, adaptive; r15
+    // detection column-pruned): the catalog's balanced keys take the
+    // FAST path — the key-only detection agg saw no hub, so the plan
+    // is the single per-key running-last window + an extra repartition
+    // + output sort (3 shuffles, 1 BOUNDED window: largest key ≤
     // 2× fair share by the switch rule); the bucketed two-window
     // carry engages only on detected hubs (AsOfJoinPropSpec pins
-    // both branches and the switch itself); 0 scans because the
-    // tagged union reads localCheckpointed blocks.
+    // both branches and the switch itself); 2 scans because the fast
+    // path consumes the tagged union LAZILY straight off the parquet
+    // reads — r14's 0-scan shape was the full union materialized into
+    // checkpoint blocks before the window, a write+read of every
+    // payload byte the r15 shape no longer pays.
     "q_cdc_upsert" -> (3, 1, 0, 3),
-    "q_asof_join" -> (2, 0, 1, 0),
+    "q_asof_join" -> (3, 0, 1, 2),
     // ---- r13 additions. t33: one map-side pass + the output sort —
     // a second shuffle/scan would mean the struct got recomputed per
     // field. t34: bucket-count agg + lang re-partition + pick agg +
