@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.io.File
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -90,10 +88,12 @@ import graft.sources.ShardSink
   * with the corpus.
   *
   * MAINTENANCE: appendShards leaves one file per touched shard per
-  * micro-batch; [[start]] runs
-  * [[graft.sources.ShardSink.compactShards]] automatically every
-  * `compactEvery` batches when set (VERDICT r14 item 3) — manifests,
-  * resume order, and rank pushdown are invariant (ShardSinkSpec,
+  * micro-batch, and the near-dup gate appends one band-row file per
+  * batch; [[start]] runs
+  * [[graft.sources.ShardSink.compactShards]] and
+  * [[compactNearDupIndex]] automatically every `compactEvery` batches
+  * when set (VERDICT r14 item 3) — manifests, resume order, rank
+  * pushdown, and gate semantics are invariant (ShardSinkSpec,
   * CorpusIngestSpec). Batch callers compact on their own cadence.
   */
 object CorpusIngest {
@@ -364,6 +364,7 @@ object CorpusIngest {
           val fs = root.getFileSystem(ss.sparkContext.hadoopConfiguration)
           if (fs.exists(root)) // every batch so far may have shipped 0
             ShardSink.compactShards(ss, shardDir, "doc_id")
+          nearDup.foreach(nd => compactNearDupIndex(ss, nd.indexDir))
         }
         ()
       }
@@ -372,8 +373,33 @@ object CorpusIngest {
 
   private def loadIndex(ss: SparkSession, path: String): DataFrame = {
     import ss.implicits._
-    if (new File(path).exists()) ss.read.parquet(path)
+    val (fs, target) = fsOf(ss, path)
+    graft.sources.DirSwap.recover(fs, target, "__compact")
+    if (fs.exists(target)) ss.read.parquet(path)
     else Seq.empty[(Long, Int, Long)].toDF("doc", "band", "bucket")
+  }
+
+  /** Maintenance for the near-dup band index: the ingest loop APPENDS
+    * survivors' band rows every micro-batch (one file per batch), so
+    * a long-running stream accumulates small files and the per-batch
+    * probe scan pays file-open/footer cost per file. Rewrites the
+    * index (band, bucket)-clustered — one probe-ordered file per
+    * ~`targetFileBytes` — behind [[graft.sources.DirSwap]]'s
+    * rename-only twin swap (crash at any point leaves a complete
+    * copy; [[loadIndex]] recovers before every read). Content is
+    * row-identical, so the gate's semantics are untouched — the probe
+    * just reads a compact, clustered store. [[start]] runs this with
+    * the `compactEvery` cadence when the near-dup gate is on; batch
+    * callers compact on their own schedule. */
+  def compactNearDupIndex(ss: SparkSession, indexDir: String,
+                          targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val (fs, target) = fsOf(ss, indexDir)
+    graft.sources.DirSwap.recover(fs, target, "__compact")
+    if (!fs.exists(target)) return
+    graft.sources.Layout.compact(ss, indexDir, indexDir + "__compact",
+      targetFileBytes, clusterCols = Seq("band", "bucket"))
+    graft.sources.DirSwap.swap(fs, target,
+      new org.apache.hadoop.fs.Path(indexDir + "__compact"))
   }
 
   private def fsOf(ss: SparkSession, path: String) = {

@@ -410,6 +410,46 @@ class CorpusIngestSpec extends SparkSpec {
     assert(s0.sorted.sameElements(s0) && s0.nonEmpty)
   }
 
+  test("near-dup index auto-compaction: compactEvery folds the " +
+      "per-batch band-row files to one clustered file; the compacted " +
+      "index still gates cross-batch near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_idxc").toString
+    val (ub, tb, shards, idx) =
+      (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/ndidx")
+    def variant(i: Long) = good(1) + s" tail$i"
+    // 4 single-doc batches, all distinct -> 4 index appends; the
+    // cadence compacts after batches 2 and 4
+    val batches = (0 until 4).map { b =>
+      Seq((s"https://site.com/g$b", 10L * b + 1, good(100L + b)))
+    }
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(mem.toDF().toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2,
+      nearDup = Some(CorpusIngest.NearDupGate(idx)), compactEvery = 2)
+    try {
+      batches.foreach { rows => mem.addData(rows: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val files = new java.io.File(idx).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 1, s"index has ${files.length} files")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.getName.contains("__compact") || f.getName.contains("__old")))
+    // content invariant: exactly the shipped docs' band rows
+    assert(spark.read.parquet(idx).select("doc").as[Long].collect().toSet ==
+      Set(1L, 11L, 21L, 31L))
+
+    // the compacted index still gates: a near-variant of batch 0's
+    // good(100) doc (shipped as doc 1) must drop cross-batch
+    val n = CorpusIngest.ingestBatch(
+      Seq(("https://site.com/x", 999L, good(100L) + " tail9"))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2,
+      nearDup = Some(CorpusIngest.NearDupGate(idx)))
+    assert(n == 0L, s"near-dup shipped $n docs against the compacted index")
+  }
+
   test("per-stage profile: the stage log times every driver action " +
       "and carries both bloom fill gauges") {
     val dir = Files.createTempDirectory("ingest_prof").toString
