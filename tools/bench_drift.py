@@ -9,11 +9,18 @@ new median lies OUTSIDE the old artifact's [min, max] spread band
 other round's observed band are ambient noise by the artifact's own
 evidence and must not drive plan work.
 
-Usage:  python3 tools/bench_drift.py OLD.json NEW.json [--thresh 1.15]
+Usage:  python3 tools/bench_drift.py OLD.json NEW.json
+            [--thresh 1.15] [--min-delta 0.15]
 Exits 0 always (report tool, not a gate); prints one line per query
 classified REGRESSION / IMPROVEMENT, and a summary. --thresh adds a
 minimum ratio on top of the band test so sub-noise-floor wiggles on
-10 ms queries don't print.
+10 ms queries don't print; --min-delta additionally requires the
+median move to exceed an ABSOLUTE number of seconds (r15 tuning: the
+first real spread-vs-spread run, r14-vs-r15, band-separated 16
+untouched sub-second plans at 1.2-1.4x in BOTH directions — 3-run
+bands are just too tight to absorb an ambient shift on fast queries;
+the 0.15 s floor cut those 16 false flags to 5 while a t15-style
+2.7x phantom, 1.1 s of movement, would still print).
 """
 import json, sys
 
@@ -23,7 +30,7 @@ def load(p):
 
 def main():
     raw = sys.argv[1:]
-    args, thresh, skip = [], 1.15, False
+    args, thresh, min_delta, skip = [], 1.15, 0.15, False
     for i, a in enumerate(raw):
         if skip:
             skip = False
@@ -33,6 +40,12 @@ def main():
                 thresh = float(a.split("=", 1)[1])
             else:
                 thresh = float(raw[i + 1])
+                skip = True
+        elif a.startswith("--min-delta"):
+            if "=" in a:
+                min_delta = float(a.split("=", 1)[1])
+            else:
+                min_delta = float(raw[i + 1])
                 skip = True
         else:
             args.append(a)
@@ -52,6 +65,8 @@ def main():
             continue
         oband = (os.get(q, {}).get("min", om), os.get(q, {}).get("max", om))
         nband = (ns.get(q, {}).get("min", nm), ns.get(q, {}).get("max", nm))
+        if abs(nm - om) < min_delta:
+            continue
         if nm > oband[1] and om < nband[0] and nm / om >= thresh:
             print(f"REGRESSION  {q}: {om:.3f}s [{oband[0]:.3f},{oband[1]:.3f}] "
                   f"-> {nm:.3f}s [{nband[0]:.3f},{nband[1]:.3f}]  ({nm/om:.2f}x)")
@@ -60,8 +75,8 @@ def main():
             print(f"IMPROVEMENT {q}: {om:.3f}s -> {nm:.3f}s  ({om/nm:.2f}x)")
             n_imp += 1
     print(f"bench_drift: {n_reg} regressions, {n_imp} improvements "
-          f"(band-separated, ratio >= {thresh}); everything else is "
-          f"inside the other round's spread = noise")
+          f"(band-separated, ratio >= {thresh}, |delta| >= {min_delta}s); "
+          f"everything else is inside the other round's spread = noise")
 
 if __name__ == "__main__":
     main()
