@@ -71,10 +71,28 @@ object Drift {
     a.unionByName(b).groupBy(keys.map(col): _*)
       .agg(sum(col(cntCol)).cast("long").as(cntCol))
 
-  private def fsOf(spark: org.apache.spark.sql.SparkSession,
-                   path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  /** Pre-r15 [[foldDocsIntoStore]] stores were TWO subdirectories
+    * (`<dir>/buckets`, `<dir>/tokens`); the kind-tagged layout is one
+    * table at `<dir>`. A legacy store is detected by its `buckets`
+    * child and rewritten in place (tag + union, then DirSwap's
+    * rename-only swap — a crash at any point leaves either the old
+    * subdir layout or the complete tagged table, and this runs again)
+    * so existing monitors upgrade instead of silently failing the
+    * first post-upgrade fold (r15 review finding). */
+  private def migrateLegacyStore(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Unit = {
+    val (fs, target) = graft.sources.DirSwap.fsOf(spark, dir)
+    graft.sources.DirSwap.recover(fs, target, "__fold")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(target, "buckets"))) return
+    val tagged = spark.read.parquet(s"$dir/buckets")
+      .select(lit("b").as("kind"), col("source"),
+        col("b").cast("string").as("k"), col("cnt"))
+      .unionByName(spark.read.parquet(s"$dir/tokens")
+        .select(lit("t").as("kind"), col("source"),
+          col("w").as("k"), col("c").as("cnt")))
+    tagged.write.mode("overwrite").parquet(dir + "__fold")
+    graft.sources.DirSwap.swap(fs, target,
+      new org.apache.hadoop.fs.Path(dir + "__fold"))
   }
 
   /** Fold a per-batch count increment into a persisted parquet store
@@ -96,7 +114,7 @@ object Drift {
   def foldIntoStore(store: String, inc: DataFrame, keys: Seq[String],
                     cntCol: String): Unit = {
     val ss = inc.sparkSession
-    val (fs, target) = fsOf(ss, store)
+    val (fs, target) = graft.sources.DirSwap.fsOf(ss, store)
     graft.sources.DirSwap.recover(fs, target, "__fold")
     val merged =
       if (fs.exists(target))
@@ -118,6 +136,7 @@ object Drift {
     * crash safety as [[foldIntoStore]]. */
   def foldDocsIntoStore(store: String, docs: DataFrame, srcCol: String,
                         textCol: String, nBuckets: Int = 4096): Unit = {
+    migrateLegacyStore(docs.sparkSession, store)
     val inc = bucketCounts(docs, srcCol, textCol, nBuckets)
       .select(lit("b").as("kind"), col("source"),
         col("b").cast("string").as("k"), col("cnt"))
@@ -131,8 +150,9 @@ object Drift {
     * [[foldDocsIntoStore]] (one kind-tagged count table). */
   def cardFromStore(spark: org.apache.spark.sql.SparkSession,
                     dir: String, smoothing: Int = 4096): DataFrame = {
-    val (fs, target) = fsOf(spark, dir)
+    val (fs, target) = graft.sources.DirSwap.fsOf(spark, dir)
     graft.sources.DirSwap.recover(fs, target, "__fold")
+    migrateLegacyStore(spark, dir)
     val all = spark.read.parquet(dir)
     cardFromCounts(
       all.filter(col("kind") === "b")

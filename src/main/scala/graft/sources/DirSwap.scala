@@ -41,6 +41,14 @@ private[graft] object DirSwap {
 
   private val OldSuffix = "__old"
 
+  /** (FileSystem, Path) of a store path — the pair every caller of
+    * this protocol needs (was duplicated per call site). */
+  def fsOf(spark: org.apache.spark.sql.SparkSession,
+           path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
   def oldPath(target: Path): Path =
     new Path(target.getParent, target.getName + OldSuffix)
 

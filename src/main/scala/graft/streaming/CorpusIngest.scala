@@ -308,18 +308,34 @@ object CorpusIngest {
     * effective threshold) then runs on the collision-sized slice, not
     * the corpus — per-batch shuffle work no longer grows with the
     * index; the index contributes one filtered columnar scan. */
+  /** Broadcast cap for the near-dup narrowing keys: ~2M (band,
+    * bucket) rows ≈ 40 MB serialized — comfortably under Spark's
+    * broadcast limits; larger batches fall back to a shuffled
+    * semi-join (see the guard in [[nearDupDrops]]). */
+  private[graft] val MaxBroadcastKeyRows = 2000000L
+
   private[graft] def nearDupDrops(batchIdx: DataFrame,
                                   corpusIdx: DataFrame,
-                                  minBands: Int): DataFrame = {
+                                  minBands: Int,
+                                  maxBroadcastKeys: Long = MaxBroadcastKeyRows): DataFrame = {
     val a = batchIdx.alias("a"); val b = batchIdx.alias("b")
     val dropIn = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("__a"), col("b.doc").as("doc_id"))
       .agg(count(lit(1)).as("__nb")).filter(col("__nb") >= minBands)
       .select("doc_id")
+    // The broadcast is size-guarded (r15 review finding): a backfill
+    // batch of 10M docs × 16 bands is a multi-GB key set no driver
+    // should collect. batchIdx is localCheckpointed, so the count is
+    // a cheap cached-block pass; past the cap the semi-join runs as a
+    // plain shuffle — the narrowing survives, only its physical form
+    // changes (and a batch that big is corpus-scale anyway).
     val batchKeys = batchIdx.select("band", "bucket").distinct()
+    val narrowKeys =
+      if (batchIdx.count() <= maxBroadcastKeys) broadcast(batchKeys)
+      else batchKeys
     val dropCross = corpusIdx
-      .join(broadcast(batchKeys), Seq("band", "bucket"), "left_semi")
+      .join(narrowKeys, Seq("band", "bucket"), "left_semi")
       .distinct().alias("c")
       .join(batchIdx.alias("p"), col("c.band") === col("p.band") &&
         col("c.bucket") === col("p.bucket") && col("c.doc") =!= col("p.doc"))
@@ -351,14 +367,16 @@ object CorpusIngest {
             nearDup: Option[NearDupGate] = None,
             compactEvery: Int = 0,
             rolloverAt: Double = BloomMembership.FillWarnAt): StreamingQuery = {
-    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, urlBloomPath, textBloomPath, shardDir,
           numShards, expectedItems, qualityGate, driftDir, repairEncoding,
           nearDup, rolloverAt = rolloverAt)
-        if (compactEvery > 0 &&
-            batches.incrementAndGet() % compactEvery == 0) {
+        // cadence keys off the STREAMING batchId, not a process-local
+        // counter (r15 review finding): with a checkpointed stream the
+        // id is monotonic across restarts, so a loop that restarts
+        // every few hundred batches still compacts on schedule
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           val ss = batch.sparkSession
           val root = new org.apache.hadoop.fs.Path(shardDir)
           val fs = root.getFileSystem(ss.sparkContext.hadoopConfiguration)
@@ -402,20 +420,25 @@ object CorpusIngest {
       new org.apache.hadoop.fs.Path(indexDir + "__compact"))
   }
 
-  private def fsOf(ss: SparkSession, path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    (p.getFileSystem(ss.sparkContext.hadoopConfiguration), p)
-  }
-
   /** The persisted frontier's per-epoch sketch bytes, oldest first
     * (empty before the first fold). Store layout: `<path>/epoch=N/`,
     * one 1-row parquet per epoch — frozen epochs are immutable, only
     * the max epoch ever rewrites. Runs the twin-swap recovery on
     * every epoch dir first, so a crash inside a previous [[saveBloom]]
-    * never loses the frontier. */
+    * never loses the frontier.
+    *
+    * A PRE-EPOCH store (the single 1-row parquet the previous layout
+    * wrote directly at `path`) is read as epoch 0 — silently ignoring
+    * it would discard the whole seen-URL / seen-text frontier and
+    * re-ship every already-crawled doc as a duplicate (r15 review
+    * finding). The first [[saveBloom]] merges it into the real
+    * `epoch=0` dir and deletes the legacy files; until then epoch
+    * dirs, when present, take precedence (legacy files left by a
+    * crash mid-migration are already-merged garbage). */
   private def loadBloomEpochs(ss: SparkSession,
                               path: String): Seq[(Int, Array[Byte])] = {
     val (fs, root) = fsOf(ss, path)
+    graft.sources.DirSwap.recover(fs, root, "__fold") // pre-epoch swaps
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("epoch="))
@@ -426,12 +449,26 @@ object CorpusIngest {
     val epochs = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("epoch=\\d+"))
       .map(_.stripPrefix("epoch=").toInt).sorted
+    if (epochs.isEmpty && legacyFiles(fs, root).nonEmpty)
+      return ss.read.parquet(path).take(1).headOption
+        .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+        .map(0 -> _).toSeq
     epochs.toSeq.flatMap { e =>
       ss.read.parquet(s"$path/epoch=$e").take(1).headOption
         .flatMap(r => Option(r.getAs[Array[Byte]](0)))
         .map(e -> _)
     }
   }
+
+  private def fsOf(ss: SparkSession, path: String) =
+    graft.sources.DirSwap.fsOf(ss, path)
+
+  /** Data files of a pre-epoch bloom artifact sitting directly under
+    * the store root. */
+  private def legacyFiles(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path) =
+    fs.listStatus(root).filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -458,6 +495,10 @@ object CorpusIngest {
       graft.sources.DirSwap.swap(fs,
         new org.apache.hadoop.fs.Path(root, s"epoch=$e"),
         new org.apache.hadoop.fs.Path(root, s"epoch=${e}__fold"))
+      // a pre-epoch artifact read as epoch 0 is now merged into a real
+      // epoch dir — its root files are garbage (and are ignored by the
+      // reader once epoch dirs exist, so a crash right here is safe)
+      legacyFiles(fs, root).foreach(s => fs.delete(s.getPath, false))
     }
     def warnIfOverfull(fill: Double): Double = {
       if (fill > rolloverAt)
@@ -478,6 +519,11 @@ object CorpusIngest {
         val merged = BloomMembership.merge(act, b)
         val mFill = BloomMembership.fillRatio(merged)
         if (mFill > rolloverAt) {
+          // freezing assumes epoch e is a dir on disk — a legacy
+          // pre-epoch artifact read as epoch 0 isn't yet; persist it
+          // first or its bytes would vanish with the legacy files
+          if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"epoch=$e")))
+            writeEpoch(e, act)
           writeEpoch(e + 1, b)
           log.info(f"bloom $path: epoch $e frozen at " +
             f"${BloomMembership.fillRatio(act)}%.2f fill (merge would hit " +

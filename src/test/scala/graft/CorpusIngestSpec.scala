@@ -287,6 +287,58 @@ class CorpusIngestSpec extends SparkSpec {
     val drops = CorpusIngest.nearDupDrops(batch, corpus, minBands = 8)
       .as[Long].collect().toSet
     assert(drops == Set(20L, 30L))
+    // over the broadcast cap the narrowing falls back to a shuffled
+    // semi-join — same drop set, only the physical form changes
+    val dropsShuffled = CorpusIngest.nearDupDrops(batch, corpus,
+        minBands = 8, maxBroadcastKeys = 0L)
+      .as[Long].collect().toSet
+    assert(dropsShuffled == drops)
+  }
+
+  test("pre-epoch bloom store migrates: legacy 1-row artifact is read " +
+      "as epoch 0 (no frontier loss), then folded into the epoch layout") {
+    val dir = Files.createTempDirectory("ingest_legacy").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    val b1 = (1 to 5).map(i => (s"https://site.com/p$i", i.toLong, good(i.toLong)))
+      .toDF("url", "doc_id", "text")
+    assert(CorpusIngest.ingestBatch(b1, ub, tb, shards, numShards = 2) == 5L)
+
+    // rewrite BOTH stores into the pre-r15 layout: the epoch-0 bytes
+    // as a 1-row parquet directly at the store root (the old writer's
+    // exact form)
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    for (p <- Seq(ub, tb)) {
+      val bytes = spark.read.parquet(s"$p/epoch=0")
+        .as[Array[Byte]].collect().head
+      rmRf(new java.io.File(p))
+      Seq(Option(bytes)).toDF("bloom").write.parquet(p)
+      assert(new java.io.File(p).listFiles()
+        .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+      assert(!new java.io.File(p, "epoch=0").exists())
+    }
+
+    // replaying batch 1 against the LEGACY stores must still ship 0
+    // (the frontier survives the layout change); an all-dropped batch
+    // folds nothing, so the legacy artifact rightly stays put
+    assert(CorpusIngest.ingestBatch(b1, ub, tb, shards, numShards = 2) == 0L)
+    assert(new java.io.File(ub).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+
+    // a genuinely new batch ships AND its fold migrates the store to
+    // the epoch layout (legacy bytes merged into epoch=0, files gone)
+    val b2 = (11 to 15).map(i => (s"https://site.com/p$i", i.toLong, good(i.toLong)))
+      .toDF("url", "doc_id", "text")
+    assert(CorpusIngest.ingestBatch(b2, ub, tb, shards, numShards = 2) == 5L)
+    for (p <- Seq(ub, tb)) {
+      val names = new java.io.File(p).listFiles().map(_.getName)
+      assert(names.contains("epoch=0"), names.mkString(","))
+      assert(!names.exists(_.endsWith(".parquet")), names.mkString(","))
+    }
+    // the merged epoch remembers BOTH eras: replaying b1 ∪ b2 ships 0
+    assert(CorpusIngest.ingestBatch(b1.unionByName(b2), ub, tb, shards,
+      numShards = 2) == 0L)
   }
 
   test("ALL optional stages on at once: one planted drop per stage, " +
@@ -417,7 +469,6 @@ class CorpusIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ingest_idxc").toString
     val (ub, tb, shards, idx) =
       (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/ndidx")
-    def variant(i: Long) = good(1) + s" tail$i"
     // 4 single-doc batches, all distinct -> 4 index appends; the
     // cadence compacts after batches 2 and 4
     val batches = (0 until 4).map { b =>
