@@ -125,35 +125,69 @@ object Drift {
       new org.apache.hadoop.fs.Path(store + "__fold"))
   }
 
-  /** CorpusIngest's per-batch drift transition: BOTH count tables —
-    * (source, bucket) and (source, token) — folded into ONE
-    * kind-tagged store in a single Spark job (VERDICT r14 item 5: the
-    * two separate folds cost two read-merge-write cycles per
-    * micro-batch; tagging the union `kind='b'|'t'` with the key
-    * stringified makes the pair one keyed count table, so one merge +
-    * one write moves the whole drift state). Bucket ids survive the
-    * string round trip exactly (non-negative longs). Same twin-swap
-    * crash safety as [[foldIntoStore]]. */
+  /** CorpusIngest's per-batch drift transition — APPEND-ONLY (r15b):
+    * both count tables — (source, bucket) and (source, token) — move
+    * as ONE kind-tagged, batch-bounded increment (`kind='b'|'t'`, key
+    * stringified; bucket ids survive the round trip exactly —
+    * non-negative longs) APPENDED to the store. Nothing reads or
+    * rewrites the accumulated state inside the hot loop, so per-batch
+    * drift work is O(batch), not O(store) — the previous
+    * read-merge-rewrite of the whole bounded store was the ingest
+    * profile's most expensive fixed stage (~4 s/batch at 40k-doc
+    * batches, tools/scale_evidence_ingest_r15.log). Counts are a
+    * commutative monoid, so [[cardFromStore]] summing the increments
+    * on read equals the one-shot card exactly; [[compactStore]] folds
+    * the accumulated files back to one row per key on the maintenance
+    * cadence (CorpusIngest.start's compactEvery — without it the
+    * store grows one small file set per batch, though never beyond
+    * O(batches × grid+vocab) rows).
+    *
+    * Crash safety needs no twin here: parquet's commit protocol keeps
+    * a half-written append invisible (`_temporary` is skipped by
+    * readers), so a crashed fold simply re-runs. foreachBatch replay
+    * double-appends an increment — the same bounded overcount the
+    * previous merge form had, documented monitor semantics. */
   def foldDocsIntoStore(store: String, docs: DataFrame, srcCol: String,
                         textCol: String, nBuckets: Int = 4096): Unit = {
-    migrateLegacyStore(docs.sparkSession, store)
-    val inc = bucketCounts(docs, srcCol, textCol, nBuckets)
+    migrateLegacyStore(docs.sparkSession, store) // also runs recovery
+    bucketCounts(docs, srcCol, textCol, nBuckets)
       .select(lit("b").as("kind"), col("source"),
         col("b").cast("string").as("k"), col("cnt"))
       .unionByName(tokenCounts(docs, srcCol, textCol)
         .select(lit("t").as("kind"), col("source"),
           col("w").as("k"), col("c").as("cnt")))
-    foldIntoStore(store, inc, Seq("kind", "source", "k"), "cnt")
+      .write.mode("append").parquet(store)
+  }
+
+  /** Maintenance for the append-only drift store: fold the
+    * accumulated increments back to one row per (kind, source, key) —
+    * card-invariant by the counts monoid — behind the same rename-only
+    * twin swap the shard and index compactors use. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    val (fs, target) = graft.sources.DirSwap.fsOf(spark, dir)
+    graft.sources.DirSwap.recover(fs, target, "__fold")
+    if (!fs.exists(target)) return
+    spark.read.parquet(dir)
+      .groupBy("kind", "source", "k")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .write.mode("overwrite").parquet(dir + "__fold")
+    graft.sources.DirSwap.swap(fs, target,
+      new org.apache.hadoop.fs.Path(dir + "__fold"))
   }
 
   /** Read a drift card off a store directory written by
-    * [[foldDocsIntoStore]] (one kind-tagged count table). */
+    * [[foldDocsIntoStore]]: recover any interrupted swap, migrate a
+    * legacy layout, sum the appended increments per key (a no-op on a
+    * freshly compacted store), split by kind. */
   def cardFromStore(spark: org.apache.spark.sql.SparkSession,
                     dir: String, smoothing: Int = 4096): DataFrame = {
     val (fs, target) = graft.sources.DirSwap.fsOf(spark, dir)
     graft.sources.DirSwap.recover(fs, target, "__fold")
     migrateLegacyStore(spark, dir)
     val all = spark.read.parquet(dir)
+      .groupBy("kind", "source", "k")
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
     cardFromCounts(
       all.filter(col("kind") === "b")
         .select(col("source"), col("k").cast("long").as("b"), col("cnt")),

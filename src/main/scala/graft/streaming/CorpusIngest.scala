@@ -88,13 +88,14 @@ import graft.sources.ShardSink
   * with the corpus.
   *
   * MAINTENANCE: appendShards leaves one file per touched shard per
-  * micro-batch, and the near-dup gate appends one band-row file per
-  * batch; [[start]] runs
-  * [[graft.sources.ShardSink.compactShards]] and
-  * [[compactNearDupIndex]] automatically every `compactEvery` batches
-  * when set (VERDICT r14 item 3) — manifests, resume order, rank
-  * pushdown, and gate semantics are invariant (ShardSinkSpec,
-  * CorpusIngestSpec). Batch callers compact on their own cadence.
+  * micro-batch, and the near-dup gate and drift monitor each append
+  * one increment file set per batch; [[start]] runs
+  * [[graft.sources.ShardSink.compactShards]], [[compactNearDupIndex]]
+  * and [[Drift.compactStore]] automatically every `compactEvery`
+  * batches when set (VERDICT r14 item 3) — manifests, resume order,
+  * rank pushdown, gate semantics, and the drift card are invariant
+  * (ShardSinkSpec, CorpusIngestSpec, StreamingDriftSpec). Batch
+  * callers compact on their own cadence.
   */
 object CorpusIngest {
 
@@ -276,9 +277,10 @@ object CorpusIngest {
     }
 
     // 6. drift monitor fold: count increments of what actually
-    //    SHIPPED (per source host) into the persisted bounded store —
-    //    the t36 card stays readable at any point via [[driftCard]].
-    //    Both count tables move in ONE kind-tagged merge + write
+    //    SHIPPED (per source host) — the t36 card stays readable at
+    //    any point via [[driftCard]]. Both count tables move as ONE
+    //    kind-tagged, batch-bounded APPEND (O(batch) per fold; the
+    //    accumulated store is only ever touched by compaction)
     timed("drift_fold") {
       driftDir.foreach { dd =>
         val src = survivors.select(hostOf(col("canon_url")).as("source"),
@@ -383,6 +385,7 @@ object CorpusIngest {
           if (fs.exists(root)) // every batch so far may have shipped 0
             ShardSink.compactShards(ss, shardDir, "doc_id")
           nearDup.foreach(nd => compactNearDupIndex(ss, nd.indexDir))
+          driftDir.foreach(dd => Drift.compactStore(ss, dd))
         }
         ()
       }

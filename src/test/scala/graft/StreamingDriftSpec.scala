@@ -94,6 +94,41 @@ class StreamingDriftSpec extends SparkSpec {
     assert(card() != expect, "post-recovery fold must land")
   }
 
+  test("append-only store: compactStore folds the per-batch " +
+      "increments to one row per key; the card is invariant") {
+    val dir = Files.createTempDirectory("driftstore4").toString
+    val store = s"$dir/store"
+    val batches = Seq(
+      Seq(("web text common alpha beta", "a"), ("spamword spamword web", "c")),
+      Seq(("web text common alpha gamma", "b"), ("spamword spamword spam", "c")),
+      Seq(("web text common beta", "a")))
+    batches.foreach { rows =>
+      Drift.foldDocsIntoStore(store, rows.toDF("text", "source"),
+        "source", "text")
+    }
+    def card() = Drift.cardFromStore(spark, store)
+      .collect().map(_.toSeq).toSeq
+    val before = card()
+    // shared tokens across batches -> duplicate key rows pre-compact
+    val raw = spark.read.parquet(store)
+    assert(raw.count() >
+      raw.select("kind", "source", "k").distinct().count(),
+      "appended increments should carry duplicate key rows")
+    Drift.compactStore(spark, store)
+    assert(card() == before, "compaction must not move the card")
+    val compacted = spark.read.parquet(store)
+    assert(compacted.count() ==
+      compacted.select("kind", "source", "k").distinct().count(),
+      "compacted store must hold one row per key")
+    assert(!new java.io.File(s"${store}__fold").exists() &&
+      !new java.io.File(s"${store}__old").exists())
+    // and folds keep landing after compaction
+    Drift.foldDocsIntoStore(store,
+      Seq(("web text common alpha", "b")).toDF("text", "source"),
+      "source", "text")
+    assert(card() != before)
+  }
+
   test("legacy two-subdir drift store migrates: counts survive the " +
       "kind-tagged layout change, folds and cards keep working") {
     val dir = Files.createTempDirectory("driftstore3").toString
