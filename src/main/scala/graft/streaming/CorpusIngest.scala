@@ -12,9 +12,13 @@ import graft.sources.ShardSink
   * corpus suite ships, composed into ONE streaming pipeline —
   *
   *   crawl batch (url, doc_id, text)
-  *     → encoding repair                (TextOps.fixMojibake, t38 — optional)
   *     → URL canonicalization           (TextOps.canonicalizeUrl, t32)
   *     → cross-batch URL frontier gate  (BloomMembership, D14/t32×D14)
+  *     → encoding repair                (TextOps.repairMojibake, t39 —
+  *                                       optional; before every gate
+  *                                       and hash, after the url-only
+  *                                       frontier so dropped docs
+  *                                       never pay it)
   *     → Gopher document-shape gate     (TextOps.gopherShape, t33)
   *     → trained quality-filter gate    (QualityClassifier, t35 — optional)
   *     → exact-text dedup, in-batch + cross-batch   (D1's hash key)
@@ -74,17 +78,19 @@ import graft.sources.ShardSink
   * logs a warning; fix `expectedItems`, which bounds epoch count as
   * totalKeys / expectedItems.
   *
-  * At 100 TB: canonicalize/gate/hash are map-side codegen; the two
-  * dedup aggregations shuffle once each on their key; the shard write
-  * is ShardSink's one hash shuffle. Bloom probe/build are map-side +
-  * a driver-sized byte-array merge. Per batch the loop runs a FIXED
-  * job inventory (r15, after folding the cheap driver actions: the
-  * shipped-row count rides the shard write as an observed metric, the
-  * two drift folds are one kind-tagged write, each bloom artifact is
-  * read once and its bytes reused for probe + merge): 2 bloom loads,
-  * 2 checkpoints (canon+frontier, gates+exact-dedup), the shard
-  * write, 2 sketch-agg + 2 bloom writes, 1 drift write, plus 3
-  * near-dup jobs when that gate is on — none of whose input grows
+  * At 100 TB: canonicalize/gate/hash are map-side codegen; the URL
+  * dedup shuffles only (canon_url, doc_id) — the text payload (~all
+  * the bytes at crawl scale) stays put behind a broadcast winner
+  * join; the exact-text dedup aggregation and the shard write each
+  * shuffle the kept payload once. Bloom probe/build are map-side + a
+  * driver-sized byte-array merge; the drift fold is a batch-bounded
+  * append. Per batch the loop runs a FIXED job inventory (r15, after
+  * folding the cheap driver actions: the shipped-row count rides the
+  * shard write as an observed metric, each bloom store is read once
+  * and its bytes reused for probe + merge): 2 bloom loads, 3
+  * checkpoints (url winners, frontier join, gates+exact-dedup), the
+  * shard write, 2 sketch-agg + 2 bloom writes, 1 drift append, plus
+  * 3 near-dup jobs when that gate is on — none of whose input grows
   * with the corpus.
   *
   * MAINTENANCE: appendShards leaves one file per touched shard per
@@ -158,30 +164,41 @@ object CorpusIngest {
     val (urlPrev, textPrev) = timed("state_load")(
       (loadBloomEpochs(ss, urlBloomPath), loadBloomEpochs(ss, textBloomPath)))
 
-    // 0. optional encoding repair (t38) — FIRST, before any gate or
-    //    hash: a mojibake variant of an already-shipped page must
-    //    repair to the same bytes and fall to the exact-text dedup,
-    //    and the quality gates must judge the repaired text. Gated
-    //    per doc on a mojibake-signature check (ADVICE r14: the raw
-    //    rewrite is not the identity on clean text containing a
-    //    lead-range char before a continuation-range char, e.g. "Ö«")
-    val input =
-      if (repairEncoding)
-        batch.withColumn("text", TextOps.repairMojibake(col("text")))
-      else batch
-
-    // 1. canonicalize; within-batch URL dedup by min doc_id; then the
-    //    cross-batch frontier (drop URLs any earlier batch spent).
-    //    Checkpointed: the chain below consumes it AND the url-bloom
-    //    fold needs its keys — without the cache the repair+canon
-    //    work would run twice per batch (r15, VERDICT item 5)
+    // 1. within-batch URL dedup (min doc_id per canonical url) + the
+    //    cross-batch frontier, computed on (canon_url, doc_id) ALONE:
+    //    the wide text column never enters the dedup shuffle or the
+    //    bloom probe — at crawl scale the payload is ~all the bytes,
+    //    and the old min(struct(id, text)) aggregation shuffled every
+    //    one of them (r15b). The tiny post-probe winner table then
+    //    joins back BROADCAST when batch-sized (shuffled-join
+    //    fallback past the cap = the old full-payload cost), and the
+    //    optional t38 encoding repair runs on the JOINED survivors —
+    //    frontier-dropped docs never pay the repair regex. Repair
+    //    stays ahead of every gate and hash (its ordering contract:
+    //    a mojibake variant of a shipped page must repair to the
+    //    same bytes and fall to the exact-text dedup); canonical
+    //    urls never depended on the text. Checkpointed: the gates
+    //    chain AND the url-bloom fold both consume it.
     val urlFresh = timed("canon_frontier") {
-      val canon = input
-        .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
-        .groupBy("canon_url")
-        .agg(min(struct(col("doc_id"), col("text"))).as("__r"))
-        .select(col("canon_url"), col("__r.doc_id"), col("__r.text"))
-      BloomMembership.definitelyNewAny(canon, urlPrev.map(_._2), "canon_url")
+      val winners = BloomMembership.definitelyNewAny(
+          batch.select(
+              TextOps.canonicalizeUrl(col("url")).as("canon_url"),
+              col("doc_id"))
+            .groupBy("canon_url").agg(min(col("doc_id")).as("doc_id")),
+          urlPrev.map(_._2), "canon_url")
+        .localCheckpoint(true) // two consumers: the size guard + join
+      val wj =
+        if (winners.count() <= MaxBroadcastKeyRows)
+          broadcast(winners.alias("w"))
+        else winners.alias("w")
+      val text =
+        if (repairEncoding) TextOps.repairMojibake(col("b.text"))
+        else col("b.text")
+      batch.withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+        .alias("b")
+        .join(wj, col("b.canon_url") <=> col("w.canon_url") &&
+          col("b.doc_id") === col("w.doc_id"))
+        .select(col("b.canon_url"), col("b.doc_id"), text.as("text"))
         .localCheckpoint(true)
     }
 
