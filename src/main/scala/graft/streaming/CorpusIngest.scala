@@ -78,19 +78,20 @@ import graft.sources.ShardSink
   * logs a warning; fix `expectedItems`, which bounds epoch count as
   * totalKeys / expectedItems.
   *
-  * At 100 TB: canonicalize/gate/hash are map-side codegen; the URL
-  * dedup shuffles only (canon_url, doc_id) — the text payload (~all
-  * the bytes at crawl scale) stays put behind a broadcast winner
-  * join; the exact-text dedup aggregation and the shard write each
-  * shuffle the kept payload once. Bloom probe/build are map-side + a
-  * driver-sized byte-array merge; the drift fold is a batch-bounded
-  * append. Per batch the loop runs a FIXED job inventory (r15, after
-  * folding the cheap driver actions: the shipped-row count rides the
-  * shard write as an observed metric, each bloom store is read once
-  * and its bytes reused for probe + merge): 2 bloom loads, 3
-  * checkpoints (url winners, frontier join, gates+exact-dedup), the
-  * shard write, 2 sketch-agg + 2 bloom writes, 1 drift append, plus
-  * 3 near-dup jobs when that gate is on — none of whose input grows
+  * At 100 TB: canonicalize/gate/hash are map-side codegen; BOTH
+  * dedup stages shuffle only their (key, doc_id) pair tables — the
+  * text payload (~all the bytes at crawl scale) stays put behind
+  * broadcast winner joins and crosses the network exactly ONCE per
+  * batch, in the shard write, where clustering requires it. Bloom
+  * probe/build are map-side + a driver-sized byte-array merge; the
+  * drift fold is a batch-bounded append. Per batch the loop runs a
+  * FIXED job inventory (r15, after folding the cheap driver actions:
+  * the shipped-row count rides the shard write as an observed
+  * metric, each bloom store is read once and its bytes reused for
+  * probe + merge): 2 bloom loads, 4 checkpoints (2 winner tables, 2
+  * payload materializations — node-local, no network), the shard
+  * write, 2 sketch-agg + 2 bloom writes, 1 drift append, plus 3
+  * near-dup jobs when that gate is on — none of whose input grows
   * with the corpus.
   *
   * MAINTENANCE: appendShards leaves one file per touched shard per
@@ -180,11 +181,22 @@ object CorpusIngest {
     //    urls never depended on the text. Checkpointed: the gates
     //    chain AND the url-bloom fold both consume it.
     val urlFresh = timed("canon_frontier") {
+      // the winner also carries how many VERBATIM COPIES of its row
+      // the batch holds (a retried crawl record lands twice): copies
+      // are invisible to a key-equality join, so the duplicate slice
+      // — normally empty — is collapsed by a payload aggregation
+      // scoped to exactly those rows, and the unique bulk passes the
+      // join untouched
       val winners = BloomMembership.definitelyNewAny(
           batch.select(
               TextOps.canonicalizeUrl(col("url")).as("canon_url"),
               col("doc_id"))
-            .groupBy("canon_url").agg(min(col("doc_id")).as("doc_id")),
+            .groupBy("canon_url", "doc_id")
+            .agg(count(lit(1)).as("__copies"))
+            .groupBy("canon_url")
+            .agg(min(struct(col("doc_id"), col("__copies"))).as("__w"))
+            .select(col("canon_url"), col("__w.doc_id").as("doc_id"),
+              col("__w.__copies").as("__copies")),
           urlPrev.map(_._2), "canon_url")
         .localCheckpoint(true) // two consumers: the size guard + join
       val wj =
@@ -194,11 +206,17 @@ object CorpusIngest {
       val text =
         if (repairEncoding) TextOps.repairMojibake(col("b.text"))
         else col("b.text")
-      batch.withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
+      val joined = batch
+        .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
         .alias("b")
         .join(wj, col("b.canon_url") <=> col("w.canon_url") &&
           col("b.doc_id") === col("w.doc_id"))
-        .select(col("b.canon_url"), col("b.doc_id"), text.as("text"))
+        .select(col("b.canon_url"), col("b.doc_id"), text.as("text"),
+          col("w.__copies").as("__copies"))
+      joined.filter(col("__copies") === 1).drop("__copies")
+        .unionByName(joined.filter(col("__copies") > 1)
+          .groupBy("canon_url", "doc_id").agg(min(col("text")).as("text"))
+          .select(col("canon_url"), col("doc_id"), col("text")))
         .localCheckpoint(true)
     }
 
@@ -213,16 +231,37 @@ object CorpusIngest {
         .filter(col("__q") >= g.threshold).drop("__q")
     }
 
-    // 3. exact-text dedup: in-batch (min doc_id per hash), then
-    //    cross-batch via the text bloom
+    // 3. exact-text dedup: in-batch keep-first (min doc_id per text
+    //    hash), then cross-batch via the text bloom — both computed
+    //    on (text_hash, doc_id) ALONE, the same no-payload-shuffle
+    //    shape as the frontier (r15b): the winner aggregation moves a
+    //    tiny pair table, the bloom probes it, survivors join back
+    //    broadcast (size-guarded). With this the payload crosses the
+    //    network exactly ONCE per batch — in the shard write, where
+    //    clustering requires it. Without a classifier gate the chain
+    //    feeding the winners is map-side codegen off the urlFresh
+    //    checkpoint (gopher + hash) and simply re-runs for the join
+    //    pass; WITH one, the gated rows checkpoint once so the
+    //    feature aggregation isn't paid twice (a local
+    //    materialization still moves no bytes across the network).
     val fresh = timed("gates_exact_dedup") {
-      val hashed = gated
-        .withColumn("text_hash", xxhash64(col("text")))
-        .groupBy("text_hash")
-        .agg(min(struct(col("doc_id"), col("canon_url"), col("text"))).as("__r"))
-        .select(col("text_hash"), col("__r.doc_id"), col("__r.canon_url"),
-          col("__r.text"))
-      BloomMembership.definitelyNewAny(hashed, textPrev.map(_._2), "text_hash")
+      val hashed0 = gated.withColumn("text_hash", xxhash64(col("text")))
+      val hashed =
+        if (qualityGate.isDefined) hashed0.localCheckpoint(true) else hashed0
+      val winners = BloomMembership.definitelyNewAny(
+          hashed.select("text_hash", "doc_id")
+            .groupBy("text_hash").agg(min(col("doc_id")).as("doc_id")),
+          textPrev.map(_._2), "text_hash")
+        .localCheckpoint(true) // two consumers: the size guard + join
+      val wj =
+        if (winners.count() <= MaxBroadcastKeyRows)
+          broadcast(winners.alias("w"))
+        else winners.alias("w")
+      hashed.alias("h").join(wj,
+          col("h.text_hash") <=> col("w.text_hash") &&
+          col("h.doc_id") === col("w.doc_id"))
+        .select(col("h.text_hash"), col("h.doc_id"), col("h.canon_url"),
+          col("h.text"))
         .localCheckpoint(true) // one execution feeds sink + both blooms
     }
 
