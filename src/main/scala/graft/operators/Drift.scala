@@ -116,13 +116,19 @@ object Drift {
     val ss = inc.sparkSession
     val (fs, target) = graft.sources.DirSwap.fsOf(ss, store)
     graft.sources.DirSwap.recover(fs, target, "__fold")
-    val merged =
-      if (fs.exists(target))
-        mergeCounts(ss.read.parquet(store), inc, keys, cntCol)
-      else inc
-    merged.write.mode("overwrite").parquet(store + "__fold")
-    graft.sources.DirSwap.swap(fs, target,
-      new org.apache.hadoop.fs.Path(store + "__fold"))
+    if (!graft.sources.DirSwap.hasData(fs, target)) {
+      // FIRST fold (or a crash leftover with no committed data —
+      // including a partial first twin the recover promoted): write
+      // the target directly; parquet's commit keeps a crashed write
+      // invisible, and a twin would have no complete old copy to
+      // protect anyway (r15 review finding)
+      inc.write.mode("overwrite").parquet(store)
+    } else {
+      mergeCounts(ss.read.parquet(store), inc, keys, cntCol)
+        .write.mode("overwrite").parquet(store + "__fold")
+      graft.sources.DirSwap.swap(fs, target,
+        new org.apache.hadoop.fs.Path(store + "__fold"))
+    }
   }
 
   /** CorpusIngest's per-batch drift transition — APPEND-ONLY (r15b):
@@ -179,7 +185,11 @@ object Drift {
   /** Read a drift card off a store directory written by
     * [[foldDocsIntoStore]]: recover any interrupted swap, migrate a
     * legacy layout, sum the appended increments per key (a no-op on a
-    * freshly compacted store), split by kind. */
+    * freshly compacted store), split by kind. The summed table is
+    * checkpointed — bounded (grid + vocab rows), and cardFromCounts
+    * fans each side into several consumers, which without the
+    * materialization would each re-run the store-wide scan + shuffle
+    * (the same reason sourceDrift checkpoints its count tables). */
   def cardFromStore(spark: org.apache.spark.sql.SparkSession,
                     dir: String, smoothing: Int = 4096): DataFrame = {
     val (fs, target) = graft.sources.DirSwap.fsOf(spark, dir)
@@ -188,6 +198,7 @@ object Drift {
     val all = spark.read.parquet(dir)
       .groupBy("kind", "source", "k")
       .agg(sum(col("cnt")).cast("long").as("cnt"))
+      .localCheckpoint(true)
     cardFromCounts(
       all.filter(col("kind") === "b")
         .select(col("source"), col("k").cast("long").as("b"), col("cnt")),

@@ -61,6 +61,20 @@ private[graft] object DirSwap {
   def baseOf(name: String, twinSuffix: String): String =
     name.stripSuffix(twinSuffix).stripSuffix(OldSuffix)
 
+  /** True iff `dir` exists and holds at least one committed parquet
+    * data file at its top level. A directory that exists WITHOUT data
+    * files is a crash leftover (a write that died before its commit —
+    * only `_temporary`/`_SUCCESS` debris inside), never a committed
+    * store: every writer of this protocol commits at least one part
+    * file. Callers use this to treat such dirs as absent — including
+    * the case where [[recover]]'s twin-alone rule promoted a PARTIAL
+    * first-write twin (the twin-alone state is only guaranteed
+    * complete when a target once existed; a brand-new store's first
+    * twin write can die partial with no old copy to prefer). */
+  def hasData(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+
   /** Make the complete `twin` directory become `target` (see object
     * doc for the crash analysis). */
   def swap(fs: FileSystem, target: Path, twin: Path): Unit = {

@@ -88,10 +88,11 @@ import graft.sources.ShardSink
   * FIXED job inventory (r15, after folding the cheap driver actions:
   * the shipped-row count rides the shard write as an observed
   * metric, each bloom store is read once and its bytes reused for
-  * probe + merge): 2 bloom loads, 4 checkpoints (2 winner tables, 2
-  * payload materializations — node-local, no network), the shard
-  * write, 2 sketch-agg + 2 bloom writes, 1 drift append, plus 3
-  * near-dup jobs when that gate is on — none of whose input grows
+  * probe + merge): 2 bloom loads, 2 winner-table checkpoints, 2
+  * payload materializations (the frontier join, the kept survivors;
+  * +1 with a classifier gate — all node-local, no network), the
+  * shard write, 2 sketch-agg + 2 bloom writes, 1 drift append, plus
+  * 3 near-dup jobs when that gate is on — none of whose input grows
   * with the corpus.
   *
   * MAINTENANCE: appendShards leaves one file per touched shard per
@@ -178,8 +179,9 @@ object CorpusIngest {
     //    stays ahead of every gate and hash (its ordering contract:
     //    a mojibake variant of a shipped page must repair to the
     //    same bytes and fall to the exact-text dedup); canonical
-    //    urls never depended on the text. Checkpointed: the gates
-    //    chain AND the url-bloom fold both consume it.
+    //    urls never depended on the text. The post-join rows are the
+    //    stage's one payload materialization; everything downstream
+    //    derives from those blocks map-side.
     val urlFresh = timed("canon_frontier") {
       // the winner also carries how many VERBATIM COPIES of its row
       // the batch holds (a retried crawl record lands twice): copies
@@ -200,12 +202,16 @@ object CorpusIngest {
           urlPrev.map(_._2), "canon_url")
         .localCheckpoint(true) // two consumers: the size guard + join
       val wj =
-        if (winners.count() <= MaxBroadcastKeyRows)
+        if (winners.count() <= MaxBroadcastUrlRows)
           broadcast(winners.alias("w"))
         else winners.alias("w")
       val text =
         if (repairEncoding) TextOps.repairMojibake(col("b.text"))
         else col("b.text")
+      // THE stage's single payload materialization; the copies split
+      // below stays lazy — both its branches, and both downstream
+      // consumers (gates chain, url-bloom fold), derive map-side off
+      // these checkpoint blocks
       val joined = batch
         .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
         .alias("b")
@@ -213,11 +219,11 @@ object CorpusIngest {
           col("b.doc_id") === col("w.doc_id"))
         .select(col("b.canon_url"), col("b.doc_id"), text.as("text"),
           col("w.__copies").as("__copies"))
+        .localCheckpoint(true)
       joined.filter(col("__copies") === 1).drop("__copies")
         .unionByName(joined.filter(col("__copies") > 1)
           .groupBy("canon_url", "doc_id").agg(min(col("text")).as("text"))
           .select(col("canon_url"), col("doc_id"), col("text")))
-        .localCheckpoint(true)
     }
 
     // 2. quality gates — the t33 heuristic composite, then (when a
@@ -248,20 +254,36 @@ object CorpusIngest {
       val hashed0 = gated.withColumn("text_hash", xxhash64(col("text")))
       val hashed =
         if (qualityGate.isDefined) hashed0.localCheckpoint(true) else hashed0
+      // winner per text hash, carrying how many rows share its
+      // (hash, doc_id) — the frontier's verbatim-copy defense again:
+      // the same doc_id under two canonical urls with identical text
+      // passes the URL stage as two rows that a key-equality join
+      // would BOTH keep (the old groupBy shipped exactly one)
       val winners = BloomMembership.definitelyNewAny(
           hashed.select("text_hash", "doc_id")
-            .groupBy("text_hash").agg(min(col("doc_id")).as("doc_id")),
+            .groupBy("text_hash", "doc_id")
+            .agg(count(lit(1)).as("__copies"))
+            .groupBy("text_hash")
+            .agg(min(struct(col("doc_id"), col("__copies"))).as("__w"))
+            .select(col("text_hash"), col("__w.doc_id").as("doc_id"),
+              col("__w.__copies").as("__copies")),
           textPrev.map(_._2), "text_hash")
         .localCheckpoint(true) // two consumers: the size guard + join
       val wj =
         if (winners.count() <= MaxBroadcastKeyRows)
           broadcast(winners.alias("w"))
         else winners.alias("w")
-      hashed.alias("h").join(wj,
+      val joined = hashed.alias("h").join(wj,
           col("h.text_hash") <=> col("w.text_hash") &&
           col("h.doc_id") === col("w.doc_id"))
         .select(col("h.text_hash"), col("h.doc_id"), col("h.canon_url"),
-          col("h.text"))
+          col("h.text"), col("w.__copies").as("__copies"))
+      joined.filter(col("__copies") === 1).drop("__copies")
+        .unionByName(joined.filter(col("__copies") > 1)
+          .groupBy("text_hash", "doc_id")
+          .agg(min(struct(col("canon_url"), col("text"))).as("__r"))
+          .select(col("text_hash"), col("doc_id"), col("__r.canon_url"),
+            col("__r.text")))
         .localCheckpoint(true) // one execution feeds sink + both blooms
     }
 
@@ -366,11 +388,20 @@ object CorpusIngest {
     * effective threshold) then runs on the collision-sized slice, not
     * the corpus — per-batch shuffle work no longer grows with the
     * index; the index contributes one filtered columnar scan. */
-  /** Broadcast cap for the near-dup narrowing keys: ~2M (band,
-    * bucket) rows ≈ 40 MB serialized — comfortably under Spark's
+  /** Broadcast cap for NARROW key tables — the near-dup (band,
+    * bucket) pairs and the (text_hash, doc_id) winners, ~16-20 bytes
+    * a row: 2M rows ≈ 40 MB serialized, comfortably under Spark's
     * broadcast limits; larger batches fall back to a shuffled
-    * semi-join (see the guard in [[nearDupDrops]]). */
+    * semi-join. */
   private[graft] val MaxBroadcastKeyRows = 2000000L
+
+  /** Broadcast cap for the URL winner table, which carries full
+    * canonical-url STRINGS (~100-200 bytes a row, plus JVM string
+    * overhead once deserialized): 250k rows ≈ 25-50 MB serialized —
+    * the row-count cap must be width-aware or a 2M-row URL broadcast
+    * would build a multi-hundred-MB relation on the driver (r15
+    * review finding). */
+  private[graft] val MaxBroadcastUrlRows = 250000L
 
   private[graft] def nearDupDrops(batchIdx: DataFrame,
                                   corpusIdx: DataFrame,
@@ -505,6 +536,14 @@ object CorpusIngest {
       .distinct
       .foreach(base => graft.sources.DirSwap.recover(
         fs, new org.apache.hadoop.fs.Path(root, base), "__fold"))
+    // prune crash leftovers: an epoch dir with no committed data file
+    // is a write that died before its parquet commit (possibly a
+    // partial first twin the recover promoted — DirSwap.hasData doc);
+    // it cannot be a real epoch and must not shadow the legacy branch
+    fs.listStatus(root).map(_.getPath).filter(p =>
+        p.getName.matches("epoch=\\d+") &&
+        !graft.sources.DirSwap.hasData(fs, p))
+      .foreach(p => fs.delete(p, true))
     val epochs = fs.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("epoch=\\d+"))
       .map(_.stripPrefix("epoch=").toInt).sorted
@@ -549,14 +588,25 @@ object CorpusIngest {
       .take(1).headOption.flatMap(r => Option(r.getAs[Array[Byte]](0)))
     val (fs, root) = fsOf(ss, path)
     def writeEpoch(e: Int, bytes: Array[Byte]): Unit = {
-      Seq(Option(bytes)).toDF("bloom")
-        .write.mode("overwrite").parquet(s"$path/epoch=${e}__fold")
-      graft.sources.DirSwap.swap(fs,
-        new org.apache.hadoop.fs.Path(root, s"epoch=$e"),
-        new org.apache.hadoop.fs.Path(root, s"epoch=${e}__fold"))
+      val target = new org.apache.hadoop.fs.Path(root, s"epoch=$e")
+      if (!graft.sources.DirSwap.hasData(fs, target)) {
+        // brand-new epoch (or commit-less crash debris): write the
+        // target directly — parquet's commit keeps a crashed write
+        // invisible, and a first-write twin would have no complete
+        // old copy for recover's twin-alone rule to rely on (r15
+        // review finding: that rule promoted a PARTIAL first twin)
+        Seq(Option(bytes)).toDF("bloom")
+          .write.mode("overwrite").parquet(s"$path/epoch=$e")
+      } else {
+        Seq(Option(bytes)).toDF("bloom")
+          .write.mode("overwrite").parquet(s"$path/epoch=${e}__fold")
+        graft.sources.DirSwap.swap(fs, target,
+          new org.apache.hadoop.fs.Path(root, s"epoch=${e}__fold"))
+      }
       // a pre-epoch artifact read as epoch 0 is now merged into a real
       // epoch dir — its root files are garbage (and are ignored by the
-      // reader once epoch dirs exist, so a crash right here is safe)
+      // reader once committed epoch dirs exist, so a crash right here
+      // is safe)
       legacyFiles(fs, root).foreach(s => fs.delete(s.getPath, false))
     }
     def warnIfOverfull(fill: Double): Double = {

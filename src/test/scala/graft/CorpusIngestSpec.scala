@@ -295,6 +295,62 @@ class CorpusIngestSpec extends SparkSpec {
     assert(dropsShuffled == drops)
   }
 
+  test("exact-text copies defense: the same doc_id with identical " +
+      "text under two canonical urls ships exactly once") {
+    val dir = Files.createTempDirectory("ingest_tdup").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    // two urls that canonicalize DIFFERENTLY, one doc_id, one text —
+    // the URL stage keeps both rows (different canon groups); the
+    // exact-text stage must collapse them like the old groupBy did
+    val b = Seq(
+      ("https://a-site.com/x", 7L, good(7)),
+      ("https://b-site.com/x", 7L, good(7)),
+      ("https://site.com/p1", 1L, good(1)))
+      .toDF("url", "doc_id", "text")
+    val n = CorpusIngest.ingestBatch(b, ub, tb, shards, numShards = 2)
+    assert(n == 2L, s"shipped $n rows; the doc_id-7 pair must collapse")
+    val rows = spark.read.parquet(shards)
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    // deterministic winner: min canonical url (the old min-struct rule)
+    assert(rows.toSeq == Seq((1L, "https://site.com/p1"),
+      (7L, "https://a-site.com/x")), rows.mkString(","))
+  }
+
+  test("partial first-epoch write never wedges or shadows the store: " +
+      "commit-less epoch debris is pruned and the legacy frontier " +
+      "still gates") {
+    val dir = Files.createTempDirectory("ingest_partial").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    val b1 = (1 to 4).map(i => (s"https://site.com/p$i", i.toLong, good(i.toLong)))
+      .toDF("url", "doc_id", "text")
+    assert(CorpusIngest.ingestBatch(b1, ub, tb, shards, numShards = 2) == 4L)
+    // rewrite the url store into the legacy layout, then plant the
+    // crash state: a first-epoch twin that died before its parquet
+    // commit (only _temporary debris inside — no committed data file)
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    val bytes = spark.read.parquet(s"$ub/epoch=0").as[Array[Byte]].collect().head
+    rmRf(new java.io.File(ub))
+    Seq(Option(bytes)).toDF("bloom").write.parquet(ub)
+    val debris = new java.io.File(ub, "epoch=0__fold/_temporary")
+    assert(debris.mkdirs())
+    java.nio.file.Files.write(debris.toPath.resolve("attempt_0"),
+      Array[Byte](1, 2, 3))
+
+    // replaying batch 1 must still ship 0: the promoted-but-empty
+    // epoch dir is pruned, the legacy bytes stay authoritative
+    assert(CorpusIngest.ingestBatch(b1, ub, tb, shards, numShards = 2) == 0L)
+    // and a fresh batch both ships and completes the migration
+    val b2 = (11 to 14).map(i => (s"https://site.com/p$i", i.toLong, good(i.toLong)))
+      .toDF("url", "doc_id", "text")
+    assert(CorpusIngest.ingestBatch(b2, ub, tb, shards, numShards = 2) == 4L)
+    val names = new java.io.File(ub).listFiles().map(_.getName)
+    assert(names.contains("epoch=0") && !names.exists(_.endsWith(".parquet")),
+      names.mkString(","))
+  }
+
   test("pre-epoch bloom store migrates: legacy 1-row artifact is read " +
       "as epoch 0 (no frontier loss), then folded into the epoch layout") {
     val dir = Files.createTempDirectory("ingest_legacy").toString
