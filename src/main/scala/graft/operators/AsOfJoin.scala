@@ -57,7 +57,19 @@ object AsOfJoin {
     * i.e. once a keyed window's biggest task would sort materially
     * more than its fair share. 0 forces the bucketed path (the
     * scale-safe default shape); both paths are differentially pinned
-    * row-identical in AsOfJoinPropSpec. */
+    * row-identical in AsOfJoinPropSpec.
+    *
+    * UPSTREAM EXECUTION (ADVICE r15): hub detection is a separate
+    * eager action over the key columns, so both inputs' upstream
+    * plans run TWICE — once column-pruned for the stats, once for the
+    * join itself. Free-ish when the inputs are parquet scans (the
+    * stats pass prunes to one column); for EXPENSIVE upstream plans
+    * cache/checkpoint the inputs first, and for NON-DETERMINISTIC
+    * ones (rand(), unstable sampling) caching is REQUIRED — otherwise
+    * the detection describes different rows than the window sees
+    * (wrong-branch risk only: both branches stay row-identical on
+    * whatever rows execute, so correctness never depends on the
+    * stats, only the physical form does). */
   def asofBackward(left: DataFrame, leftKey: String, leftTime: String,
                    right: DataFrame, rightKey: String, rightTime: String,
                    inner: Boolean = true,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -123,23 +123,56 @@ object BloomMembership {
     flagSeen(batch, bloom, keyCol, "__seen")
       .filter(!col("__seen")).drop("__seen")
 
+  /** Past this serialized size a probe sketch ships as a BROADCAST
+    * instead of a plan literal (ADVICE r15): a lit(bytes) probe embeds
+    * the whole sketch in the query plan and every task binary — fine
+    * at the few-hundred-KB sketches a 100k-key epoch serializes to,
+    * plan-bloating at production sizing (10⁸ keys ≈ 150 MB, times the
+    * epoch count per batch). Broadcast blocks ship once per executor
+    * over the torrent protocol and deserialize once per executor
+    * (Spark caches broadcast values), so the probe cost stays one
+    * in-memory bit test per row; the trade is a non-codegen predicate
+    * (a deterministic closure over the broadcast), which is why small
+    * sketches keep the codegen'd literal path. */
+  val MaxLiteralBloomBytes: Long = 4L * 1024 * 1024
+
+  /** One epoch's probe predicate on a precomputed xxhash64 column:
+    * codegen'd literal `might_contain` below [[MaxLiteralBloomBytes]],
+    * broadcast-backed closure above (semantically identical —
+    * BloomMembershipSpec pins flag-equality across the threshold). */
+  private def containsPred(spark: org.apache.spark.sql.SparkSession,
+                           bytes: Array[Byte], hashCol: Column,
+                           maxLiteralBytes: Long): Column =
+    if (bytes.length <= maxLiteralBytes)
+      call_function("graft_bloom_contains", lit(bytes), hashCol)
+    else {
+      val bc = spark.sparkContext.broadcast(
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      // the driver-side Column drops out of scope after the batch, so
+      // the ContextCleaner reclaims the broadcast — no per-batch leak
+      udf((h: Long) => bc.value.mightContainLong(h)).apply(hashCol)
+    }
+
   /** [[flagSeen]] chained over PER-EPOCH sketches (the re-shard path a
     * saturating frontier rolls onto — see CorpusIngest's BLOOM
     * CAPACITY scaladoc): a key is seen if ANY epoch's filter contains
-    * it. The key hashes ONCE; each probe is a map-side codegen'd
-    * predicate on that hash, so k epochs cost k predicates inside the
-    * same scan — no extra pass, no shuffle. Chained probes flag a
-    * SUBSET of probing the OR-merged filter (cross-epoch bit mixes
-    * only ever add false positives — the containment case in
-    * BloomMembershipSpec) and false negatives stay impossible per
-    * epoch; overall fpp is ≤ the SUM of per-epoch fpps, linear in the
-    * epoch count — the visible, bounded trade of rolling instead of
-    * saturating. */
+    * it. The key hashes ONCE; each probe is a map-side predicate on
+    * that hash (codegen'd literal or broadcast-backed past
+    * [[MaxLiteralBloomBytes]] — see [[containsPred]]), so k epochs
+    * cost k predicates inside the same scan — no extra pass, no
+    * shuffle. Chained probes flag a SUBSET of probing the OR-merged
+    * filter (cross-epoch bit mixes only ever add false positives —
+    * the containment case in BloomMembershipSpec) and false negatives
+    * stay impossible per epoch; overall fpp is ≤ the SUM of per-epoch
+    * fpps, linear in the epoch count — the visible, bounded trade of
+    * rolling instead of saturating. */
   def flagSeenAny(batch: DataFrame, blooms: Seq[Array[Byte]],
-                  keyCol: String, flagCol: String): DataFrame =
+                  keyCol: String, flagCol: String,
+                  maxLiteralBytes: Long = MaxLiteralBloomBytes): DataFrame =
     batch.withColumn("__bm_h", xxhash64(col(keyCol)))
       .withColumn(flagCol, blooms.foldLeft(lit(false)) { (acc, b) =>
-        acc || call_function("graft_bloom_contains", lit(b), col("__bm_h"))
+        acc || containsPred(batch.sparkSession, b, col("__bm_h"),
+          maxLiteralBytes)
       })
       .drop("__bm_h")
 
@@ -184,6 +217,29 @@ object BloomMembership {
   /** Fill ratio past which a merged-forever bloom should be treated
     * as saturated (see [[fillRatio]]). */
   val FillWarnAt: Double = 0.5
+
+  /** Header fields that decide OR-merge compatibility: (version,
+    * numHashFunctions, seed — 0 for V1, numWords). Two sketches merge
+    * iff all four match (Spark's checkCompatibilityForMerge throws
+    * otherwise); CorpusIngest's fold uses this to ROLL ONTO A FRESH
+    * EPOCH instead of crashing when the active epoch's sizing differs
+    * from the increment's — the state a frontier compaction (one
+    * right-sized rebuilt filter) or a mid-stream `expectedItems`
+    * change leaves behind. Driver-side, O(header). */
+  def sizingOf(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val version = in.readInt()
+    require(version == 1 || version == 2,
+      s"unknown bloom serialization version $version")
+    val numHash = in.readInt()
+    val seed = if (version == 2) in.readInt() else 0
+    (version, numHash, seed, in.readInt())
+  }
+
+  /** True iff [[merge]] would succeed (see [[sizingOf]]). */
+  def sameSizing(a: Array[Byte], b: Array[Byte]): Boolean =
+    sizingOf(a) == sizingOf(b)
 
   /** OR-merge two serialized blooms built with the SAME sizing (the
     * mergeable-summaries property that makes the sketch an incremental

@@ -23,8 +23,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * [[recover]] is idempotent — run it before reading or re-writing a
   * store that uses this protocol:
   *
-  *   - `__old` present, target present   → crash mid-step-3: the swap
-  *     completed; the (possibly partial) `__old` is garbage — delete.
+  *   - `__old` present, target present   → crash mid-step-3 (the swap
+  *     completed; the possibly-partial `__old` is garbage) or inside
+  *     [[swap]]'s defensive stale-`__old` delete before step 1 (the
+  *     target is intact, the complete twin is an uncommitted rewrite)
+  *     — the target is the preferred copy either way: delete `__old`
+  *     AND any lingering twin in the same pass (the interrupted
+  *     rewrite just re-runs).
   *   - `__old` present, target absent, twin present → crash between
   *     steps 1 and 2: the twin is complete BY PROTOCOL (the target is
   *     only renamed away after the twin write finished) — rename the
@@ -92,7 +97,17 @@ private[graft] object DirSwap {
     val old = oldPath(target)
     val twin = new Path(target.getParent, target.getName + twinSuffix)
     if (fs.exists(old)) {
-      if (fs.exists(target)) fs.delete(old, true)
+      if (fs.exists(target)) {
+        // old+target(+twin): the swap either completed (old is
+        // garbage, twin already renamed away) or crashed inside the
+        // defensive stale-__old delete BEFORE step 1 with a complete
+        // twin beside the intact target — either way the target is
+        // the preferred copy; drop BOTH scratch dirs in this one pass
+        // (ADVICE r15: leaving the twin made the clean state need a
+        // second recover; the interrupted rewrite just re-runs)
+        fs.delete(old, true)
+        if (fs.exists(twin)) fs.delete(twin, true)
+      }
       else if (fs.exists(twin)) {
         require(fs.rename(twin, target), s"rename $twin -> $target failed")
         fs.delete(old, true)

@@ -102,6 +102,43 @@ class BloomMembershipSpec extends SparkSpec {
     }
   }
 
+  test("broadcast-backed probe (past MaxLiteralBloomBytes) flags " +
+      "row-identically to the codegen'd literal probe") {
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[Array[Byte]].collect().head
+    val epochA = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") < 5000), "key", 10000L))
+    val epochB = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") >= 5000), "key", 10000L))
+    def flagsAt(maxLit: Long) = BloomMembership.flagSeenAny(
+        batch, Seq(epochA, epochB), "key", "f", maxLiteralBytes = maxLit)
+      .select("id", "f").as[(Long, Boolean)].collect().toMap
+    // threshold 0 forces EVERY epoch through the broadcast closure
+    val viaLit = flagsAt(Long.MaxValue)
+    val viaBc = flagsAt(0L)
+    assert(viaLit == viaBc,
+      "broadcast probe must flag exactly the literal probe's rows")
+    // the contract survives the path switch: zero false negatives
+    // (batch ∩ corpus = ids 0-4999; epochB's 5000+ keys aren't probed)
+    (0L until 5000L).foreach(i => assert(viaBc(i),
+      s"false negative on corpus key $i via the broadcast path"))
+  }
+
+  test("sizingOf/sameSizing: merge compatibility is decidable from " +
+      "the header — equal sizing merges, different sizing must not") {
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[Array[Byte]].collect().head
+    val a = bytesOf(BloomMembership.sketch(corpus, "key", 10000L))
+    val b = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") < 100), "key", 10000L))
+    val c = bytesOf(BloomMembership.sketch(corpus, "key", 50000L))
+    assert(BloomMembership.sameSizing(a, b))
+    assert(!BloomMembership.sameSizing(a, c),
+      "differently-sized filters must not report mergeable")
+    BloomMembership.merge(a, b) // must not throw
+    intercept[Exception](BloomMembership.merge(a, c))
+  }
+
   test("sketch is partition-invariant and parquet round-trips") {
     val a = BloomMembership.sketch(corpus, "key", 10000).as[Array[Byte]].collect().head
     val b = BloomMembership.sketch(corpus.repartition(13), "key", 10000)

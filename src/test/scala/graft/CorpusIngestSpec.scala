@@ -634,4 +634,118 @@ class CorpusIngestSpec extends SparkSpec {
       numShards = 2, expectedItems = 1000L)
     assert(n4 >= 560, s"fresh batch shipped only $n4 of 600")
   }
+
+  test("frontier-bloom chain compaction: a multi-epoch chain collapses " +
+      "to ONE right-sized epoch rebuilt from the shard store; every " +
+      "planted drop class still drops on replay; the gauge resets") {
+    val dir = Files.createTempDirectory("ingest_bloomc").toString
+    val (ub, tb, shards, idx) =
+      (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/ndidx")
+    // k=4 char shingles + hash-diverse words (the scale-evidence
+    // convention): the shared stopword skeleton of good() dominates a
+    // k=3 shingle set, so 600 such docs false-collide on ≥8/16 bands
+    // and the near-dup gate would mass-drop REAL uniques
+    val nd = Some(CorpusIngest.NearDupGate(idx, k = 4))
+    def diverse(i: Long) = s"$stops " + (0 until 40).map { j =>
+      "c" + math.floorMod(
+        scala.util.hashing.MurmurHash3.productHash((i, j)), 100000)
+    }.mkString(" ")
+    // 600 distinct docs per batch into blooms sized 1000 → the chain
+    // rolls (≥2 epochs by batch 3, same shape as the rollover test);
+    // batch 1 also plants a Gopher-gate drop whose URL the frontier
+    // LEARNS without shipping (the documented narrowing case)
+    def batchDf(b: Int) = ((1 to 600)
+      .map(i => (s"https://site.com/b$b/p$i", b * 10000L + i,
+        diverse(b * 10000L + i))) ++
+      (if (b == 1) Seq(("https://site.com/bad", 999999L, "too few words"))
+       else Nil))
+      .toDF("url", "doc_id", "text")
+    (1 to 3).foreach { b =>
+      CorpusIngest.ingestBatch(batchDf(b), ub, tb, shards, numShards = 2,
+        expectedItems = 1000L, nearDup = nd)
+    }
+    def epochDirs(p: String) = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.matches("epoch=\\d+")).sorted.toSeq
+    assert(epochDirs(ub).length >= 2, "precondition: chain must have rolled")
+    val shippedBefore = spark.read.parquet(shards).count()
+
+    CorpusIngest.runMaintenance(spark, ub, tb, shards, nearDup = nd)
+
+    // one epoch per frontier, no scratch dirs anywhere
+    assert(epochDirs(ub) == Seq("epoch=0"), epochDirs(ub).mkString(","))
+    assert(epochDirs(tb) == Seq("epoch=0"), epochDirs(tb).mkString(","))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.getName.contains("__compact") || f.getName.contains("__old")))
+    // zero shipped keys lost: replaying every ingested batch against
+    // the rebuilt chain ships NO DUPLICATE. (A doc the old chain
+    // dropped on a bloom FALSE POSITIVE never shipped, so its keys
+    // are rightly absent from the rebuilt filter and it ships on
+    // replay — compaction HEALS fp-drops; the invariant is store
+    // uniqueness, not a zero replay count.)
+    // the FIRST fold after compaction also pins the gauge reset: the
+    // rebuilt epoch's sizing differs from the increment's, so the fold
+    // freezes it and starts epoch 1 → chain length 2, down from the
+    // ever-growing pre-compaction count (later folds may roll further
+    // — that's the normal fill cadence, bounded again by the NEXT
+    // compaction)
+    val buf = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val replayShipped = (1 to 3).map { b =>
+      CorpusIngest.ingestBatch(batchDf(b), ub, tb, shards,
+        numShards = 2, expectedItems = 1000L, nearDup = nd,
+        stageLog = if (b == 1) Some(buf) else None)
+    }.sum
+    val epochsAfter = buf.filter(_._1 == "epochs:url_bloom").map(_._2).head
+    assert(epochsAfter == 2.0,
+      s"gauge on first fold after compaction: $epochsAfter epochs")
+    assert(replayShipped <= 1800L - shippedBefore,
+      s"replay shipped $replayShipped > the ${1800L - shippedBefore} " +
+        "fp-dropped docs the old chain lost")
+    val store = spark.read.parquet(shards)
+    val afterReplay = store.count()
+    assert(afterReplay == shippedBefore + replayShipped)
+    assert(store.select("canon_url").distinct().count() == afterReplay &&
+      store.select("text").distinct().count() == afterReplay,
+      "a replay across the compacted frontier shipped a duplicate")
+    // the narrowing's drop classes, replayed one by one:
+    //  - exact text dup of a shipped doc under a NEW url → text bloom
+    //  - near-dup variant of a shipped doc → band index (never narrowed)
+    //  - gopher-bad doc (url seen pre-compaction, never shipped) →
+    //    re-pays the gate once, still ships nothing
+    // plants copy texts VERIFIED shipped (an fp-dropped original
+    // would make the "dup" genuinely new and flake the assertion)
+    val sampleTexts = store.orderBy("doc_id")
+      .select("text").as[String].take(2)
+    val n2 = CorpusIngest.ingestBatch(Seq(
+        ("https://site.com/new1", 500001L, sampleTexts(0)),
+        ("https://site.com/new2", 500002L, sampleTexts(1) + " tail9"),
+        ("https://site.com/bad", 999999L, "too few words"))
+      .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, expectedItems = 1000L, nearDup = nd)
+    assert(n2 == 0L, s"post-compaction drop classes shipped $n2 docs")
+    assert(spark.read.parquet(shards).count() == afterReplay)
+    // and genuinely-new docs still ship through the rebuilt chain
+    val n3 = CorpusIngest.ingestBatch(batchDf(9), ub, tb, shards,
+      numShards = 2, expectedItems = 1000L, nearDup = nd)
+    assert(n3 >= 560, s"fresh batch shipped only $n3 of 600")
+  }
+
+  test("mid-stream expectedItems change: sizing-mismatch fold rolls " +
+      "onto a fresh epoch instead of crashing the merge") {
+    val dir = Files.createTempDirectory("ingest_resize").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    def batchDf(b: Int) = (1 to 50)
+      .map(i => (s"https://site.com/b$b/p$i", b * 1000L + i, good(b * 1000L + i)))
+      .toDF("url", "doc_id", "text")
+    CorpusIngest.ingestBatch(batchDf(1), ub, tb, shards, numShards = 2,
+      expectedItems = 1000L)
+    val buf = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val n = CorpusIngest.ingestBatch(batchDf(2), ub, tb, shards,
+      numShards = 2, expectedItems = 50000L, stageLog = Some(buf))
+    assert(n == 50L, s"resized fold shipped $n of 50")
+    assert(buf.filter(_._1 == "epochs:url_bloom").map(_._2).head == 2.0)
+    // the frozen epoch still gates: batch 1 replays to nothing
+    val replay = CorpusIngest.ingestBatch(batchDf(1), ub, tb, shards,
+      numShards = 2, expectedItems = 50000L)
+    assert(replay == 0L, s"replay across the sizing boundary shipped $replay")
+  }
 }

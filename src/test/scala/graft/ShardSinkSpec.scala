@@ -164,6 +164,19 @@ class ShardSinkSpec extends SparkSpec {
     // crash D (mid-step-3 delete): swap completed, partial __old
     // garbage beside the intact target — __old deleted
     junkDir(s"$outDir/shard=3__old")
+    // crash E (inside swap's defensive stale-__old delete, before
+    // step 1): old + intact target + complete twin all present — ONE
+    // recover pass must clear BOTH scratch dirs (ADVICE r15: the old
+    // branch left the twin for a second pass)
+    junkDir(s"$outDir/shard=4__old")
+    junkDir(s"$outDir/shard=4__compact")
+    graft.sources.DirSwap.recover(
+      new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$outDir/shard=4"), "__compact")
+    assert(!new java.io.File(s"$outDir/shard=4__old").exists() &&
+      !new java.io.File(s"$outDir/shard=4__compact").exists(),
+      "one recover pass must clear old AND twin beside an intact target")
 
     ShardSink.compactShards(spark, outDir, "doc_id")
     val dirs = new java.io.File(outDir).listFiles().filter(_.isDirectory)
