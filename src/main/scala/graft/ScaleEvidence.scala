@@ -1123,6 +1123,26 @@ object ScaleEvidenceIngest {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(200000)
     val nBatches = args.lift(1).map(_.toInt).getOrElse(5)
+    // VERDICT r15 item 1: the payload-once claim must be MEASURED at
+    // real crawl widths, not extrapolated from ~350-byte docs —
+    // padWords appends that many seed-derived vocabulary words to
+    // every doc (~7.8 bytes/word: 0 ≈ the r15 350 B shape, 256 ≈
+    // 2 KB, 2560 ≈ 20 KB). The pad derives from the SAME seed as the
+    // doc's base text, so every planted class survives verbatim:
+    // exact dups stay exact, mojibake twins still repair into exact
+    // dups, near-dup variants still share ~all shingles.
+    val padWords = args.lift(2).map(_.toInt).getOrElse(0)
+    // caps > 0 override BOTH broadcast winner-table caps so the wide
+    // run also exercises the shuffled-fallback physical form the caps
+    // guard (CorpusIngest.MaxBroadcastUrlRows/MaxBroadcastKeyRows)
+    val capOverride = args.lift(3).map(_.toLong).getOrElse(0L)
+    // VERDICT r15 item 5 (endurance mode): compactEvery > 0 runs the
+    // loop's own maintenance pass (shards + near-dup index + drift
+    // store + frontier-bloom chain) on start()'s cadence, mid-run;
+    // expectedItemsArg sizes the blooms BELOW the corpus so epoch
+    // rollovers fire live and the chain compaction has work to do
+    val compactEvery = args.lift(4).map(_.toInt).getOrElse(0)
+    val expectedItems = args.lift(5).map(_.toLong).getOrElse(nDocs.toLong)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -1145,17 +1165,36 @@ object ScaleEvidenceIngest {
     // attribution was exact.)
     def pick(tag: String, seed: org.apache.spark.sql.Column, j: Int) =
       concat(lit("c"), pmod(xxhash64(lit(tag), seed, lit(j)), lit(100000L)))
+    // width pad as ONE transform expression (a concat_ws over 2560
+    // Column objects would blow the codegen method budget); clean pad
+    // draws from the 100k vocab, spam pad from the spam pool, so the
+    // classifier's signal keeps its margin at every width
+    def padClean(seed: org.apache.spark.sql.Column) =
+      if (padWords <= 0) lit("")
+      else concat(lit(" "), array_join(
+        transform(sequence(lit(0), lit(padWords - 1)),
+          j => concat(lit("c"),
+            pmod(xxhash64(lit("wp"), seed, j), lit(100000L)))), " "))
     def cleanText(seed: org.apache.spark.sql.Column) =
       concat(lit("s1 s2 the mid and the "),
         concat_ws(" ", (0 until 48).map(j => pick("w", seed, j)): _*),
-        lit(" café"), pmod(xxhash64(lit("c"), seed), lit(1000L)))
+        lit(" café"), pmod(xxhash64(lit("c"), seed), lit(1000L)),
+        padClean(seed))
     val spamPool = array((Seq("buy", "pills", "click", "winner", "free")
       ++ Seq("c0", "c1", "c2")).map(lit): _*)
+    def padSpam(seed: org.apache.spark.sql.Column) =
+      if (padWords <= 0) lit("")
+      else concat(lit(" "), array_join(
+        transform(sequence(lit(0), lit(padWords - 1)),
+          j => element_at(spamPool,
+            (pmod(xxhash64(lit("sp"), seed, j), lit(8L)) + 1).cast("int"))),
+        " "))
     def spamText(seed: org.apache.spark.sql.Column) =
       concat(lit("s1 s2 the mid and the "),
         concat_ws(" ", (0 until 48).map(j => element_at(spamPool,
           (pmod(xxhash64(lit("s"), seed, lit(j)), lit(8L)) + 1).cast("int"))): _*),
-        lit(" café"), pmod(xxhash64(lit("c"), seed), lit(1000L)))
+        lit(" café"), pmod(xxhash64(lit("c"), seed), lit(1000L)),
+        padSpam(seed))
 
     // offline classifier training on a labeled sample (disjoint ids)
     val lab = spark.range(2000).select(
@@ -1192,28 +1231,70 @@ object ScaleEvidenceIngest {
     var shipped = 0L
     val stageRows =
       scala.collection.mutable.Buffer.empty[(Int, Seq[(String, Double)])]
+    val meanBytes = spark.range(0, 1000)
+      .select(col("id").as("doc_id"))
+      .select(avg(octet_length(textOf)).cast("long")).head().getLong(0)
+    val (urlCap, keyCap) =
+      if (capOverride > 0) (capOverride, capOverride)
+      else (CorpusIngest.MaxBroadcastUrlRows, CorpusIngest.MaxBroadcastKeyRows)
+    println(f"[ingest-shape] padWords=$padWords mean doc $meanBytes%,d B; " +
+      s"broadcast caps url=$urlCap key=$keyCap" +
+      (if (capOverride > 0) " (OVERRIDDEN -> shuffled-fallback form)" else ""))
     val (_, tAll) = timed {
       for (b <- 0 until nBatches) {
-        val batch = spark.range(b.toLong * perBatch, (b + 1).toLong * perBatch)
-          .select(col("id").as("doc_id"),
-            concat(lit("https://src"), pmod(col("id"), lit(20L)),
-              lit(".example.com/doc"), col("id")).as("url"))
-          .withColumn("text", textOf)
+        // materialized ONCE before ingest, like a real crawl batch
+        // arriving from the source — otherwise the synthetic
+        // generator (padWords xxhash64 calls per doc) re-runs inside
+        // every ingest pass and pollutes the per-stage width scaling
+        // this evidence exists to measure; its cost prints separately
+        val (batch, tGen) = timed {
+          spark.range(b.toLong * perBatch, (b + 1).toLong * perBatch)
+            .select(col("id").as("doc_id"),
+              concat(lit("https://src"), pmod(col("id"), lit(20L)),
+                lit(".example.com/doc"), col("id")).as("url"))
+            .withColumn("text", textOf)
+            .localCheckpoint(true)
+        }
         val stageBuf = scala.collection.mutable.Buffer.empty[(String, Double)]
+        stageBuf += "batch_gen" -> tGen
         val (n, tB) = timed {
           CorpusIngest.ingestBatch(batch, ub, tb, shards, numShards = 16,
-            expectedItems = nDocs.toLong, qualityGate = gate,
+            expectedItems = expectedItems, qualityGate = gate,
             driftDir = Some(dd), repairEncoding = true, nearDup = nd,
-            stageLog = Some(stageBuf))
+            stageLog = Some(stageBuf),
+            maxBroadcastUrlRows = urlCap, maxBroadcastKeyRows = keyCap)
         }
         shipped += n
         stageRows += b -> stageBuf.toSeq
         println(f"[ingest-batch] batch $b: $perBatch%,d in -> $n%,d shipped " +
           f"(${100.0 * n / perBatch}%.1f%%) in ${tB}%.1f s = " +
           f"${perBatch / tB}%,.0f docs/s")
+        if (compactEvery > 0) {
+          println("[ingest-gauges] batch " + b + ": " + stageBuf.collect {
+            case (k, v) if k.startsWith("fill:") => f"$k=${v * 100}%.1f%%"
+            case (k, v) if k.startsWith("epochs:") => f"$k=${v}%.0f"
+          }.mkString(", "))
+          if ((b + 1) % compactEvery == 0) {
+            def epochsOf(p: String) = Option(new java.io.File(p).listFiles())
+              .map(_.count(_.getName.matches("epoch=\\d+"))).getOrElse(0)
+            val (eu0, et0) = (epochsOf(ub), epochsOf(tb))
+            val idxFiles0 = Option(new java.io.File(nidx).listFiles())
+              .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+            val (_, tM) = timed {
+              CorpusIngest.runMaintenance(spark, ub, tb, shards, nd, Some(dd))
+            }
+            println(f"[ingest-maint] after batch $b: ${tM}%.1f s inline " +
+              f"pause (the documented compactEvery spike); url epochs " +
+              f"$eu0->${epochsOf(ub)}, text epochs $et0->${epochsOf(tb)}, " +
+              s"index files $idxFiles0->" +
+              Option(new java.io.File(nidx).listFiles())
+                .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
+          }
+        }
       }
     }
-    println(f"[ingest-total] $nDocs%,d docs, $nBatches batches, all stages " +
+    println(f"[ingest-total] $nDocs%,d docs (mean $meanBytes%,d B), " +
+      f"$nBatches batches, all stages " +
       f"on: ${tAll}%.1f s = ${nDocs / tAll}%,.0f docs/s end-to-end, " +
       f"$shipped%,d shipped (${100.0 * shipped / nDocs}%.1f%%)")
 
@@ -1251,6 +1332,10 @@ object ScaleEvidenceIngest {
     println(f"[ingest-compact] ${preFiles.sum}%,d files -> ${postFiles.sum}%,d " +
       f"($nf written) in ${tCompact}%.1f s; store rows " +
       f"${spark.read.parquet(shards).count()}%,d == shipped $shipped%,d")
+    println(f"[ingest-index] near-dup index rows " +
+      f"${spark.read.parquet(nidx).count()}%,d across " +
+      Option(new java.io.File(nidx).listFiles())
+        .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0) + " files")
 
     val (card, tCard) = timed {
       CorpusIngest.driftCard(spark, dd).collect()

@@ -216,38 +216,57 @@ object TextOps {
     * byte-level. */
   def fixMojibake(c: Column): Column = {
     val s = translate(c, Cp1252Chars, Cp1252Bytes)
-    val chars = split(s, "")
-    val cps = transform(chars, ch => ascii(ch))
-    // index 0 throws even in try_element_at; clamp below-range
-    def at(j: Column) = coalesce(
-      try_element_at(cps, when(j >= 1, j).otherwise(lit(1000000000))),
-      lit(-1))
-    def cont(x: Column) = x.between(128, 191)
-    def l2(x: Column) = x.between(194, 223)
-    def v3(a: Column, b: Column, c2: Column) =
-      a.between(224, 239) && cont(b) && cont(c2) &&
-        !(a === 224 && b < 160) && !(a === 237 && b > 159)
-    // 4-byte (astral/emoji) class: F0 90-BF / F1-F3 80-BF / F4 80-8F
-    // first-continuation bands (overlongs and > U+10FFFF excluded)
-    def v4(a: Column, b: Column, c2: Column, d: Column) =
-      a.between(240, 244) && cont(b) && cont(c2) && cont(d) &&
-        !(a === 240 && b < 144) && !(a === 244 && b > 143)
-    def hx(x: Column) = lpad(hex(x), 2, "0")
-    val pieces = transform(sequence(lit(1), size(chars)), i => {
-      val c0 = at(i); val c1 = at(i + 1); val c2 = at(i + 2); val c3 = at(i + 3)
-      val p1 = at(i - 1); val p2 = at(i - 2); val p3 = at(i - 3)
-      val isL2 = l2(c0) && cont(c1)
-      val isL3 = v3(c0, c1, c2)
-      val isL4 = v4(c0, c1, c2, c3)
-      val consumed = cont(c0) &&
-        (l2(p1) || v3(p1, c0, c1) || v3(p2, p1, c0) ||
-          v4(p1, c0, c1, c2) || v4(p2, p1, c0, c1) || v4(p3, p2, p1, c0))
-      when(isL4, decode(unhex(concat(hx(c0), hx(c1), hx(c2), hx(c3))), "UTF-8"))
-        .when(isL3, decode(unhex(concat(hx(c0), hx(c1), hx(c2))), "UTF-8"))
-        .when(isL2, decode(unhex(concat(hx(c0), hx(c1))), "UTF-8"))
-        .when(consumed, lit(""))
-        .otherwise(translate(element_at(chars, i), Cp1252Bytes, Cp1252Chars))
-    })
+    // LET-BINDING via 1-element-array transform (r16): HOF lambdas are
+    // CodegenFallback — interpreted, NO common-subexpression
+    // elimination — so an inlined `chars`/`cps` re-evaluates its whole
+    // split/transform chain at EVERY element_at reference: ~20
+    // references per position × n positions = O(n²) with heavy
+    // constants per repaired doc (measured 12 s for just 100 2 KB docs
+    // on 32 cores; invisible at the 350 B docs it was written
+    // against). Wrapping each array in `array(...)` and transforming
+    // over THAT binds it to a lambda variable — evaluated once per
+    // row, O(1) to reference — restoring the O(n) the scaladoc above
+    // always claimed. Same expressions, same output, bit for bit
+    // (EncodingRepairSpec unchanged).
+    def piecesOf(chars: Column, cps: Column): Column = {
+      // index 0 throws even in try_element_at; clamp below-range
+      def at(j: Column) = coalesce(
+        try_element_at(cps, when(j >= 1, j).otherwise(lit(1000000000))),
+        lit(-1))
+      def cont(x: Column) = x.between(128, 191)
+      def l2(x: Column) = x.between(194, 223)
+      def v3(a: Column, b: Column, c2: Column) =
+        a.between(224, 239) && cont(b) && cont(c2) &&
+          !(a === 224 && b < 160) && !(a === 237 && b > 159)
+      // 4-byte (astral/emoji) class: F0 90-BF / F1-F3 80-BF / F4 80-8F
+      // first-continuation bands (overlongs and > U+10FFFF excluded)
+      def v4(a: Column, b: Column, c2: Column, d: Column) =
+        a.between(240, 244) && cont(b) && cont(c2) && cont(d) &&
+          !(a === 240 && b < 144) && !(a === 244 && b > 143)
+      def hx(x: Column) = lpad(hex(x), 2, "0")
+      transform(sequence(lit(1), size(chars)), i => {
+        val c0 = at(i); val c1 = at(i + 1); val c2 = at(i + 2); val c3 = at(i + 3)
+        val p1 = at(i - 1); val p2 = at(i - 2); val p3 = at(i - 3)
+        val isL2 = l2(c0) && cont(c1)
+        val isL3 = v3(c0, c1, c2)
+        val isL4 = v4(c0, c1, c2, c3)
+        val consumed = cont(c0) &&
+          (l2(p1) || v3(p1, c0, c1) || v3(p2, p1, c0) ||
+            v4(p1, c0, c1, c2) || v4(p2, p1, c0, c1) || v4(p3, p2, p1, c0))
+        when(isL4, decode(unhex(concat(hx(c0), hx(c1), hx(c2), hx(c3))), "UTF-8"))
+          .when(isL3, decode(unhex(concat(hx(c0), hx(c1), hx(c2))), "UTF-8"))
+          .when(isL2, decode(unhex(concat(hx(c0), hx(c1))), "UTF-8"))
+          .when(consumed, lit(""))
+          .otherwise(translate(element_at(chars, i), Cp1252Bytes, Cp1252Chars))
+      })
+    }
+    val pieces = element_at(
+      transform(array(split(s, "")), chars =>
+        element_at(
+          transform(array(transform(chars, ch => ascii(ch))), cps =>
+            piecesOf(chars, cps)),
+          1)),
+      1)
     when(length(c) === 0 || c.isNull, coalesce(c, lit(null).cast("string")))
       .otherwise(array_join(pieces, ""))
   }

@@ -1347,6 +1347,22 @@ ORDER BY l.doc_id"""
         | CAST(length(clean) * 1000000 // length(html) AS BIGINT) AS retained_ppm
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // DECLARED rows+schema oracle (VERDICT r15 item 7): DuckDB has no
+    // DEFLATE, and zlib output is JVM-build-dependent anyway, so the
+    // three compression columns carry typed SENTINELS (0 / false) —
+    // the driver's compare then verifies row count, column names and
+    // types exactly and reports only the value hash as unmatched,
+    // instead of the old blanket `no_oracle`. doc_id and raw_bytes ARE
+    // exact; the ppm VALUES are gated by DeflateSpec's band-order
+    // differential (junk < docs < noise with margins) and t29's
+    // determinism spec. tools/check.py carries the same declaration.
+    "t29_compress_ratio" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+        | CAST(0 AS BIGINT) AS deflate_bytes,
+        | CAST(0 AS BIGINT) AS ratio_ppm,
+        | FALSE AS degenerate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t24_normalize" ->
       """WITH n AS (SELECT doc_id, text,
         |   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

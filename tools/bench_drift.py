@@ -58,23 +58,37 @@ def main():
     def rows(d):
         return {**d.get("queries", {}), **d.get("ann_split", {})}
     orows, nrows = rows(old), rows(new)
-    n_reg = n_imp = 0
+    n_reg = n_imp = n_sub = 0
     for q in sorted(set(orows) & set(nrows)):
         om, nm = orows[q], nrows[q]
         if om <= 0 or nm <= 0:
             continue
         oband = (os.get(q, {}).get("min", om), os.get(q, {}).get("max", om))
         nband = (ns.get(q, {}).get("min", nm), ns.get(q, {}).get("max", nm))
+        band_sep_reg = nm > oband[1] and om < nband[0] and nm / om >= thresh
+        band_sep_imp = nm < oband[0] and om > nband[1] and om / nm >= thresh
         if abs(nm - om) < min_delta:
+            # ADVICE r15: a band-separated move under the absolute
+            # floor must not vanish silently — a genuine 50ms -> 200ms
+            # (4x) regression on a fast query is real information even
+            # when it can't drive plan work on its own. Label, count,
+            # don't promote.
+            if band_sep_reg or band_sep_imp:
+                kind = "reg" if band_sep_reg else "imp"
+                print(f"sub-delta   {q}: {om:.3f}s -> {nm:.3f}s  "
+                      f"({max(nm/om, om/nm):.2f}x {kind}, band-separated "
+                      f"but |delta| < {min_delta}s — not promoted)")
+                n_sub += 1
             continue
-        if nm > oband[1] and om < nband[0] and nm / om >= thresh:
+        if band_sep_reg:
             print(f"REGRESSION  {q}: {om:.3f}s [{oband[0]:.3f},{oband[1]:.3f}] "
                   f"-> {nm:.3f}s [{nband[0]:.3f},{nband[1]:.3f}]  ({nm/om:.2f}x)")
             n_reg += 1
-        elif nm < oband[0] and om > nband[1] and om / nm >= thresh:
+        elif band_sep_imp:
             print(f"IMPROVEMENT {q}: {om:.3f}s -> {nm:.3f}s  ({om/nm:.2f}x)")
             n_imp += 1
-    print(f"bench_drift: {n_reg} regressions, {n_imp} improvements "
+    print(f"bench_drift: {n_reg} regressions, {n_imp} improvements, "
+          f"{n_sub} sub-delta band-separated moves "
           f"(band-separated, ratio >= {thresh}, |delta| >= {min_delta}s); "
           f"everything else is inside the other round's spread = noise")
 

@@ -8,6 +8,13 @@ oracle_sql.json, after sorting columns by name and rows by all columns.
 import sys, json, glob, os
 import duckdb
 
+# Declared rows+schema-only queries (VERDICT r15 item 7): the oracle
+# replays row count, column names and dtypes exactly but carries typed
+# SENTINELS for values no SQL engine can replay (t29: zlib DEFLATE
+# sizes, JVM-build-dependent; band structure gated by DeflateSpec).
+# For these, a value mismatch is the declared expectation, not a FAIL.
+ROWS_SCHEMA_ONLY = {"t29_compress_ratio"}
+
 def canon(con, rel):
     df = rel.df()
     df = df[sorted(df.columns)]
@@ -37,6 +44,15 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        if name in ROWS_SCHEMA_ONLY:
+            bad = [c for c in got.columns if got[c].dtype != want[c].dtype]
+            if bad:
+                print(f"FAIL {name}: rows+schema-only dtype drift {bad}")
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(got)} rows; declared rows+schema only)")
+                n_pass += 1
+            continue
         import pandas as pd
         import numpy as np
         # bit-exact on floats (the driver hashes bytes: 0.0 != -0.0

@@ -14,6 +14,9 @@ echo "== 1/4 compile =="
 sbt -batch compile
 
 echo "== 2/4 scalatest =="
+# stale suite XMLs from deleted specs otherwise inflate the directory
+# aggregate vs the fresh run's true tally (VERDICT r15 item 4)
+rm -rf target/test-reports
 sbt -batch test
 
 echo "== 3/4 verify dump + DuckDB oracle compare ($SF) =="
