@@ -235,12 +235,25 @@ object Drift {
       (sum(col("dp").cast("decimal(28,16)")).cast("double") * 0.5).as("tv"))
       .withColumnRenamed("tot", "n_tokens")
 
-    // ---- top over-represented token (integer-ppm likelihood ratio)
+    // ---- top over-represented token (integer-ppm likelihood ratio).
+    // The products run in DECIMAL (r16): at corpus scale the LONG form
+    // (c+1)·(ctot+K)·10⁶ overflows — ctot is the CORPUS token total,
+    // so a hot token's count × ctot × 10⁶ passes 2⁶³ already at ~180k
+    // 20 KB docs (caught live by the r16 width evidence run, ANSI
+    // ARITHMETIC_OVERFLOW). DECIMAL(19,0)·DECIMAL(19,0) widens to
+    // (38,0) — exact to 10³⁸, enough for c·ctot·10⁶ at ~10¹³-token
+    // (100 TB) corpora with 10⁵× headroom — and integral DIV on
+    // decimals returns an exact LONG, so values are bit-identical to
+    // the old form wherever that form didn't overflow (the DuckDB
+    // oracle mirrors via HUGEINT; floor ≡ trunc on these non-negative
+    // operands).
     val corpT = srcT.groupBy("w").agg(sum("c").as("cc"))
     val ranked = srcT.join(corpT, "w").join(srcTot, "source").crossJoin(corpTot)
       .select(col("source"), col("w"),
-        expr(s"(c + 1) * (ctot + $smoothing) * 1000000 " +
-          s"DIV ((cc + 1) * (tot + $smoothing))").as("ppm"))
+        expr(s"CAST(c + 1 AS DECIMAL(19,0)) * " +
+          s"CAST(ctot + $smoothing AS DECIMAL(19,0)) * 1000000 " +
+          s"DIV (CAST(cc + 1 AS DECIMAL(19,0)) * " +
+          s"CAST(tot + $smoothing AS DECIMAL(19,0)))").as("ppm"))
       .groupBy("source")
       .agg(max(struct(col("ppm"), col("w"))).as("m"))
       .select(col("source"), col("m.w").as("top_token"),

@@ -75,8 +75,17 @@ object Dsir {
     val scored = feats
       .join(broadcast(stats), "b")
       .crossJoin(broadcast(totals))
+      // DECIMAL products (r16, same fix as Drift.cardFromCounts): the
+      // LONG form (ct+1)·(n_r+K)·10⁶ overflows once a bucket count ×
+      // the corpus feature total passes ~9·10¹² — routine at crawl
+      // scale. DECIMAL(19,0) pairs widen to (38,0), integral DIV
+      // returns an exact LONG, values bit-identical below the old
+      // overflow point (oracle mirrors via HUGEINT).
       .withColumn("r", expr(
-        s"((ct + 1) * (n_r + $nBuckets) * 1000000) DIV ((cr + 1) * (n_t + $nBuckets))"))
+        s"CAST(ct + 1 AS DECIMAL(19,0)) * " +
+        s"CAST(n_r + $nBuckets AS DECIMAL(19,0)) * 1000000 " +
+        s"DIV (CAST(cr + 1 AS DECIMAL(19,0)) * " +
+        s"CAST(n_t + $nBuckets AS DECIMAL(19,0)))"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feat"), sum(col("r")).as("weight_ppm"))
     val sel = scored

@@ -1213,8 +1213,9 @@ ORDER BY l.doc_id"""
         | sw AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
         | cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cc FROM sw GROUP BY w),
         | ranked AS (SELECT sw.source, sw.w,
-        |    CAST((sw.c + 1) * (ct.ctot + 4096) * 1000000
-        |      // ((cw.cc + 1) * (st.tot + 4096)) AS BIGINT) AS ppm
+        |    CAST(CAST(sw.c + 1 AS HUGEINT) * (ct.ctot + 4096) * 1000000
+        |      // (CAST(cw.cc + 1 AS HUGEINT) * (st.tot + 4096))
+        |      AS BIGINT) AS ppm
         |  FROM sw JOIN cw USING (w) JOIN st USING (source) CROSS JOIN ct),
         | top AS (SELECT source, w AS top_token, ppm AS top_token_ppm,
         |    ROW_NUMBER() OVER (PARTITION BY source
@@ -1246,8 +1247,9 @@ ORDER BY l.doc_id"""
         | tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_r,
         |    CAST(SUM(ct) AS BIGINT) AS n_t FROM stats),
         | scored AS (SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
-        |    CAST(SUM(((ct + 1) * (n_r + 4096) * 1000000)
-        |             // ((cr + 1) * (n_t + 4096))) AS BIGINT) AS weight_ppm
+        |    CAST(SUM((CAST(ct + 1 AS HUGEINT) * (n_r + 4096) * 1000000)
+        |             // (CAST(cr + 1 AS HUGEINT) * (n_t + 4096)))
+        |      AS BIGINT) AS weight_ppm
         |  FROM feats f JOIN stats USING (b) CROSS JOIN tot
         |  GROUP BY f.doc_id),
         | sel AS (SELECT doc_id FROM scored
