@@ -103,12 +103,17 @@ object BloomMembership {
   /** [[flagSeen]] on an already-materialized serialized sketch — the
     * form a loop that holds the bytes anyway uses (CorpusIngest loads
     * each persisted bloom ONCE per batch and reuses the bytes for
-    * probe and merge instead of re-reading the artifact). */
+    * probe and merge instead of re-reading the artifact). Large
+    * sketches take the broadcast probe path here too (r16 review
+    * finding: the ADVICE-r15 plan-literal fix originally covered only
+    * the epoch-chain probe, leaving the single-sketch API embedding
+    * 100 MB+ filters in the plan). */
   def flagSeen(batch: DataFrame, bloom: Option[Array[Byte]], keyCol: String,
                flagCol: String): DataFrame = bloom match {
     case None => batch.withColumn(flagCol, lit(false))
     case Some(bytes) => batch.withColumn(flagCol,
-      call_function("graft_bloom_contains", lit(bytes), xxhash64(col(keyCol))))
+      containsPred(batch.sparkSession, bytes, xxhash64(col(keyCol)),
+        MaxLiteralBloomBytes))
   }
 
   /** The frontier filter composed: only batch rows whose key is
@@ -136,20 +141,62 @@ object BloomMembership {
     * sketches keep the codegen'd literal path. */
   val MaxLiteralBloomBytes: Long = 4L * 1024 * 1024
 
+  /** Broadcast cache for large probe sketches, keyed by content
+    * digest (epoch bytes are immutable, but a loop RE-READS them every
+    * batch, so identity-keying would re-broadcast ~150 MB per epoch
+    * per micro-batch; r16 review finding). Bounded LRU: an evicted or
+    * replaced entry's broadcast is destroyed EAGERLY — reclamation
+    * must not wait on a driver full GC when the entries are
+    * hundred-MB blocks. Capacity covers a compaction-bounded epoch
+    * chain with room for a rebuild's new bytes; max-size eviction only
+    * triggers when many distinct large sketches are probed in one
+    * process, exactly when freeing the oldest is wanted. Eviction
+    * UNPERSISTS (not destroys): executor copies — the memory that
+    * actually accumulates — are dropped eagerly, while the handle
+    * stays valid for any lazily-held plan that still references it
+    * (a destroyed broadcast would throw there); the driver-side block
+    * then falls to the ContextCleaner with the handle. */
+  private val BcCacheMax = 16
+  private lazy val bcCache =
+    new java.util.LinkedHashMap[String,
+        org.apache.spark.broadcast.Broadcast[BloomFilter]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            org.apache.spark.broadcast.Broadcast[BloomFilter]]): Boolean = {
+        val evict = size() > BcCacheMax
+        if (evict) e.getValue.unpersist()
+        evict
+      }
+    }
+
+  private def broadcastOf(spark: org.apache.spark.sql.SparkSession,
+                          bytes: Array[Byte]) = bcCache.synchronized {
+    val key = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)) +
+      ":" + spark.sparkContext.applicationId // a restarted context's old handles are dead
+    val cached = bcCache.get(key)
+    if (cached != null) cached
+    else {
+      val bc = spark.sparkContext.broadcast(
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      bcCache.put(key, bc)
+      bc
+    }
+  }
+
   /** One epoch's probe predicate on a precomputed xxhash64 column:
     * codegen'd literal `might_contain` below [[MaxLiteralBloomBytes]],
     * broadcast-backed closure above (semantically identical —
-    * BloomMembershipSpec pins flag-equality across the threshold). */
+    * BloomMembershipSpec pins flag-equality across the threshold).
+    * Broadcasts are cached by content digest and reused across
+    * batches ([[broadcastOf]]). */
   private def containsPred(spark: org.apache.spark.sql.SparkSession,
                            bytes: Array[Byte], hashCol: Column,
                            maxLiteralBytes: Long): Column =
     if (bytes.length <= maxLiteralBytes)
       call_function("graft_bloom_contains", lit(bytes), hashCol)
     else {
-      val bc = spark.sparkContext.broadcast(
-        BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
-      // the driver-side Column drops out of scope after the batch, so
-      // the ContextCleaner reclaims the broadcast — no per-batch leak
+      val bc = broadcastOf(spark, bytes)
       udf((h: Long) => bc.value.mightContainLong(h)).apply(hashCol)
     }
 

@@ -589,8 +589,17 @@ object CorpusIngest {
     if (!fs.exists(root)) return
     val store = ss.read.parquet(shardDir)
     lazy val shipped = store.count() // one job, shared by both rebuilds
+    // trigger at chain length > 2, not > 1 (r16 review finding): the
+    // fold immediately after a compaction always sizing-rolls the
+    // chain back to 2 (compacted epoch + fresh expectedItems-sized
+    // increment — that IS the post-compaction steady state), so a > 1
+    // trigger would pay two full-store scans on EVERY subsequent
+    // cadence with no probe-count or fpp benefit. At > 2 the rebuild
+    // runs only once the active increments have themselves rolled —
+    // chain length stays bounded in [1, 3] at any cadence that fires
+    // at least once per rollover period.
     def rebuild(path: String, keys: => DataFrame, keyCol: String): Unit =
-      if (loadBloomEpochs(ss, path).size > 1 && shipped > 0) {
+      if (loadBloomEpochs(ss, path).size > 2 && shipped > 0) {
         val expected = math.max(1L, math.ceil(shipped * headroom).toLong)
         val (bfs, broot) = fsOf(ss, path)
         BloomMembership.sketch(keys, keyCol, expected)
@@ -623,7 +632,7 @@ object CorpusIngest {
   private def loadBloomEpochs(ss: SparkSession,
                               path: String): Seq[(Int, Array[Byte])] = {
     val (fs, root) = fsOf(ss, path)
-    // a crashed whole-store compaction swap first ([[compactBloomFrontier]]
+    // a crashed whole-store compaction swap first ([[compactFrontierBlooms]]
     // twin-swaps the ROOT), then pre-epoch fold swaps
     graft.sources.DirSwap.recover(fs, root, "__compact")
     graft.sources.DirSwap.recover(fs, root, "__fold") // pre-epoch swaps

@@ -651,7 +651,9 @@ class CorpusIngestSpec extends SparkSpec {
         scala.util.hashing.MurmurHash3.productHash((i, j)), 100000)
     }.mkString(" ")
     // 600 distinct docs per batch into blooms sized 1000 → the chain
-    // rolls (≥2 epochs by batch 3, same shape as the rollover test);
+    // rolls roughly every 1.5 batches, so 4 batches put BOTH frontiers
+    // past the > 2 rebuild trigger (the post-compaction steady state
+    // is 2 epochs — compacted + active — so compaction requires ≥ 3);
     // batch 1 also plants a Gopher-gate drop whose URL the frontier
     // LEARNS without shipping (the documented narrowing case)
     def batchDf(b: Int) = ((1 to 600)
@@ -660,13 +662,15 @@ class CorpusIngestSpec extends SparkSpec {
       (if (b == 1) Seq(("https://site.com/bad", 999999L, "too few words"))
        else Nil))
       .toDF("url", "doc_id", "text")
-    (1 to 3).foreach { b =>
+    (1 to 4).foreach { b =>
       CorpusIngest.ingestBatch(batchDf(b), ub, tb, shards, numShards = 2,
         expectedItems = 1000L, nearDup = nd)
     }
     def epochDirs(p: String) = new java.io.File(p).listFiles()
       .map(_.getName).filter(_.matches("epoch=\\d+")).sorted.toSeq
-    assert(epochDirs(ub).length >= 2, "precondition: chain must have rolled")
+    assert(epochDirs(ub).length >= 3 && epochDirs(tb).length >= 3,
+      s"precondition: chains past the >2 trigger, got " +
+        s"${epochDirs(ub).length}/${epochDirs(tb).length}")
     val shippedBefore = spark.read.parquet(shards).count()
 
     CorpusIngest.runMaintenance(spark, ub, tb, shards, nearDup = nd)
@@ -689,7 +693,7 @@ class CorpusIngestSpec extends SparkSpec {
     // — that's the normal fill cadence, bounded again by the NEXT
     // compaction)
     val buf = scala.collection.mutable.Buffer.empty[(String, Double)]
-    val replayShipped = (1 to 3).map { b =>
+    val replayShipped = (1 to 4).map { b =>
       CorpusIngest.ingestBatch(batchDf(b), ub, tb, shards,
         numShards = 2, expectedItems = 1000L, nearDup = nd,
         stageLog = if (b == 1) Some(buf) else None)
@@ -697,8 +701,8 @@ class CorpusIngestSpec extends SparkSpec {
     val epochsAfter = buf.filter(_._1 == "epochs:url_bloom").map(_._2).head
     assert(epochsAfter == 2.0,
       s"gauge on first fold after compaction: $epochsAfter epochs")
-    assert(replayShipped <= 1800L - shippedBefore,
-      s"replay shipped $replayShipped > the ${1800L - shippedBefore} " +
+    assert(replayShipped <= 2400L - shippedBefore,
+      s"replay shipped $replayShipped > the ${2400L - shippedBefore} " +
         "fp-dropped docs the old chain lost")
     val store = spark.read.parquet(shards)
     val afterReplay = store.count()

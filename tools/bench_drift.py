@@ -67,13 +67,17 @@ def main():
         nband = (ns.get(q, {}).get("min", nm), ns.get(q, {}).get("max", nm))
         band_sep_reg = nm > oband[1] and om < nband[0] and nm / om >= thresh
         band_sep_imp = nm < oband[0] and om > nband[1] and om / nm >= thresh
+        # without real spread data the "bands" above degenerate to the
+        # medians themselves and band-separation is vacuous — never
+        # print the band-separated label off the pre-r14 fallback
+        has_bands = q in os and q in ns
         if abs(nm - om) < min_delta:
             # ADVICE r15: a band-separated move under the absolute
             # floor must not vanish silently — a genuine 50ms -> 200ms
             # (4x) regression on a fast query is real information even
             # when it can't drive plan work on its own. Label, count,
             # don't promote.
-            if band_sep_reg or band_sep_imp:
+            if has_bands and (band_sep_reg or band_sep_imp):
                 kind = "reg" if band_sep_reg else "imp"
                 print(f"sub-delta   {q}: {om:.3f}s -> {nm:.3f}s  "
                       f"({max(nm/om, om/nm):.2f}x {kind}, band-separated "

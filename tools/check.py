@@ -10,10 +10,13 @@ import duckdb
 
 # Declared rows+schema-only queries (VERDICT r15 item 7): the oracle
 # replays row count, column names and dtypes exactly but carries typed
-# SENTINELS for values no SQL engine can replay (t29: zlib DEFLATE
-# sizes, JVM-build-dependent; band structure gated by DeflateSpec).
-# For these, a value mismatch is the declared expectation, not a FAIL.
-ROWS_SCHEMA_ONLY = {"t29_compress_ratio"}
+# SENTINELS for the listed columns, whose values no SQL engine can
+# replay (t29: zlib DEFLATE sizes, JVM-build-dependent; band structure
+# gated by DeflateSpec). Columns NOT listed are exact and value-compare
+# like any other query (r16 review finding: skipping doc_id/raw_bytes
+# too would let a real regression in the exact columns pass as
+# "declared").
+SENTINEL_COLS = {"t29_compress_ratio": {"deflate_bytes", "ratio_ppm", "degenerate"}}
 
 def canon(con, rel):
     df = rel.df()
@@ -44,13 +47,28 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
-        if name in ROWS_SCHEMA_ONLY:
+        sentinels = SENTINEL_COLS.get(name, set())
+        if sentinels:
             bad = [c for c in got.columns if got[c].dtype != want[c].dtype]
+            # canon() sorted rows by ALL columns; sentinel values differ
+            # by declaration, so re-align both sides on the exact
+            # columns alone before comparing them
+            exact = [c for c in got.columns if c not in sentinels]
+            g2 = got[exact].sort_values(by=exact, kind="mergesort").reset_index(drop=True)
+            w2 = want[exact].sort_values(by=exact, kind="mergesort").reset_index(drop=True)
+            for c in exact:
+                if bad:
+                    continue
+                g, w = g2[c], w2[c]
+                neq = ~(g.eq(w) | (g.isna() & w.isna()))
+                if neq.any():
+                    bad.append(f"exact col {c} differs at row {int(neq.idxmax())}")
             if bad:
-                print(f"FAIL {name}: rows+schema-only dtype drift {bad}")
+                print(f"FAIL {name}: declared-sentinel compare: {bad[:3]}")
                 n_fail += 1
             else:
-                print(f"PASS {name} ({len(got)} rows; declared rows+schema only)")
+                print(f"PASS {name} ({len(got)} rows; sentinel cols "
+                      f"{sorted(sentinels)} excluded, rest exact)")
                 n_pass += 1
             continue
         import pandas as pd
