@@ -169,6 +169,9 @@ object BloomMembership {
       }
     }
 
+  /** Cache occupancy, for the reuse spec only. */
+  private[graft] def bcCacheSize: Int = bcCache.synchronized(bcCache.size())
+
   private def broadcastOf(spark: org.apache.spark.sql.SparkSession,
                           bytes: Array[Byte]) = bcCache.synchronized {
     val key = java.util.Base64.getEncoder.encodeToString(

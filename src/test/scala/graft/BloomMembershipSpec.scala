@@ -124,6 +124,31 @@ class BloomMembershipSpec extends SparkSpec {
       s"false negative on corpus key $i via the broadcast path"))
   }
 
+  test("broadcast probe cache: identical epoch bytes re-probed across " +
+      "batches reuse ONE broadcast (content-keyed), distinct bytes add") {
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[Array[Byte]].collect().head
+    // sized uniquely (12345/23456) so the bytes can't collide with
+    // entries other tests in this suite already cached — content
+    // keying is global by design
+    val a = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") < 5000), "key", 12345L))
+    val b = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") >= 5000), "key", 23456L))
+    val before = BloomMembership.bcCacheSize
+    // a loop RE-READS epoch bytes every batch — model that with a
+    // fresh array copy each probe; content keying must still hit
+    def probe(bs: Array[Byte]): Unit =
+      BloomMembership.flagSeenAny(batch, Seq(bs.clone()), "key", "f",
+        maxLiteralBytes = 0L).filter(col("f")).count()
+    probe(a); probe(a); probe(a)
+    assert(BloomMembership.bcCacheSize == before + 1,
+      "re-probing identical bytes must reuse the cached broadcast")
+    probe(b)
+    assert(BloomMembership.bcCacheSize == before + 2,
+      "distinct bytes must get their own broadcast")
+  }
+
   test("sizingOf/sameSizing: merge compatibility is decidable from " +
       "the header — equal sizing merges, different sizing must not") {
     def bytesOf(df: org.apache.spark.sql.DataFrame) =
