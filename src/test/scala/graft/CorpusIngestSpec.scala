@@ -557,6 +557,46 @@ class CorpusIngestSpec extends SparkSpec {
     assert(n == 0L, s"near-dup shipped $n docs against the compacted index")
   }
 
+  test("frontier-bloom compaction through start()'s compactEvery " +
+      "cadence: a chain grown past the trigger collapses mid-stream, " +
+      "replayed shipped docs still ship nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_bloomcs").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    // 600 urls per batch into 1000-sized blooms roll the chain every
+    // ~1.5 batches → ≥3 epochs by batch 5, when the cadence fires
+    def rows(b: Int) = (1 to 600)
+      .map(i => (s"https://site.com/b$b/p$i", b * 10000L + i,
+        good(b * 10000L + i)))
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(mem.toDF().toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, expectedItems = 1000L,
+      compactEvery = 5)
+    try {
+      (1 to 5).foreach { b => mem.addData(rows(b): _*); q.processAllAvailable() }
+    } finally q.stop()
+    def epochDirs(p: String) = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.matches("epoch=\\d+")).sorted.toSeq
+    assert(epochDirs(ub) == Seq("epoch=0"),
+      s"stream-cadence compaction left ${epochDirs(ub).mkString(",")}")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.getName.contains("__compact") || f.getName.contains("__old")))
+    // replaying a shipped batch against the rebuilt chain (batch form,
+    // fresh of the stream) must ship no duplicate
+    val shipped = spark.read.parquet(shards).count()
+    CorpusIngest.ingestBatch(rows(2).toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, expectedItems = 1000L)
+    assert(spark.read.parquet(shards)
+      .select("canon_url").distinct().count() ==
+      spark.read.parquet(shards).count(),
+      "replay across the stream-compacted frontier shipped a duplicate")
+    // anything the replay ships is an fp-heal (a doc the old chain
+    // dropped on a bloom false positive) — bounded by the chained-fpp
+    // budget, far under the batch size
+    assert(spark.read.parquet(shards).count() <= shipped + 30,
+      "replay shipped more than the fp-healing allowance")
+  }
+
   test("per-stage profile: the stage log times every driver action " +
       "and carries both bloom fill gauges") {
     val dir = Files.createTempDirectory("ingest_prof").toString
