@@ -1105,6 +1105,81 @@ object ScaleEvidencePack {
   }
 }
 
+/** Production-sized bloom PROBE micro-bench (VERDICT r16 item 3's
+  * done-criterion): at sketches past MaxLiteralBloomBytes the probe
+  * used to be a Scala UDF closing over the broadcast — correct but
+  * non-codegen, boxing every hash. The replacement is the native
+  * [[graft.plans.BloomContainsBc]] expression (broadcast handle in a
+  * codegen reference slot, primitive mightContainLong per row). This
+  * main builds a ≥100 MB sketch, probes tens of millions of rows
+  * through BOTH forms, and prints rows/s — the native row must meet
+  * or beat the UDF row. Args: [keys in sketch] [probe rows]. */
+object ScaleEvidenceBloomProbe {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nKeys = args.headOption.map(_.toLong).getOrElse(100000000L)
+    val nProbe = args.lift(1).map(_.toLong).getOrElse(50000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.BloomMembership
+
+    // sketch over nKeys hashed longs — 1e8 keys at 1% fpp serializes
+    // to ~120 MB, the production sizing the plan-literal path must
+    // never see
+    // coalesce the build input: each partial-aggregation task holds a
+    // full ~120 MB filter, so 32 partials would be ~4 GB of transient
+    // state for no speedup (the build is bit-OR bound, not CPU bound)
+    val (bytes, tBuild) = timed {
+      BloomMembership.sketch(
+        spark.range(nKeys).coalesce(8).select(col("id").as("k")), "k", nKeys)
+        .head().getAs[Array[Byte]](0)
+    }
+    println(f"[bloom-probe] sketch: $nKeys%,d keys -> " +
+      f"${bytes.length / 1024.0 / 1024.0}%.1f MB in ${tBuild}%.1f s " +
+      f"(literal threshold ${BloomMembership.MaxLiteralBloomBytes / 1024 / 1024} MB)")
+
+    // probe frame: half in-sketch, half fresh — localCheckpointed so
+    // both forms read identical cached blocks, no generator cost
+    val probe = spark.range(nProbe)
+      .select((col("id") % (2L * nKeys)).as("k"))
+      .localCheckpoint(true)
+
+    def run(tag: String, flagged: DataFrame): Unit = {
+      // warm once (broadcast ships + JIT), then measure median of 3
+      flagged.filter(col("__f")).count()
+      val times = (0 until 3).map { _ =>
+        timed(flagged.filter(col("__f")).count())._2
+      }.sorted
+      val t = times(1)
+      println(f"[bloom-probe] $tag: $nProbe%,d rows in ${t}%.2f s = " +
+        f"${nProbe / t / 1e6}%.1f M rows/s (median of 3)")
+    }
+
+    // the shipped path (native expression past the threshold)
+    run("native-expr", BloomMembership.flagSeenAny(
+      probe, Seq(bytes), "k", "__f", maxLiteralBytes = 0L))
+
+    // the pre-r17 form, reconstructed verbatim: a Scala UDF closing
+    // over the broadcast (boxes every hash, CodegenFallback)
+    val bc = spark.sparkContext.broadcast(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+    run("scala-udf", probe.withColumn("__f",
+      udf((h: Long) => bc.value.mightContainLong(h))
+        .apply(xxhash64(col("k")))))
+    spark.stop()
+  }
+}
+
 /** The FULL ingest loop (p10) with every optional stage on — encoding
   * repair (t38), trained quality gate (t35), exact + MinHash near-dup
   * (D1/D2/D9), drift fold (t36) — over a large synthetic crawl with

@@ -144,18 +144,18 @@ object BloomMembership {
   /** Broadcast cache for large probe sketches, keyed by content
     * digest (epoch bytes are immutable, but a loop RE-READS them every
     * batch, so identity-keying would re-broadcast ~150 MB per epoch
-    * per micro-batch; r16 review finding). Bounded LRU: an evicted or
-    * replaced entry's broadcast is destroyed EAGERLY — reclamation
-    * must not wait on a driver full GC when the entries are
-    * hundred-MB blocks. Capacity covers a compaction-bounded epoch
-    * chain with room for a rebuild's new bytes; max-size eviction only
-    * triggers when many distinct large sketches are probed in one
-    * process, exactly when freeing the oldest is wanted. Eviction
-    * UNPERSISTS (not destroys): executor copies — the memory that
-    * actually accumulates — are dropped eagerly, while the handle
-    * stays valid for any lazily-held plan that still references it
-    * (a destroyed broadcast would throw there); the driver-side block
-    * then falls to the ContextCleaner with the handle. */
+    * per micro-batch; r16 review finding). Bounded LRU; capacity
+    * covers a compaction-bounded epoch chain with room for a
+    * rebuild's new bytes, so max-size eviction only triggers when
+    * many distinct large sketches are probed in one process — exactly
+    * when freeing the oldest is wanted. Eviction UNPERSISTS (not
+    * destroys): executor copies — the memory that actually
+    * accumulates — are dropped eagerly, while the handle stays valid
+    * for any lazily-held plan that still references it (a destroyed
+    * broadcast would throw there; a later execution of such a plan
+    * just re-fetches the driver-side block — the re-probe case in
+    * BloomMembershipSpec); the driver-side block then falls to the
+    * ContextCleaner with the handle. */
   private val BcCacheMax = 16
   private lazy val bcCache =
     new java.util.LinkedHashMap[String,
@@ -189,19 +189,23 @@ object BloomMembership {
 
   /** One epoch's probe predicate on a precomputed xxhash64 column:
     * codegen'd literal `might_contain` below [[MaxLiteralBloomBytes]],
-    * broadcast-backed closure above (semantically identical —
-    * BloomMembershipSpec pins flag-equality across the threshold).
-    * Broadcasts are cached by content digest and reused across
-    * batches ([[broadcastOf]]). */
+    * codegen'd broadcast-backed [[graft.plans.BloomContainsBc]] above
+    * (semantically identical — BloomMembershipSpec pins flag-equality
+    * across the threshold). Broadcasts are cached by content digest
+    * and reused across batches ([[broadcastOf]]) — and because the
+    * cache hands back the same Broadcast instance, repeated probes of
+    * the same sketch build expressions that canonicalize EQUAL, batch
+    * over batch (ADVICE r16). */
   private def containsPred(spark: org.apache.spark.sql.SparkSession,
                            bytes: Array[Byte], hashCol: Column,
                            maxLiteralBytes: Long): Column =
     if (bytes.length <= maxLiteralBytes)
       call_function("graft_bloom_contains", lit(bytes), hashCol)
-    else {
-      val bc = broadcastOf(spark, bytes)
-      udf((h: Long) => bc.value.mightContainLong(h)).apply(hashCol)
-    }
+    else
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.BloomContainsBc(
+          org.apache.spark.sql.GraftColumnBridge.expression(hashCol),
+          broadcastOf(spark, bytes)))
 
   /** [[flagSeen]] chained over PER-EPOCH sketches (the re-shard path a
     * saturating frontier rolls onto — see CorpusIngest's BLOOM

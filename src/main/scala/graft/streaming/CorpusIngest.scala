@@ -598,8 +598,13 @@ object CorpusIngest {
     // runs only once the active increments have themselves rolled —
     // chain length stays bounded in [1, 3] at any cadence that fires
     // at least once per rollover period.
+    // the trigger counts committed epoch DIRS (listing only — ADVICE
+    // r16: loading the chain's bytes here paid ~150 MB × length per
+    // frontier per cadence even when no rebuild fires); a legacy
+    // pre-epoch store lists no epoch dirs and counts 0 — below any
+    // trigger, same outcome as the old byte-loading count of 1
     def rebuild(path: String, keys: => DataFrame, keyCol: String): Unit =
-      if (loadBloomEpochs(ss, path).size > 2 && shipped > 0) {
+      if (committedEpochs(ss, path).size > 2 && shipped > 0) {
         val expected = math.max(1L, math.ceil(shipped * headroom).toLong)
         val (bfs, broot) = fsOf(ss, path)
         BloomMembership.sketch(keys, keyCol, expected)
@@ -631,6 +636,26 @@ object CorpusIngest {
     * crash mid-migration are already-merged garbage). */
   private def loadBloomEpochs(ss: SparkSession,
                               path: String): Seq[(Int, Array[Byte])] = {
+    val epochs = committedEpochs(ss, path)
+    val (fs, root) = fsOf(ss, path)
+    if (epochs.isEmpty && fs.exists(root) && legacyFiles(fs, root).nonEmpty)
+      return ss.read.parquet(path).take(1).headOption
+        .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+        .map(0 -> _).toSeq
+    epochs.flatMap { e =>
+      ss.read.parquet(s"$path/epoch=$e").take(1).headOption
+        .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+        .map(e -> _)
+    }
+  }
+
+  /** Committed epoch ids (sorted), after the full recovery pass —
+    * the driver-side LISTING half of [[loadBloomEpochs]], split out so
+    * the compaction TRIGGER can count the chain without deserializing
+    * every epoch's sketch bytes (ADVICE r16: the >2 check loaded
+    * potentially ~150 MB × chain length per frontier per cadence even
+    * when no rebuild fires). */
+  private def committedEpochs(ss: SparkSession, path: String): Seq[Int] = {
     val (fs, root) = fsOf(ss, path)
     // a crashed whole-store compaction swap first ([[compactFrontierBlooms]]
     // twin-swaps the ROOT), then pre-epoch fold swaps
@@ -651,18 +676,9 @@ object CorpusIngest {
         p.getName.matches("epoch=\\d+") &&
         !graft.sources.DirSwap.hasData(fs, p))
       .foreach(p => fs.delete(p, true))
-    val epochs = fs.listStatus(root).map(_.getPath.getName)
+    fs.listStatus(root).map(_.getPath.getName)
       .filter(_.matches("epoch=\\d+"))
-      .map(_.stripPrefix("epoch=").toInt).sorted
-    if (epochs.isEmpty && legacyFiles(fs, root).nonEmpty)
-      return ss.read.parquet(path).take(1).headOption
-        .flatMap(r => Option(r.getAs[Array[Byte]](0)))
-        .map(0 -> _).toSeq
-    epochs.toSeq.flatMap { e =>
-      ss.read.parquet(s"$path/epoch=$e").take(1).headOption
-        .flatMap(r => Option(r.getAs[Array[Byte]](0)))
-        .map(e -> _)
-    }
+      .map(_.stripPrefix("epoch=").toInt).sorted.toSeq
   }
 
   private def fsOf(ss: SparkSession, path: String) =

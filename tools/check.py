@@ -56,10 +56,20 @@ def main(sf_dir, out_dir):
             exact = [c for c in got.columns if c not in sentinels]
             g2 = got[exact].sort_values(by=exact, kind="mergesort").reset_index(drop=True)
             w2 = want[exact].sort_values(by=exact, kind="mergesort").reset_index(drop=True)
+            import numpy as np
             for c in exact:
                 if bad:
                     continue
                 g, w = g2[c], w2[c]
+                # same bit-exact float rule as the main path (ADVICE
+                # r16: Series.eq treats 0.0 == -0.0; the driver's hash
+                # is over bytes)
+                if g.dtype.kind == 'f' and w.dtype.kind == 'f':
+                    neq = g.to_numpy(dtype='f8').view('i8') != \
+                          w.to_numpy(dtype='f8').view('i8')
+                    if neq.any():
+                        bad.append(f"exact col {c} differs at row {int(np.argmax(neq))}")
+                    continue
                 neq = ~(g.eq(w) | (g.isna() & w.isna()))
                 if neq.any():
                     bad.append(f"exact col {c} differs at row {int(neq.idxmax())}")
