@@ -10,6 +10,16 @@ object Bench {
     // regression (VERDICT r5 item 7 — three rounds of uniform
     // "uplift" noise in the driver artifact)
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // 5-min load average at bench START, recorded in the artifact
+    // (VERDICT r16 item 7): a bench taken in the wake of a 32-core
+    // evidence run measures +10-20% across the whole catalog — the
+    // r16 drift triage separated such runs by hand; the artifact now
+    // carries the precondition so a dirty run is self-identifying
+    // (round_check refuses to take a binding run over the threshold).
+    val loadavg5m = scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+        .split("\\s+")(1).toDouble).getOrElse(-1.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -250,7 +260,7 @@ object Bench {
         ",\"max\":" + r3(mx) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"queries":$qs,"ann_split":$sp,"spread":$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"loadavg_5m":${r3(loadavg5m)},"queries":$qs,"ann_split":$sp,"spread":$spread,"sf":"$sfDir","n_queries":${results.size},"total_sec":${r3(total)}}"""
     println(line)
     // durability: the driver keeps only a ~2000-char stdout tail, which
     // has truncated 40 of 119 per-query medians in past rounds — also

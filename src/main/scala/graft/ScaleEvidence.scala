@@ -1105,6 +1105,128 @@ object ScaleEvidencePack {
   }
 }
 
+/** SEEN→SHIPPED frontier-narrowing cost study (VERDICT r16 item 6):
+  * the URL frontier historically learns every canonical url SEEN
+  * (kept or dropped), but the bloom-chain compaction rebuilds it from
+  * the shard store, which only holds SHIPPED urls — so a re-crawl of
+  * a previously-DROPPED url re-pays the gate compute ONCE after each
+  * compaction (and re-enters the bloom; no duplicate can ship). This
+  * main prices that re-pay directly:
+  *
+  *   1. Seed batches: clean docs that ship + Gopher-failing docs that
+  *      drop (their urls are SEEN) — blooms sized to roll the epoch
+  *      chain past the compaction trigger.
+  *   2. RECRAWL A (pre-compaction): the dropped rows verbatim — every
+  *      url is in the frontier, the batch dies map-side at the probe.
+  *   3. runMaintenance: the chain compacts to shipped-only.
+  *   4. RECRAWL B (post-compaction): the same rows — every url passes
+  *      the narrowed frontier, re-pays repair + Gopher + hashing, and
+  *      re-drops; the fold re-learns the urls.
+  *   5. RECRAWL C: the same rows once more — map-side dropped again.
+  *
+  * B − A (≈ B − C) is the per-recrawl-batch re-pay; the log paragraph
+  * in tools/ records it next to the narrowing's scaladoc analysis.
+  * Args: [cleanPerBatch] [dropPerBatch] [seedBatches]. */
+object ScaleEvidenceRecrawl {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cleanPerBatch = args.headOption.map(_.toInt).getOrElse(50000)
+    val dropPerBatch = args.lift(1).map(_.toInt).getOrElse(15000)
+    val seedBatches = args.lift(2).map(_.toInt).getOrElse(4)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.streaming.CorpusIngest
+
+    // clean docs pass gopherShape; droppers fail it (stopword-free
+    // digit soup — deterministic re-drop on every recrawl)
+    def pick(tag: String, seed: org.apache.spark.sql.Column, j: Int) =
+      concat(lit("c"), pmod(xxhash64(lit(tag), seed, lit(j)), lit(100000L)))
+    def cleanText(seed: org.apache.spark.sql.Column) =
+      concat(lit("s1 s2 the mid and the "),
+        concat_ws(" ", (0 until 48).map(j => pick("w", seed, j)): _*),
+        lit(" café"), pmod(xxhash64(lit("c"), seed), lit(1000L)))
+    def dropText(seed: org.apache.spark.sql.Column) =
+      concat_ws(" ", (0 until 48).map(j =>
+        pmod(xxhash64(lit("d"), seed, lit(j)), lit(1000000L)).cast("string")): _*)
+
+    val dir = java.nio.file.Files.createTempDirectory("recrawl").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    val perBatch = cleanPerBatch + dropPerBatch
+    // sized BELOW the per-batch url count so every fold rolls the
+    // chain — past the >2 trigger by the maintenance call
+    val expectedItems = (perBatch * 0.8).toLong
+
+    def seedBatch(b: Int) = {
+      val base = b.toLong * perBatch
+      spark.range(base, base + perBatch)
+        .select(col("id").as("doc_id"),
+          concat(lit("https://src"), pmod(col("id"), lit(20L)),
+            lit(".example.com/doc"), col("id")).as("url"))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(perBatch.toLong)) < cleanPerBatch,
+            cleanText(col("doc_id"))).otherwise(dropText(col("doc_id"))))
+        .localCheckpoint(true)
+    }
+    // the recrawl rows: batch 0's droppers, verbatim
+    val recrawl = seedBatch(0)
+      .filter(pmod(col("doc_id"), lit(perBatch.toLong)) >= cleanPerBatch)
+      .localCheckpoint(true)
+
+    var shipped = 0L
+    val (_, tSeed) = timed {
+      (0 until seedBatches).foreach { b =>
+        shipped += CorpusIngest.ingestBatch(seedBatch(b), ub, tb, shards,
+          numShards = 16, expectedItems = expectedItems,
+          repairEncoding = true)
+      }
+    }
+    def epochsOf(p: String) = Option(new java.io.File(p).listFiles())
+      .map(_.count(_.getName.matches("epoch=\\d+"))).getOrElse(0)
+    println(f"[recrawl-seed] $seedBatches batches x $perBatch%,d " +
+      f"($cleanPerBatch%,d clean + $dropPerBatch%,d gopher-dropped): " +
+      f"$shipped%,d shipped in ${tSeed}%.1f s; url chain ${epochsOf(ub)} epochs")
+
+    def runRecrawl(tag: String): Double = {
+      val buf = scala.collection.mutable.Buffer.empty[(String, Double)]
+      val (n, t) = timed {
+        CorpusIngest.ingestBatch(recrawl, ub, tb, shards, numShards = 16,
+          expectedItems = expectedItems, repairEncoding = true,
+          stageLog = Some(buf))
+      }
+      val stages = buf.filterNot(r =>
+        r._1.startsWith("fill:") || r._1.startsWith("epochs:"))
+      println(f"[recrawl-$tag] $dropPerBatch%,d previously-dropped urls: " +
+        f"$n shipped (must be 0), ${t}%.2f s total; " +
+        stages.map { case (s, v) => f"$s=${v}%.2f" }.mkString(", "))
+      require(n == 0, s"a previously-dropped doc shipped in $tag")
+      t
+    }
+
+    val tA = runRecrawl("A-pre-compaction ")
+    val (_, tM) = timed {
+      CorpusIngest.runMaintenance(spark, ub, tb, shards)
+    }
+    println(f"[recrawl-maint] compaction ${tM}%.1f s; url chain now " +
+      f"${epochsOf(ub)} epoch(s) — frontier narrowed to SHIPPED")
+    val tB = runRecrawl("B-post-compaction")
+    val tC = runRecrawl("C-repaid-once    ")
+    println(f"[recrawl-cost] re-pay for a 100%% previously-dropped " +
+      f"$dropPerBatch%,d-url batch: ${tB - tA}%.2f s vs pre-compaction " +
+      f"(and ${tB - tC}%.2f s vs the post-re-learn steady state) — " +
+      "paid ONCE per dropped url per compaction; store rows " +
+      s"${spark.read.parquet(shards).count()} == shipped $shipped")
+    spark.stop()
+  }
+}
+
 /** Production-sized bloom PROBE micro-bench (VERDICT r16 item 3's
   * done-criterion): at sketches past MaxLiteralBloomBytes the probe
   * used to be a Scala UDF closing over the broadcast — correct but
@@ -1312,9 +1434,19 @@ object ScaleEvidenceIngest {
     val (urlCap, keyCap) =
       if (capOverride > 0) (capOverride, capOverride)
       else (CorpusIngest.MaxBroadcastUrlRows, CorpusIngest.MaxBroadcastKeyRows)
+    // wide-payload runs checkpoint payload frames DISK_ONLY (VERDICT
+    // r16 item 4): the 20 KB study measured the near-dup gate
+    // inflating 3→11 s/batch from evicting multi-GB memory-first
+    // payload checkpoint blocks; past ~4 KB mean width the write-once
+    // read-back level is the right physical form
+    val payloadLvl =
+      if (meanBytes > 4096)
+        Some(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      else None
     println(f"[ingest-shape] padWords=$padWords mean doc $meanBytes%,d B; " +
       s"broadcast caps url=$urlCap key=$keyCap" +
-      (if (capOverride > 0) " (OVERRIDDEN -> shuffled-fallback form)" else ""))
+      (if (capOverride > 0) " (OVERRIDDEN -> shuffled-fallback form)" else "") +
+      (if (payloadLvl.isDefined) "; payload checkpoints DISK_ONLY" else ""))
     val (_, tAll) = timed {
       for (b <- 0 until nBatches) {
         // materialized ONCE before ingest, like a real crawl batch
@@ -1337,7 +1469,8 @@ object ScaleEvidenceIngest {
             expectedItems = expectedItems, qualityGate = gate,
             driftDir = Some(dd), repairEncoding = true, nearDup = nd,
             stageLog = Some(stageBuf),
-            maxBroadcastUrlRows = urlCap, maxBroadcastKeyRows = keyCap)
+            maxBroadcastUrlRows = urlCap, maxBroadcastKeyRows = keyCap,
+            payloadStorage = payloadLvl)
         }
         shipped += n
         stageRows += b -> stageBuf.toSeq
@@ -1348,22 +1481,26 @@ object ScaleEvidenceIngest {
           println("[ingest-gauges] batch " + b + ": " + stageBuf.collect {
             case (k, v) if k.startsWith("fill:") => f"$k=${v * 100}%.1f%%"
             case (k, v) if k.startsWith("epochs:") => f"$k=${v}%.0f"
+            case (k, v) if k.startsWith("ndidx:") => f"$k=${v}%.0f"
           }.mkString(", "))
-          if ((b + 1) % compactEvery == 0) {
+          // the STAGGERED schedule start() uses (r17): one phase per
+          // firing batch, each timed separately — the per-pause cap is
+          // the evidence item 2 asks for
+          val phaseNames = Seq("shard", "ndindex", "drift", "bloom")
+          CorpusIngest.maintenancePhasesDue(b, compactEvery).foreach { k =>
             def epochsOf(p: String) = Option(new java.io.File(p).listFiles())
               .map(_.count(_.getName.matches("epoch=\\d+"))).getOrElse(0)
-            val (eu0, et0) = (epochsOf(ub), epochsOf(tb))
-            val idxFiles0 = Option(new java.io.File(nidx).listFiles())
+            def idxFiles = Option(new java.io.File(nidx).listFiles())
               .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+            val (eu0, et0, if0) = (epochsOf(ub), epochsOf(tb), idxFiles)
             val (_, tM) = timed {
-              CorpusIngest.runMaintenance(spark, ub, tb, shards, nd, Some(dd))
+              CorpusIngest.runMaintenancePhase(spark, k, ub, tb, shards,
+                nd, Some(dd))
             }
-            println(f"[ingest-maint] after batch $b: ${tM}%.1f s inline " +
-              f"pause (the documented compactEvery spike); url epochs " +
+            println(f"[ingest-maint] after batch $b: phase ${phaseNames(k)} " +
+              f"${tM}%.1f s inline pause (staggered cadence); url epochs " +
               f"$eu0->${epochsOf(ub)}, text epochs $et0->${epochsOf(tb)}, " +
-              s"index files $idxFiles0->" +
-              Option(new java.io.File(nidx).listFiles())
-                .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0))
+              s"index files $if0->$idxFiles")
           }
         }
       }
@@ -1378,10 +1515,16 @@ object ScaleEvidenceIngest {
     // evidence: the persisted band index grows ~linearly with every
     // batch, so FLAT neardup_gate times across batches show per-batch
     // work no longer scales with the index (the semi-join narrowing).
-    val stageNames = stageRows.head._2.map(_._1)
+    // names unioned across batches (first-appearance order): the
+    // ndidx gauges only appear once an index store exists (batch 1+)
+    val stageNames = stageRows.flatMap(_._2.map(_._1)).distinct
       .filterNot(n => n.startsWith("fill:") || n.startsWith("epochs:"))
     println("[ingest-stages] stage          " +
       stageRows.map(r => f"b${r._1}%-7d").mkString)
+    // the tiered-probe gauges ride the stage table too (integer rows:
+    // base files read / hot keys / tail files per batch) — the
+    // bounded-scan evidence VERDICT r16 item 1 asks for
+
     stageNames.foreach { s =>
       val cells = stageRows.map { case (_, rows) =>
         rows.find(_._1 == s).map(r => f"${r._2}%-7.2f").getOrElse("-      ")

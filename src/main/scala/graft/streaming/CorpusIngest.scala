@@ -98,17 +98,19 @@ import graft.sources.ShardSink
   * MAINTENANCE: appendShards leaves one file per touched shard per
   * micro-batch, the near-dup gate and drift monitor each append one
   * increment file set per batch, and the frontier blooms grow an
-  * epoch per fill rollover; [[start]] runs [[runMaintenance]]
+  * epoch per fill rollover; [[start]] runs the maintenance quartet
   * ([[graft.sources.ShardSink.compactShards]],
   * [[compactNearDupIndex]], [[Drift.compactStore]],
-  * [[compactFrontierBlooms]]) automatically every `compactEvery`
-  * batches when set (VERDICT r14 item 3; bloom chain r15 item 2) —
-  * manifests, resume order, rank pushdown, gate semantics, and the
-  * drift card are invariant (ShardSinkSpec, CorpusIngestSpec,
-  * StreamingDriftSpec), and the bloom rebuild's one documented
-  * narrowing is analyzed in [[compactFrontierBlooms]]. Batch callers
-  * compact on their own cadence. The firing batch pays the pass
-  * inline — see [[start]]'s LATENCY note.
+  * [[compactFrontierBlooms]]) automatically on the `compactEvery`
+  * cadence when set (VERDICT r14 item 3; bloom chain r15 item 2),
+  * STAGGERED one phase per firing batch so the inline pause is capped
+  * at the largest single pass, not the quartet's sum (r16 item 2; see
+  * [[start]]'s LATENCY note) — manifests, resume order, rank
+  * pushdown, gate semantics, and the drift card are invariant
+  * (ShardSinkSpec, CorpusIngestSpec, StreamingDriftSpec), and the
+  * bloom rebuild's one documented narrowing is analyzed in
+  * [[compactFrontierBlooms]]. Batch callers compact on their own
+  * cadence via [[runMaintenance]].
   */
 object CorpusIngest {
 
@@ -160,12 +162,25 @@ object CorpusIngest {
                   stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None,
                   rolloverAt: Double = BloomMembership.FillWarnAt,
                   maxBroadcastUrlRows: Long = MaxBroadcastUrlRows,
-                  maxBroadcastKeyRows: Long = MaxBroadcastKeyRows): Long = {
+                  maxBroadcastKeyRows: Long = MaxBroadcastKeyRows,
+                  payloadStorage: Option[org.apache.spark.storage.StorageLevel] = None): Long = {
     val ss = batch.sparkSession
     def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val a = f
       stageLog.foreach(_ += name -> (System.nanoTime() - t0) / 1e9); a
     }
+    // PAYLOAD-bearing checkpoints take the caller's storage level
+    // (VERDICT r16 item 4): the default memory-first level is right
+    // for the ~hundreds-of-bytes catalog shape, but a wide-payload
+    // crawl (the 20 KB width study) measured the near-dup gate
+    // inflating 3→11 s/batch purely from evicting multi-GB payload
+    // checkpoint blocks under memory pressure — DISK_ONLY past a
+    // width threshold writes them once and reads them back instead of
+    // thrashing the unified region. Key-table checkpoints (winners,
+    // band rows) stay memory-first: they are payload-free and hot.
+    def ckptPayload(df: DataFrame): DataFrame =
+      payloadStorage.fold(df.localCheckpoint(true))(
+        lvl => df.localCheckpoint(true, lvl))
 
     // persisted frontier state is read ONCE per batch; the epoch
     // bytes feed both the probes and the end-of-batch merges (r15 —
@@ -219,14 +234,13 @@ object CorpusIngest {
       // below stays lazy — both its branches, and both downstream
       // consumers (gates chain, url-bloom fold), derive map-side off
       // these checkpoint blocks
-      val joined = batch
+      val joined = ckptPayload(batch
         .withColumn("canon_url", TextOps.canonicalizeUrl(col("url")))
         .alias("b")
         .join(wj, col("b.canon_url") <=> col("w.canon_url") &&
           col("b.doc_id") === col("w.doc_id"))
         .select(col("b.canon_url"), col("b.doc_id"), text.as("text"),
-          col("w.__copies").as("__copies"))
-        .localCheckpoint(true)
+          col("w.__copies").as("__copies")))
       joined.filter(col("__copies") === 1).drop("__copies")
         .unionByName(joined.filter(col("__copies") > 1)
           .groupBy("canon_url", "doc_id").agg(min(col("text")).as("text"))
@@ -260,7 +274,7 @@ object CorpusIngest {
     val fresh = timed("gates_exact_dedup") {
       val hashed0 = gated.withColumn("text_hash", xxhash64(col("text")))
       val hashed =
-        if (qualityGate.isDefined) hashed0.localCheckpoint(true) else hashed0
+        if (qualityGate.isDefined) ckptPayload(hashed0) else hashed0
       // winner per text hash, carrying how many rows share its
       // (hash, doc_id) — the frontier's verbatim-copy defense again:
       // the same doc_id under two canonical urls with identical text
@@ -285,13 +299,13 @@ object CorpusIngest {
           col("h.doc_id") === col("w.doc_id"))
         .select(col("h.text_hash"), col("h.doc_id"), col("h.canon_url"),
           col("h.text"), col("w.__copies").as("__copies"))
-      joined.filter(col("__copies") === 1).drop("__copies")
-        .unionByName(joined.filter(col("__copies") > 1)
-          .groupBy("text_hash", "doc_id")
-          .agg(min(struct(col("canon_url"), col("text"))).as("__r"))
-          .select(col("text_hash"), col("doc_id"), col("__r.canon_url"),
-            col("__r.text")))
-        .localCheckpoint(true) // one execution feeds sink + both blooms
+      ckptPayload( // one execution feeds sink + both blooms
+        joined.filter(col("__copies") === 1).drop("__copies")
+          .unionByName(joined.filter(col("__copies") > 1)
+            .groupBy("text_hash", "doc_id")
+            .agg(min(struct(col("canon_url"), col("text"))).as("__r"))
+            .select(col("text_hash"), col("doc_id"), col("__r.canon_url"),
+              col("__r.text"))))
     }
 
     // 3b. optional near-dup stage: band the batch ONCE, then
@@ -308,11 +322,11 @@ object CorpusIngest {
           nd.k, nd.numHashes, nd.bands).localCheckpoint(true)
       }
       val kept = timed("neardup_gate") {
-        fresh.join(
-            nearDupDrops(batchIdx, loadIndex(ss, nd.indexDir), nd.minBands,
-              maxBroadcastKeyRows),
-            Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+        ckptPayload(fresh.join(
+          nearDupDrops(batchIdx,
+            narrowedCorpusIndex(ss, nd.indexDir, batchIdx, stageLog),
+            nd.minBands, maxBroadcastKeyRows),
+          Seq("doc_id"), "left_anti"))
       }
       timed("neardup_append") {
         batchIdx.join(kept.select("doc_id"),
@@ -449,26 +463,41 @@ object CorpusIngest {
     Drift.cardFromStore(spark, driftDir)
 
   /** Start the streaming form: a (url, doc_id, text) stream through
-    * [[ingestBatch]] per micro-batch. `compactEvery` > 0 runs
-    * [[runMaintenance]] (shard compaction, near-dup index compaction,
-    * drift-store compaction, frontier-bloom chain compaction) after
-    * every `compactEvery`-th batch (VERDICT r14 item 3 — the loop owns
-    * its own maintenance cadence; manifests/resume/pushdown/gate
-    * semantics invariant, CorpusIngestSpec exercises it through the
-    * loop). Default off: operators who compact off-peak pass 0 and
-    * keep the old contract.
+    * [[ingestBatch]] per micro-batch. `compactEvery` > 0 runs the
+    * maintenance quartet (shard compaction, near-dup index compaction,
+    * drift-store compaction, frontier-bloom chain compaction) on that
+    * cadence (VERDICT r14 item 3 — the loop owns its own maintenance;
+    * manifests/resume/pushdown/gate semantics invariant,
+    * CorpusIngestSpec exercises it through the loop), STAGGERED one
+    * phase per firing batch (VERDICT r16 item 2): phase k of
+    * [[runMaintenancePhase]] fires on batches where
+    * `(batchId + 1 - k) % compactEvery == 0` — shards first at batch
+    * `compactEvery`, then the index / drift / bloom passes on the
+    * next three batches, each phase repeating every `compactEvery`
+    * batches thereafter. Default off: operators who compact off-peak
+    * pass 0 and keep the old contract.
     *
-    * LATENCY: maintenance runs INLINE in foreachBatch, so the batch it
-    * fires on pays the full pass before the next batch starts — each
-    * compaction rewrites its whole store, so the spike scales with
-    * corpus size, not batch size (~1 s at 200k docs locally; minutes
-    * at real shard counts). That is the deliberate trade of a
-    * self-maintaining loop with exactly-once-per-cadence semantics
-    * riding the checkpointed batchId: a concurrent compactor would
-    * race the very batch writing the stores it rewrites. Operators
-    * who cannot absorb the spike should leave compactEvery = 0 and
-    * run [[runMaintenance]] themselves off-peak while the stream is
-    * stopped. */
+    * LATENCY: a firing batch pays its phase INLINE in foreachBatch
+    * before the next batch starts — each compaction rewrites its
+    * whole store, so the spike scales with corpus size, not batch
+    * size. Staggering caps any single pause at the LARGEST SINGLE
+    * pass instead of the quartet's sum (r16 measured the monolithic
+    * block at 26.5 s on a 708k-doc store; the shard pass dominates) —
+    * sound because each store's swap is independent and crash-safe
+    * ([[graft.sources.DirSwap]]), and no pass reads a store another
+    * pass writes mid-flight (the bloom rebuild reads the SHARD store,
+    * whose content is identical before and after its own compaction).
+    * With compactEvery < 4 the offsets wrap and phases share firing
+    * batches (compactEvery = 1 degenerates to the full quartet per
+    * batch). Exactly-once-per-cadence still rides the checkpointed
+    * batchId: monotonic across restarts, so a loop that restarts
+    * every few hundred batches still compacts on schedule. Operators
+    * who cannot absorb even the single-pass spike should leave
+    * compactEvery = 0 and run [[runMaintenance]] off-peak while the
+    * stream is stopped.
+    *
+    * `payloadStorage` forwards to [[ingestBatch]]'s wide-payload
+    * checkpoint knob. */
   def start(stream: DataFrame, urlBloomPath: String, textBloomPath: String,
             shardDir: String, numShards: Int = 8,
             expectedItems: Long = 100000L,
@@ -477,51 +506,75 @@ object CorpusIngest {
             repairEncoding: Boolean = false,
             nearDup: Option[NearDupGate] = None,
             compactEvery: Int = 0,
-            rolloverAt: Double = BloomMembership.FillWarnAt): StreamingQuery = {
+            rolloverAt: Double = BloomMembership.FillWarnAt,
+            payloadStorage: Option[org.apache.spark.storage.StorageLevel] = None): StreamingQuery = {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, urlBloomPath, textBloomPath, shardDir,
           numShards, expectedItems, qualityGate, driftDir, repairEncoding,
-          nearDup, rolloverAt = rolloverAt)
-        // cadence keys off the STREAMING batchId, not a process-local
-        // counter (r15 review finding): with a checkpointed stream the
-        // id is monotonic across restarts, so a loop that restarts
-        // every few hundred batches still compacts on schedule
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          runMaintenance(batch.sparkSession, urlBloomPath, textBloomPath,
-            shardDir, nearDup, driftDir)
+          nearDup, rolloverAt = rolloverAt, payloadStorage = payloadStorage)
+        if (compactEvery > 0)
+          maintenancePhasesDue(batchId, compactEvery).foreach(k =>
+            runMaintenancePhase(batch.sparkSession, k, urlBloomPath,
+              textBloomPath, shardDir, nearDup, driftDir))
         ()
       }
       .start()
   }
 
-  /** One maintenance pass over every store the loop owns: shard
-    * compaction ([[graft.sources.ShardSink.compactShards]]), near-dup
-    * index compaction ([[compactNearDupIndex]]), drift-store
-    * compaction ([[Drift.compactStore]]), frontier-bloom chain
-    * compaction ([[compactFrontierBlooms]]). [[start]] runs this on
-    * the `compactEvery` cadence; batch/off-peak callers invoke it
-    * directly — NEVER concurrently with an in-flight [[ingestBatch]]
-    * (every store swap assumes the single-writer loop). */
+  /** Number of maintenance phases (see [[runMaintenancePhase]]). */
+  val MaintenancePhases = 4
+
+  /** The phases due after `batchId` on a `compactEvery` cadence —
+    * phase k's first firing is batch `compactEvery + k - 1`
+    * (0-indexed), repeating every `compactEvery` batches; the
+    * staggering contract [[start]] documents. */
+  private[graft] def maintenancePhasesDue(batchId: Long,
+                                          compactEvery: Int): Seq[Int] =
+    (0 until MaintenancePhases).filter { k =>
+      val n = batchId + 1 - k
+      n > 0 && n % compactEvery == 0
+    }
+
+  /** One maintenance PHASE over the stores the loop owns: 0 = shard
+    * compaction ([[graft.sources.ShardSink.compactShards]]), 1 =
+    * near-dup index compaction ([[compactNearDupIndex]]), 2 =
+    * drift-store compaction ([[Drift.compactStore]]), 3 =
+    * frontier-bloom chain compaction ([[compactFrontierBlooms]]).
+    * [[start]] staggers these across consecutive firing batches;
+    * [[runMaintenance]] runs all four for off-peak callers. NEVER
+    * call concurrently with an in-flight [[ingestBatch]] (every store
+    * swap assumes the single-writer loop). */
+  def runMaintenancePhase(ss: SparkSession, phase: Int,
+                          urlBloomPath: String, textBloomPath: String,
+                          shardDir: String,
+                          nearDup: Option[NearDupGate] = None,
+                          driftDir: Option[String] = None): Unit =
+    phase match {
+      case 0 =>
+        val (fs, root) = fsOf(ss, shardDir)
+        if (fs.exists(root)) // every batch so far may have shipped 0
+          ShardSink.compactShards(ss, shardDir, "doc_id")
+      case 1 => nearDup.foreach(nd => compactNearDupIndex(ss, nd.indexDir))
+      case 2 => driftDir.foreach(dd => Drift.compactStore(ss, dd))
+      case 3 => compactFrontierBlooms(ss, urlBloomPath, textBloomPath,
+        shardDir)
+      case other => throw new IllegalArgumentException(
+        s"maintenance phase must be in [0, $MaintenancePhases), got $other")
+    }
+
+  /** One FULL maintenance pass — all [[MaintenancePhases]] phases of
+    * [[runMaintenancePhase]] in order — for batch/off-peak callers
+    * compacting on their own schedule while the stream is stopped.
+    * [[start]] staggers the phases instead (one per firing batch) to
+    * cap the inline pause. */
   def runMaintenance(ss: SparkSession, urlBloomPath: String,
                      textBloomPath: String, shardDir: String,
                      nearDup: Option[NearDupGate] = None,
-                     driftDir: Option[String] = None): Unit = {
-    val (fs, root) = fsOf(ss, shardDir)
-    if (fs.exists(root)) // every batch so far may have shipped 0
-      ShardSink.compactShards(ss, shardDir, "doc_id")
-    nearDup.foreach(nd => compactNearDupIndex(ss, nd.indexDir))
-    driftDir.foreach(dd => Drift.compactStore(ss, dd))
-    compactFrontierBlooms(ss, urlBloomPath, textBloomPath, shardDir)
-  }
-
-  private def loadIndex(ss: SparkSession, path: String): DataFrame = {
-    import ss.implicits._
-    val (fs, target) = fsOf(ss, path)
-    graft.sources.DirSwap.recover(fs, target, "__compact")
-    if (fs.exists(target)) ss.read.parquet(path)
-    else Seq.empty[(Long, Int, Long)].toDF("doc", "band", "bucket")
-  }
+                     driftDir: Option[String] = None): Unit =
+    (0 until MaintenancePhases).foreach(k =>
+      runMaintenancePhase(ss, k, urlBloomPath, textBloomPath, shardDir,
+        nearDup, driftDir))
 
   /** Maintenance for the near-dup band index: the ingest loop APPENDS
     * survivors' band rows every micro-batch (one file per batch), so
@@ -530,11 +583,18 @@ object CorpusIngest {
     * index (band, bucket)-clustered — one probe-ordered file per
     * ~`targetFileBytes` — behind [[graft.sources.DirSwap]]'s
     * rename-only twin swap (crash at any point leaves a complete
-    * copy; [[loadIndex]] recovers before every read). Content is
+    * copy; [[narrowedCorpusIndex]] recovers before every read).
+    * Content is
     * row-identical, so the gate's semantics are untouched — the probe
     * just reads a compact, clustered store. [[start]] runs this with
     * the `compactEvery` cadence when the near-dup gate is on; batch
-    * callers compact on their own schedule. */
+    * callers compact on their own schedule.
+    *
+    * After the swap this also (re)builds the index KEY SUMMARY
+    * sidecar ([[writeIndexSidecar]]) the tiered per-batch probe
+    * ([[narrowedCorpusIndex]]) prunes with — one extra column-pruned
+    * pass over the data just rewritten, on the maintenance cadence,
+    * not the batch path (VERDICT r16 item 1). */
   def compactNearDupIndex(ss: SparkSession, indexDir: String,
                           targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val (fs, target) = fsOf(ss, indexDir)
@@ -544,6 +604,221 @@ object CorpusIngest {
       targetFileBytes, clusterCols = Seq("band", "bucket"))
     graft.sources.DirSwap.swap(fs, target,
       new org.apache.hadoop.fs.Path(indexDir + "__compact"))
+    writeIndexSidecar(ss, indexDir)
+  }
+
+  /** False-positive rate of the index key-summary bloom: each false
+    * positive only promotes one batch key into the pruned base scan
+    * (no correctness effect — the exact join still decides), so the
+    * rate trades sidecar SIZE against scan narrowing: at 0.001 a
+    * 640k-key batch leaks ~640 extra hot keys and the filter costs
+    * ~14.4 bits per index key (~1.8 GB at a 10⁹-row index — the same
+    * order as the frontier blooms the loop already carries; raise the
+    * fpp to shrink it at the price of a wider hot set). */
+  val IndexSidecarFpp: Double = 0.001
+
+  /** Past this many hot keys the driver-side per-file range pruning
+    * is skipped (the collect would be the bottleneck) and every base
+    * file is read — the bloom narrowing still applies through the hot
+    * semi-join. ~1M keys ≈ 16 MB collected. */
+  private[graft] val MaxHotKeysForFilePrune: Long = 1000000L
+
+  private def sidecarPath(indexDir: String): String = indexDir + "_keys"
+
+  /** Build the index KEY SUMMARY sidecar from the CURRENT (just
+    * compacted) index: one bloom over the index's (band, bucket) keys
+    * plus, per data file, the lexicographic (band, bucket) min/max
+    * the clustered rewrite established — everything
+    * [[narrowedCorpusIndex]] needs to prune the per-batch probe scan.
+    * One row, written behind a DirSwap twin; a sidecar that does not
+    * exactly describe a PREFIX of the current file set is ignored at
+    * read time, so any crash here just means full-scan probes until
+    * the next compaction. */
+  private[graft] def writeIndexSidecar(ss: SparkSession,
+                                       indexDir: String): Unit = {
+    import ss.implicits._
+    val (fs, scRoot) = fsOf(ss, sidecarPath(indexDir))
+    graft.sources.DirSwap.recover(fs, scRoot, "__compact")
+    val idx = ss.read.parquet(indexDir)
+    val n = idx.count()
+    if (n == 0) { if (fs.exists(scRoot)) fs.delete(scRoot, true); return }
+    // per-file lexicographic key ranges off the clustered layout; the
+    // file NAME (unique per write) is the identity the reader matches
+    // against the live dir listing
+    val ranges = idx
+      .select(input_file_name().as("f"),
+        struct(col("band"), col("bucket")).as("k"))
+      .groupBy("f").agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .collect()
+      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+        r.getStruct(1).getInt(0), r.getStruct(1).getLong(1),
+        r.getStruct(2).getInt(0), r.getStruct(2).getLong(1)))
+      .sortBy(t => (t._2, t._3))
+    val bloom = BloomMembership.sketch(
+      idx.select(xxhash64(col("band"), col("bucket")).as("k")),
+      "k", math.max(n, 1L), IndexSidecarFpp)
+      .head().getAs[Array[Byte]](0)
+    val twin = sidecarPath(indexDir) + "__compact"
+    Seq((Option(bloom), ranges.toSeq))
+      .toDF("bloom", "files")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(twin)
+    graft.sources.DirSwap.swap(fs, scRoot,
+      new org.apache.hadoop.fs.Path(twin))
+    sidecarCache.synchronized(sidecarCache.remove(sidecarPath(indexDir)))
+  }
+
+  /** Parsed sidecar: key-summary bloom bytes + per-base-file
+    * (name, loBand, loBucket, hiBand, hiBucket) ranges. */
+  private[graft] final case class IndexSidecar(bloom: Array[Byte],
+      files: Seq[(String, Int, Long, Int, Long)])
+
+  /** Driver-side sidecar cache keyed by (path, data-file names): the
+    * sidecar is immutable between compactions but the loop re-reads
+    * state every batch — the parse (a ~tens-of-MB bloom at a 10⁷-row
+    * index) should be paid once per compaction, not per batch. The
+    * data-file name is unique per write, so a rewritten sidecar
+    * always misses. */
+  private val sidecarCache =
+    new java.util.HashMap[String, (String, IndexSidecar)]()
+
+  /** Read the sidecar if present and sound (see [[writeIndexSidecar]]
+    * for the layout). Any parse failure degrades to None — the probe
+    * then full-scans exactly as before the sidecar existed. */
+  private[graft] def loadIndexSidecar(ss: SparkSession,
+                                      indexDir: String): Option[IndexSidecar] = {
+    val path = sidecarPath(indexDir)
+    val (fs, root) = fsOf(ss, path)
+    graft.sources.DirSwap.recover(fs, root, "__compact")
+    if (!graft.sources.DirSwap.hasData(fs, root)) return None
+    val stamp = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).sorted.mkString(",")
+    sidecarCache.synchronized {
+      val hit = sidecarCache.get(path)
+      if (hit != null && hit._1 == stamp) return Some(hit._2)
+    }
+    val parsed = scala.util.Try {
+      val r = ss.read.parquet(path).head()
+      val files = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+        .map(f => (f.getString(0), f.getInt(1), f.getLong(2),
+          f.getInt(3), f.getLong(4))).toSeq
+      IndexSidecar(r.getAs[Array[Byte]](0), files)
+    }.toOption
+    parsed.foreach(p => sidecarCache.synchronized(
+      sidecarCache.put(path, (stamp, p))))
+    parsed
+  }
+
+  /** Base files whose clustered (band, bucket) range contains at
+    * least one hot key — pure, driver-side (ranges and hot keys are
+    * both bounded collections). Lexicographic interval test on the
+    * composite key, matching `min/max(struct(band, bucket))`. */
+  private[graft] def pruneBaseFiles(files: Seq[(String, Int, Long, Int, Long)],
+                                    hot: Seq[(Int, Long)]): Seq[String] = {
+    if (hot.isEmpty) return Seq.empty
+    val sortedHot = hot.sorted.toIndexedSeq
+    val ord = implicitly[Ordering[(Int, Long)]]
+    // binary search: first hot key >= lo — O(F log H), not O(F·H)
+    def firstAtLeast(lo: (Int, Long)): Int = {
+      var l = 0; var r = sortedHot.length
+      while (l < r) {
+        val m = (l + r) >>> 1
+        if (ord.lt(sortedHot(m), lo)) l = m + 1 else r = m
+      }
+      l
+    }
+    files.filter { case (_, loB, loK, hiB, hiK) =>
+      val i = firstAtLeast((loB, loK))
+      i < sortedHot.length && ord.lteq(sortedHot(i), (hiB, hiK))
+    }.map(_._1)
+  }
+
+  /** The tiered per-batch view of the persisted near-dup index
+    * (VERDICT r16 item 1): the r15 semi-join moved the per-batch
+    * SHUFFLE off the index but still paid one full columnar scan per
+    * batch — linear in the corpus (~0.13 s per million index rows in
+    * the r16 endurance run; minutes per micro-batch at a 10⁹-row
+    * production index). With the compaction-built sidecar the scan is
+    * bounded by the BATCH instead:
+    *
+    *   - BASE (files the sidecar describes): batch keys are flagged
+    *     map-side against the key-summary bloom; only the HOT
+    *     survivors (true collisions + the fpp leak) can exist in the
+    *     base at all, so no hot keys → the base is not read, and
+    *     otherwise only base files whose clustered key range contains
+    *     a hot key are read ([[pruneBaseFiles]]) and immediately
+    *     semi-joined down to the hot keys. Steady-state collisions
+    *     are batch-bounded, so the base read is too.
+    *   - TAIL (files appended since the last compaction): scanned in
+    *     full — bounded by compactEvery batches of survivor keys,
+    *     corpus-independent.
+    *
+    * A missing, stale (file set no longer a subset of the live dir)
+    * or unparsable sidecar degrades every file to TAIL — exactly the
+    * pre-r17 full scan, same semantics. Gate decisions are invariant
+    * either way: the bloom has no false negatives, so every index row
+    * that can pair with a batch key survives the narrowing
+    * (CorpusIngestSpec pins the with/without differential).
+    *
+    * Gauges (when `stageLog` is on): `ndidx:base_files` /
+    * `ndidx:base_files_read` / `ndidx:hot_keys` / `ndidx:tail_files`
+    * — the bounded-fraction evidence the ingest log prints. */
+  private[graft] def narrowedCorpusIndex(ss: SparkSession, indexDir: String,
+      batchIdx: DataFrame,
+      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None): DataFrame = {
+    import ss.implicits._
+    val (fs, target) = fsOf(ss, indexDir)
+    graft.sources.DirSwap.recover(fs, target, "__compact")
+    def emptyIdx = Seq.empty[(Long, Int, Long)].toDF("doc", "band", "bucket")
+    if (!fs.exists(target)) return emptyIdx
+    val live = fs.listStatus(target).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (live.isEmpty) return emptyIdx
+    def gauge(name: String, v: Double): Unit =
+      stageLog.foreach(_ += s"ndidx:$name" -> v)
+    val liveNames = live.map(_.getName).toSet
+    val sidecar = loadIndexSidecar(ss, indexDir)
+      .filter(_.files.forall(f => liveNames.contains(f._1)))
+    sidecar match {
+      case None =>
+        // no usable summary: every live file is tail (the pre-r17 scan)
+        gauge("base_files", 0); gauge("base_files_read", 0)
+        gauge("tail_files", live.length.toDouble)
+        ss.read.parquet(live.map(_.toString).toIndexedSeq: _*)
+      case Some(sc) =>
+        val baseNames = sc.files.map(_._1).toSet
+        val tail = live.filter(p => !baseNames.contains(p.getName))
+        gauge("base_files", sc.files.length.toDouble)
+        gauge("tail_files", tail.length.toDouble)
+        val tailDf =
+          if (tail.isEmpty) emptyIdx
+          else ss.read.parquet(tail.map(_.toString).toIndexedSeq: _*)
+            .select("doc", "band", "bucket")
+        // hot = batch keys the base bloom claims to contain; the
+        // batchIdx is localCheckpointed so this derives map-side
+        val hot = BloomMembership
+          .flagSeen(batchIdx.select("band", "bucket").distinct()
+              .withColumn("__k", xxhash64(col("band"), col("bucket"))),
+            Some(sc.bloom), "__k", "__hot")
+          .filter(col("__hot")).select("band", "bucket")
+          .localCheckpoint(true)
+        val nHot = hot.count()
+        gauge("hot_keys", nHot.toDouble)
+        if (nHot == 0) { gauge("base_files_read", 0); return tailDf }
+        val toRead =
+          if (nHot <= MaxHotKeysForFilePrune)
+            pruneBaseFiles(sc.files,
+              hot.as[(Int, Long)].collect().toIndexedSeq)
+          else sc.files.map(_._1)
+        gauge("base_files_read", toRead.length.toDouble)
+        val baseDf =
+          if (toRead.isEmpty) emptyIdx
+          else ss.read.parquet(toRead.map(n =>
+              new org.apache.hadoop.fs.Path(target, n).toString): _*)
+            .select("doc", "band", "bucket")
+            .join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+        tailDf.unionByName(baseDf)
+    }
   }
 
   /** Maintenance for the frontier blooms (VERDICT r15 item 2): over an

@@ -525,9 +525,11 @@ class CorpusIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ingest_idxc").toString
     val (ub, tb, shards, idx) =
       (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/ndidx")
-    // 4 single-doc batches, all distinct -> 4 index appends; the
-    // cadence compacts after batches 2 and 4
-    val batches = (0 until 4).map { b =>
+    // 5 single-doc batches, all distinct -> 5 index appends; the
+    // STAGGERED cadence (phase 1 = index, offset 1) compacts after
+    // batches 3 and 5 — so the run must end ON an index firing batch
+    // for the one-file assertion to hold
+    val batches = (0 until 5).map { b =>
       Seq((s"https://site.com/g$b", 10L * b + 1, good(100L + b)))
     }
     val mem = MemoryStream[(String, Long, String)]
@@ -545,7 +547,7 @@ class CorpusIngestSpec extends SparkSpec {
       .exists(f => f.getName.contains("__compact") || f.getName.contains("__old")))
     // content invariant: exactly the shipped docs' band rows
     assert(spark.read.parquet(idx).select("doc").as[Long].collect().toSet ==
-      Set(1L, 11L, 21L, 31L))
+      Set(1L, 11L, 21L, 31L, 41L))
 
     // the compacted index still gates: a near-variant of batch 0's
     // good(100) doc (shipped as doc 1) must drop cross-batch
@@ -564,7 +566,10 @@ class CorpusIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("ingest_bloomcs").toString
     val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
     // 600 urls per batch into 1000-sized blooms roll the chain every
-    // ~1.5 batches → ≥3 epochs by batch 5, when the cadence fires
+    // ~1.5 batches → well past the >2 trigger by batch 8, when the
+    // STAGGERED bloom phase (offset 3 on the compactEvery=5 cadence)
+    // first fires — the run ends ON that firing batch so the
+    // single-epoch assertion observes the rebuild directly
     def rows(b: Int) = (1 to 600)
       .map(i => (s"https://site.com/b$b/p$i", b * 10000L + i,
         good(b * 10000L + i)))
@@ -573,7 +578,7 @@ class CorpusIngestSpec extends SparkSpec {
       ub, tb, shards, numShards = 2, expectedItems = 1000L,
       compactEvery = 5)
     try {
-      (1 to 5).foreach { b => mem.addData(rows(b): _*); q.processAllAvailable() }
+      (1 to 8).foreach { b => mem.addData(rows(b): _*); q.processAllAvailable() }
     } finally q.stop()
     def epochDirs(p: String) = new java.io.File(p).listFiles()
       .map(_.getName).filter(_.matches("epoch=\\d+")).sorted.toSeq
@@ -595,6 +600,182 @@ class CorpusIngestSpec extends SparkSpec {
     // budget, far under the batch size
     assert(spark.read.parquet(shards).count() <= shipped + 30,
       "replay shipped more than the fp-healing allowance")
+  }
+
+  test("pruneBaseFiles: lexicographic (band, bucket) interval hit " +
+      "test — only files whose clustered range contains a hot key") {
+    val files = Seq(
+      ("f0", 0, 100L, 0, 500L),   // band 0, buckets 100-500
+      ("f1", 0, 501L, 1, 200L),   // spans the band boundary
+      ("f2", 1, 201L, 3, 900L),
+      ("f3", 4, 0L, 7, Long.MaxValue))
+    def prune(hot: (Int, Long)*) =
+      graft.streaming.CorpusIngest.pruneBaseFiles(files, hot)
+    assert(prune() == Seq.empty)
+    assert(prune((0, 100L)) == Seq("f0"))        // exact lo boundary
+    assert(prune((1, 200L)) == Seq("f1"))        // exact hi boundary
+    assert(prune((0, 999L), (2, 5L)) == Seq("f1", "f2"))
+    assert(prune((9, 0L)) == Seq.empty)          // past every range
+    assert(prune((0, 50L)) == Seq.empty)         // before every range
+    assert(prune((0, 300L), (5, 1L), (0, 450L)) == Seq("f0", "f3"))
+    // a key between f0's hi and f1's lo (same band) hits nothing
+    // (impossible from a real clustered rewrite, but the test pins
+    // the interval logic, not the writer)
+    assert(prune((4, 1L), (0, 100L), (1, 500L)) == Seq("f0", "f2", "f3"))
+  }
+
+  test("tiered index probe: after compaction the per-batch scan is " +
+      "bounded by the batch — zero base files for a no-collision " +
+      "batch, a pruned subset for a planted collision; gate " +
+      "decisions identical with and without the sidecar") {
+    val dir = Files.createTempDirectory("ingest_tiered").toString
+    val (ub, tb, shards, idx) =
+      (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/ndidx")
+    val nd = Some(CorpusIngest.NearDupGate(idx))
+    // seed corpus: 600 distinct docs in one batch (9600 band rows —
+    // enough bytes for the tiny file target below to split)
+    CorpusIngest.ingestBatch(
+      (1L to 600L).map(i => (s"https://site.com/p$i", i, good(i)))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd)
+    // compact with a tiny file target so the base splits into MANY
+    // clustered files — a colliding doc's hot keys span all 16 bands,
+    // so demonstrating a PRUNED read needs more files than bands
+    CorpusIngest.compactNearDupIndex(spark, idx, targetFileBytes = 1024)
+    val baseFiles = new java.io.File(idx).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(baseFiles > 20, s"want > 20 base files, got $baseFiles")
+    assert(new java.io.File(idx + "_keys").exists(), "sidecar missing")
+
+    def gauges(buf: Seq[(String, Double)]) =
+      buf.filter(_._1.startsWith("ndidx:")).toMap
+    // fresh docs with HASH-DISTINCT words: good(i)'s decimal ids alias
+    // as shingle prefixes (good(1200) ⊃ good(120)'s shingles), so
+    // genuinely-new docs need words that share nothing but the stops
+    def fresh(i: Long) = s"$stops " + (0 until 6)
+      .map(j => "u" + ((i * 2654435761L + j * 40503L) & 0xffffffL)
+        .toHexString + "q" + j).mkString(" ")
+    // (a) all-fresh batch: nothing can collide -> the bloom keeps the
+    // base UNREAD (fpp 0.001 over ~960 keys: expected 1 leak per
+    // thousand batches; tolerate <= 2 leaked files)
+    val buf1 = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val n1 = CorpusIngest.ingestBatch(
+      (1200L to 1230L).map(i => (s"https://site.com/q$i", i, fresh(i)))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd, stageLog = Some(buf1))
+    val g1 = gauges(buf1.toSeq)
+    assert(n1 >= 25L, s"fresh batch mostly ships, got $n1")
+    assert(g1("ndidx:base_files") == baseFiles.toDouble)
+    assert(g1("ndidx:base_files_read") <= 2.0,
+      s"no-collision batch read ${g1("ndidx:base_files_read")} base files")
+    assert(g1("ndidx:tail_files") == 0.0)
+
+    // (b) planted collision against the compacted corpus: doc 999 is
+    // a near-variant of shipped doc 5 -> must drop, reading only the
+    // file slice its hot keys land in
+    val buf2 = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val n2 = CorpusIngest.ingestBatch(
+      Seq(("https://site.com/x", 999L, good(5L) + " tail9"),
+          ("https://site.com/y", 998L, fresh(9001L)))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd, stageLog = Some(buf2))
+    val g2 = gauges(buf2.toSeq)
+    assert(n2 == 1L, s"expected only the fresh doc to ship, got $n2")
+    assert(g2("ndidx:hot_keys") >= 1.0)
+    // one colliding doc = ≤ 16 hot keys (one per band) = ≤ 16 files —
+    // the read is bounded by the BATCH's collisions, not the corpus
+    assert(g2("ndidx:base_files_read") >= 1.0 &&
+        g2("ndidx:base_files_read") <= 16.0 &&
+        g2("ndidx:base_files_read") < baseFiles.toDouble,
+      s"collision batch read ${g2("ndidx:base_files_read")} of $baseFiles")
+    // tail now holds the two appended batches (a+b survivors)
+    assert(g2("ndidx:tail_files") >= 1.0)
+
+    // (c) differential: the same probe with the sidecar REMOVED
+    // (full-scan fallback) decides identically
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(idx + "_keys"))
+    // the near-variant text REUSES (b)'s — the dropped doc 999's hash
+    // never entered the text bloom (only survivors fold), and its
+    // band collision with doc 5 is deterministic, where a different
+    // good(i)+" tail9" can land at 7/16 bands and legitimately ship
+    val buf3 = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val n3 = CorpusIngest.ingestBatch(
+      Seq(("https://site.com/x2", 1999L, good(5L) + " tail9"),
+          ("https://site.com/y2", 1998L, fresh(9002L)))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd, stageLog = Some(buf3))
+    val g3 = gauges(buf3.toSeq)
+    assert(n3 == 1L, s"fallback probe must gate identically, got $n3")
+    assert(g3("ndidx:base_files") == 0.0 && g3("ndidx:tail_files") > 0.0,
+      "without a sidecar every file is tail (the pre-r17 full scan)")
+  }
+
+  test("staggered maintenance schedule: each phase fires every " +
+      "compactEvery batches on its own offset; short cadences wrap; " +
+      "compactEvery=1 degenerates to the full quartet per batch") {
+    def due(batchId: Long, ce: Int) =
+      CorpusIngest.maintenancePhasesDue(batchId, ce)
+    // ce=10: shard (0) first at batch 9, then index/drift/bloom on the
+    // next three batches — never two phases in one pause
+    assert(due(8, 10).isEmpty)
+    assert(due(9, 10) == Seq(0))
+    assert(due(10, 10) == Seq(1))
+    assert(due(11, 10) == Seq(2))
+    assert(due(12, 10) == Seq(3))
+    assert(due(13, 10).isEmpty)
+    // each phase repeats with period compactEvery
+    (0 until CorpusIngest.MaintenancePhases).foreach { k =>
+      assert(due(9L + k + 10, 10) == Seq(k), s"phase $k period")
+      assert(due(9L + k + 20, 10) == Seq(k), s"phase $k period x2")
+    }
+    // and no batch before the first full cadence fires anything
+    (0L until 9L).foreach(b => assert(due(b, 10).isEmpty, s"batch $b"))
+    // ce=2: four offsets wrap onto two slots — phases pair up
+    assert(due(1, 2) == Seq(0))
+    assert(due(2, 2) == Seq(1))
+    assert(due(3, 2) == Seq(0, 2))
+    assert(due(4, 2) == Seq(1, 3))
+    // ce=1: the documented degeneration — whole quartet every batch
+    // once each phase's offset has passed
+    assert(due(3, 1) == Seq(0, 1, 2, 3))
+  }
+
+  test("payloadStorage=DISK_ONLY checkpointing is a pure physical " +
+      "knob: shards, drift card and gate decisions identical to the " +
+      "memory-first default") {
+    val dir = Files.createTempDirectory("ingest_disklvl").toString
+    // every drop class in one batch: exact dup, near-dup, plus clean
+    val docs = ((1L to 20L).map(i => (s"https://site.com/p$i", i, good(i)))
+      ++ Seq(("https://site.com/dup", 100L, good(1L)),
+             ("https://site.com/near", 101L, good(2L) + " tail9")))
+      .toDF("url", "doc_id", "text")
+    def run(tag: String,
+            lvl: Option[org.apache.spark.storage.StorageLevel]) = {
+      val (ub, tb, sh, dd, idx) = (s"$dir/$tag/ub", s"$dir/$tag/tb",
+        s"$dir/$tag/sh", s"$dir/$tag/dd", s"$dir/$tag/idx")
+      val n = CorpusIngest.ingestBatch(docs, ub, tb, sh, numShards = 2,
+        driftDir = Some(dd), repairEncoding = true,
+        nearDup = Some(CorpusIngest.NearDupGate(idx)),
+        payloadStorage = lvl)
+      (n,
+        spark.read.parquet(sh).select("shard", "rk", "doc_id", "text")
+          .orderBy("shard", "rk").collect().map(_.toSeq).toSeq,
+        CorpusIngest.driftCard(spark, dd).collect().map(_.toSeq).toSeq)
+    }
+    val a = run("mem", None)
+    val b = run("disk",
+      Some(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    assert(a == b, "DISK_ONLY payload checkpoints changed results")
+    // both planted dups dropped, the bulk shipped — the knob is
+    // physical only, so the exact count just has to MATCH across
+    // levels (asserted above)
+    val shippedIds = a._2.map(_(2).asInstanceOf[Long]).toSet
+    assert(!shippedIds.contains(100L) && !shippedIds.contains(101L),
+      "a planted dup shipped")
+    assert(a._1 >= 15L, s"unexpectedly few docs shipped: ${a._1}")
   }
 
   test("per-stage profile: the stage log times every driver action " +

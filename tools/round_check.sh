@@ -30,6 +30,25 @@ python3 tools/check.py "$SF" "$OUT"
 #   python3 tools/bench_drift.py tools/bench_local_r13.json BENCH_LOCAL_latest.json
 # THE RULE (VERDICT r13 item 2): a median move counts only if it falls
 # outside the other artifact's [min,max] band.
+
+# Load guard (VERDICT r16 item 7): a bench in the wake of a 32-core
+# evidence run measures +10-20% across the whole catalog (r16 drift
+# triage). Binding sf0.1 runs must come from an idle box — the guard
+# that was applied by hand each round, made mechanical. The smoke run
+# below is non-binding, so the guard WARNS here and only REFUSES when
+# BINDING=1 (export SPARK_GRAFT_BINDING=1 for the artifact run).
+LOAD5=$(awk '{print $2}' /proc/loadavg)
+LOAD_MAX=${SPARK_GRAFT_LOAD_MAX:-4.0}
+if awk -v l="$LOAD5" -v m="$LOAD_MAX" 'BEGIN{exit !(l>m)}'; then
+  if [ "${SPARK_GRAFT_BINDING:-0}" = "1" ]; then
+    echo "LOAD GUARD: 5-min load $LOAD5 > $LOAD_MAX — refusing a binding bench; wait for idle"
+    exit 1
+  fi
+  echo "LOAD GUARD (warn): 5-min load $LOAD5 > $LOAD_MAX — smoke timings will be load-polluted"
+else
+  echo "load guard passed: 5-min load $LOAD5 <= $LOAD_MAX"
+fi
+
 echo "== 4/4 bench smoke (sf0.001, 1 run) =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_RUNS=1 \
   SPARK_GRAFT_BENCH_OUT=/tmp/round_check_bench.json \
