@@ -114,6 +114,10 @@ import graft.sources.ShardSink
   */
 object CorpusIngest {
 
+  /** Stage-timer shape threaded from [[ingestBatch]] into its body
+    * (polymorphic, so a plain function value can't carry it). */
+  private trait TimedFn { def apply[A](name: String)(f: => A): A }
+
   /** Trained-filter gate config: keep docs whose
     * [[QualityClassifier.score]] probability is ≥ `threshold`.
     * Weights come from an offline `QualityClassifier.train` run on a
@@ -165,22 +169,55 @@ object CorpusIngest {
                   maxBroadcastKeyRows: Long = MaxBroadcastKeyRows,
                   payloadStorage: Option[org.apache.spark.storage.StorageLevel] = None): Long = {
     val ss = batch.sparkSession
-    def timed[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val a = f
-      stageLog.foreach(_ += name -> (System.nanoTime() - t0) / 1e9); a
+    val timed = new TimedFn {
+      def apply[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val a = f
+        stageLog.foreach(_ += name -> (System.nanoTime() - t0) / 1e9); a
+      }
     }
     // PAYLOAD-bearing checkpoints take the caller's storage level
     // (VERDICT r16 item 4): the default memory-first level is right
-    // for the ~hundreds-of-bytes catalog shape, but a wide-payload
-    // crawl (the 20 KB width study) measured the near-dup gate
-    // inflating 3→11 s/batch purely from evicting multi-GB payload
-    // checkpoint blocks under memory pressure — DISK_ONLY past a
-    // width threshold writes them once and reads them back instead of
-    // thrashing the unified region. Key-table checkpoints (winners,
-    // band rows) stay memory-first: they are payload-free and hot.
+    // for the ~hundreds-of-bytes catalog shape; a wide-payload crawl
+    // can pass DISK_ONLY so multi-GB payload blocks never contend for
+    // the unified memory region. Key-table checkpoints (winners, band
+    // rows) stay memory-first: they are payload-free and hot.
     def ckptPayload(df: DataFrame): DataFrame =
       payloadStorage.fold(df.localCheckpoint(true))(
         lvl => df.localCheckpoint(true, lvl))
+    // Every checkpoint this batch creates is INTERNAL — all consumers
+    // (gates, winner joins, shard write, bloom folds, drift fold) run
+    // inside this call — so the blocks are released DETERMINISTICALLY
+    // on the way out instead of waiting on a driver GC to trigger the
+    // ContextCleaner (r17: the 20 KB width study measured the gate
+    // inflating 3→13 s/batch from exactly this residue — each wide
+    // batch leaves ~2 GB of dead checkpoint blocks that an idle
+    // driver heap reclaims far slower than the loop re-allocates).
+    // The caller's own persisted frames (e.g. a checkpointed source
+    // batch) predate the snapshot and are spared.
+    val rddsBefore = ss.sparkContext.getPersistentRDDs.keySet
+    try {
+      ingestBatchBody(batch, urlBloomPath, textBloomPath, shardDir,
+        numShards, expectedItems, qualityGate, driftDir, repairEncoding,
+        nearDup, stageLog, rolloverAt, maxBroadcastUrlRows,
+        maxBroadcastKeyRows, ckptPayload, timed)
+    } finally {
+      ss.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!rddsBefore.contains(id)) rdd.unpersist(blocking = false)
+      }
+    }
+  }
+
+  private def ingestBatchBody(batch: DataFrame, urlBloomPath: String,
+      textBloomPath: String, shardDir: String, numShards: Int,
+      expectedItems: Long, qualityGate: Option[QualityGate],
+      driftDir: Option[String], repairEncoding: Boolean,
+      nearDup: Option[NearDupGate],
+      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]],
+      rolloverAt: Double, maxBroadcastUrlRows: Long,
+      maxBroadcastKeyRows: Long,
+      ckptPayload: DataFrame => DataFrame,
+      timed: TimedFn): Long = {
+    val ss = batch.sparkSession
 
     // persisted frontier state is read ONCE per batch; the epoch
     // bytes feed both the probes and the end-of-batch merges (r15 —
@@ -324,7 +361,8 @@ object CorpusIngest {
       val kept = timed("neardup_gate") {
         ckptPayload(fresh.join(
           nearDupDrops(batchIdx,
-            narrowedCorpusIndex(ss, nd.indexDir, batchIdx, stageLog),
+            narrowedCorpusIndex(ss, nd.indexDir, batchIdx, nd.minBands,
+              stageLog, maxBroadcastKeyRows),
             nd.minBands, maxBroadcastKeyRows),
           Seq("doc_id"), "left_anti"))
       }
@@ -630,26 +668,29 @@ object CorpusIngest {
     * plus, per data file, the lexicographic (band, bucket) min/max
     * the clustered rewrite established — everything
     * [[narrowedCorpusIndex]] needs to prune the per-batch probe scan.
-    * One row, written behind a DirSwap twin; a sidecar that does not
-    * exactly describe a PREFIX of the current file set is ignored at
-    * read time, so any crash here just means full-scan probes until
-    * the next compaction. */
+    * One row, written behind a DirSwap twin; a sidecar whose file set
+    * is not a SUBSET of the live listing is ignored at read time, so
+    * any crash here just means full-scan probes until the next
+    * compaction. */
   private[graft] def writeIndexSidecar(ss: SparkSession,
                                        indexDir: String): Unit = {
     import ss.implicits._
     val (fs, scRoot) = fsOf(ss, sidecarPath(indexDir))
     graft.sources.DirSwap.recover(fs, scRoot, "__compact")
     val idx = ss.read.parquet(indexDir)
-    val n = idx.count()
-    if (n == 0) { if (fs.exists(scRoot)) fs.delete(scRoot, true); return }
-    // per-file lexicographic key ranges off the clustered layout; the
-    // file NAME (unique per write) is the identity the reader matches
-    // against the live dir listing
-    val ranges = idx
+    // per-file lexicographic key ranges off the clustered layout (the
+    // file NAME — unique per write — is the identity the reader
+    // matches against the live dir listing), with per-file row counts
+    // riding the same pass so the bloom sizing needs no extra scan
+    val stats = idx
       .select(input_file_name().as("f"),
         struct(col("band"), col("bucket")).as("k"))
-      .groupBy("f").agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      .groupBy("f").agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+        count(lit(1)).as("n"))
       .collect()
+    val n = stats.map(_.getLong(3)).sum
+    if (n == 0) { if (fs.exists(scRoot)) fs.delete(scRoot, true); return }
+    val ranges = stats
       .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
         r.getStruct(1).getInt(0), r.getStruct(1).getLong(1),
         r.getStruct(2).getInt(0), r.getStruct(2).getLong(1)))
@@ -742,13 +783,20 @@ object CorpusIngest {
     * bounded by the BATCH instead:
     *
     *   - BASE (files the sidecar describes): batch keys are flagged
-    *     map-side against the key-summary bloom; only the HOT
-    *     survivors (true collisions + the fpp leak) can exist in the
-    *     base at all, so no hot keys → the base is not read, and
+    *     map-side against the key-summary bloom, then reduced to
+    *     SUSPECT DOCS — batch docs with ≥ `minBands` hot bands. A doc
+    *     with fewer hot bands cannot reach the drop threshold against
+    *     ANY corpus partner (each counted pair band needs its key in
+    *     the corpus, and the bloom has no false negatives), so its
+    *     keys never need the base. This filter is what makes the tier
+    *     bite on real corpora: shared vocabulary keeps per-KEY hits
+    *     in the thousands per batch (sub-threshold 1–3-band matches —
+    *     measured live in the r17 endurance run), but per-DOC
+    *     threshold crossings are exactly the true cross-batch
+    *     near-dups. No suspects → the base is not read at all;
     *     otherwise only base files whose clustered key range contains
-    *     a hot key are read ([[pruneBaseFiles]]) and immediately
-    *     semi-joined down to the hot keys. Steady-state collisions
-    *     are batch-bounded, so the base read is too.
+    *     a suspect key are read ([[pruneBaseFiles]]) and immediately
+    *     semi-joined down to those keys.
     *   - TAIL (files appended since the last compaction): scanned in
     *     full — bounded by compactEvery batches of survivor keys,
     *     corpus-independent.
@@ -756,16 +804,18 @@ object CorpusIngest {
     * A missing, stale (file set no longer a subset of the live dir)
     * or unparsable sidecar degrades every file to TAIL — exactly the
     * pre-r17 full scan, same semantics. Gate decisions are invariant
-    * either way: the bloom has no false negatives, so every index row
-    * that can pair with a batch key survives the narrowing
-    * (CorpusIngestSpec pins the with/without differential).
+    * either way: every index row that can pair with a batch key TO A
+    * DROP survives the narrowing (CorpusIngestSpec pins the
+    * with/without differential).
     *
     * Gauges (when `stageLog` is on): `ndidx:base_files` /
-    * `ndidx:base_files_read` / `ndidx:hot_keys` / `ndidx:tail_files`
-    * — the bounded-fraction evidence the ingest log prints. */
+    * `ndidx:base_files_read` / `ndidx:hot_keys` (suspect docs' keys)
+    * / `ndidx:tail_files` — the bounded-fraction evidence the ingest
+    * log prints. */
   private[graft] def narrowedCorpusIndex(ss: SparkSession, indexDir: String,
-      batchIdx: DataFrame,
-      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None): DataFrame = {
+      batchIdx: DataFrame, minBands: Int,
+      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None,
+      maxBroadcastKeys: Long = MaxBroadcastKeyRows): DataFrame = {
     import ss.implicits._
     val (fs, target) = fsOf(ss, indexDir)
     graft.sources.DirSwap.recover(fs, target, "__compact")
@@ -794,13 +844,21 @@ object CorpusIngest {
           if (tail.isEmpty) emptyIdx
           else ss.read.parquet(tail.map(_.toString).toIndexedSeq: _*)
             .select("doc", "band", "bucket")
-        // hot = batch keys the base bloom claims to contain; the
-        // batchIdx is localCheckpointed so this derives map-side
-        val hot = BloomMembership
-          .flagSeen(batchIdx.select("band", "bucket").distinct()
+        // hot rows = batch (doc, band, bucket) rows whose key the base
+        // bloom claims to contain (map-side off the batchIdx
+        // checkpoint), reduced to SUSPECT docs — ≥ minBands hot bands
+        // (one row per (doc, band), so the per-doc row count IS the
+        // hot band count); only their keys can contribute to a drop
+        val hotRows = BloomMembership
+          .flagSeen(batchIdx
               .withColumn("__k", xxhash64(col("band"), col("bucket"))),
             Some(sc.bloom), "__k", "__hot")
-          .filter(col("__hot")).select("band", "bucket")
+          .filter(col("__hot"))
+        val hot = hotRows
+          .join(hotRows.groupBy("doc").agg(count(lit(1)).as("__nb"))
+              .filter(col("__nb") >= minBands).select("doc"),
+            Seq("doc"), "left_semi")
+          .select("band", "bucket").distinct()
           .localCheckpoint(true)
         val nHot = hot.count()
         gauge("hot_keys", nHot.toDouble)
@@ -811,12 +869,16 @@ object CorpusIngest {
               hot.as[(Int, Long)].collect().toIndexedSeq)
           else sc.files.map(_._1)
         gauge("base_files_read", toRead.length.toDouble)
+        // same size guard as every other key-table broadcast in the
+        // loop: a corpus-scale backfill batch's hot set falls back to
+        // a shuffled semi-join, never a multi-GB driver relation
+        val hotJoin = if (nHot <= maxBroadcastKeys) broadcast(hot) else hot
         val baseDf =
           if (toRead.isEmpty) emptyIdx
           else ss.read.parquet(toRead.map(n =>
               new org.apache.hadoop.fs.Path(target, n).toString): _*)
             .select("doc", "band", "bucket")
-            .join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+            .join(hotJoin, Seq("band", "bucket"), "left_semi")
         tailDf.unionByName(baseDf)
     }
   }

@@ -655,9 +655,10 @@ class CorpusIngestSpec extends SparkSpec {
     def fresh(i: Long) = s"$stops " + (0 until 6)
       .map(j => "u" + ((i * 2654435761L + j * 40503L) & 0xffffffL)
         .toHexString + "q" + j).mkString(" ")
-    // (a) all-fresh batch: nothing can collide -> the bloom keeps the
-    // base UNREAD (fpp 0.001 over ~960 keys: expected 1 leak per
-    // thousand batches; tolerate <= 2 leaked files)
+    // (a) all-fresh batch: no doc can cross the minBands suspect
+    // threshold (a doc-level promotion needs ≥ 8 of 16 bands hot —
+    // sub-threshold vocab matches and bloom fpp can't stack that
+    // high) -> the base is not read AT ALL
     val buf1 = scala.collection.mutable.Buffer.empty[(String, Double)]
     val n1 = CorpusIngest.ingestBatch(
       (1200L to 1230L).map(i => (s"https://site.com/q$i", i, fresh(i)))
@@ -666,7 +667,9 @@ class CorpusIngestSpec extends SparkSpec {
     val g1 = gauges(buf1.toSeq)
     assert(n1 >= 25L, s"fresh batch mostly ships, got $n1")
     assert(g1("ndidx:base_files") == baseFiles.toDouble)
-    assert(g1("ndidx:base_files_read") <= 2.0,
+    assert(g1("ndidx:hot_keys") == 0.0,
+      s"no-collision batch promoted ${g1("ndidx:hot_keys")} suspect keys")
+    assert(g1("ndidx:base_files_read") == 0.0,
       s"no-collision batch read ${g1("ndidx:base_files_read")} base files")
     assert(g1("ndidx:tail_files") == 0.0)
 
