@@ -404,16 +404,44 @@ object ScaleEvidence {
   }
 }
 
-/** Retrieval-index evidence at 1M docs: `Bm25.buildIndex` cost and
-  * postings volume, then a 100-query batched probe via
-  * `topKQueriesFromIndex` against the PERSISTED parquet index — the
-  * train-once/probe-forever claim measured at scale (the probe
-  * touches postings + stats only; the corpus text is never re-read).
+/** Retrieval-index evidence at 1M rows — build cost, then the probe
+  * I/O story (r17): the batched probes push their literal key sets
+  * (query-term union / probed cell set) into the persisted index
+  * scan, so the LAYOUT decides bytes read. Each probe runs against
+  * the same index persisted two ways — shuffled ("flat": every file
+  * spans the full key range, row-group stats cannot prune) and
+  * key-clustered (`Bm25.writeIndex` / `IvfPq.writeIndex`) — and the
+  * parquet records/bytes actually read are measured per probe via a
+  * task-metrics listener. The claim under test: a clustered
+  * retrieval index bounds probe READS, not just probe compute
+  * (IVF-PQ probes use refine=0 so the measurement isolates the index
+  * scan; the exact re-rank is a shortlist-broadcast corpus join,
+  * orthogonal to index layout).
   *
   * Run: sbt 'runMain graft.ScaleEvidenceRetrieval [nDocs]' */
 object ScaleEvidenceRetrieval {
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Run `f` and report (result, sec, parquet records read, bytes
+    * read) summed over its tasks. Listener events are async; the
+    * settle wait is evidence-grade, not production code. */
+  private def measured[A](spark: SparkSession)(f: => A): (A, Double, Long, Long) = {
+    val rec = new java.util.concurrent.atomic.AtomicLong
+    val byt = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val im = te.taskMetrics.inputMetrics
+        rec.addAndGet(im.recordsRead); byt.addAndGet(im.bytesRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val (a, t) = timed(f)
+    Thread.sleep(1500)
+    spark.sparkContext.removeSparkListener(l)
+    (a, t, rec.get(), byt.get())
   }
 
   def main(args: Array[String]): Unit = {
@@ -425,8 +453,9 @@ object ScaleEvidenceRetrieval {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.Bm25
+    import graft.operators.{Bm25, IvfPq, KMeans, ProductQuantizer}
 
+    // ── §1 BM25 ──────────────────────────────────────────────────
     // 35-word docs over a 9973-word vocab (Zipf-free uniform hash —
     // worst case for posting-list skew levers, every list ~n/9973)
     val docs = spark.range(nDocs).select(col("id").as("doc_id"),
@@ -437,23 +466,84 @@ object ScaleEvidenceRetrieval {
 
     val (nPost, tBuild) = timed {
       val idx = Bm25.buildIndex(corpus, "doc_id", "text")
-      idx.postings.write.mode("overwrite").parquet("target/scale/bmpostings")
-      idx.stats.write.mode("overwrite").parquet("target/scale/bmstats")
-      spark.read.parquet("target/scale/bmpostings").count()
+      idx.postings.repartition(64)
+        .write.mode("overwrite").parquet("target/scale/bmflat/postings")
+      idx.stats.coalesce(1)
+        .write.mode("overwrite").parquet("target/scale/bmflat/stats")
+      spark.read.parquet("target/scale/bmflat/postings").count()
     }
-    val persisted = Bm25.Bm25Index(
-      spark.read.parquet("target/scale/bmpostings"),
-      spark.read.parquet("target/scale/bmstats"))
+    val (_, tCluster) = timed {
+      Bm25.writeIndex(Bm25.readIndex(spark, "target/scale/bmflat"),
+        "target/scale/bmclus", nFiles = 64)
+    }
     // 100 queries, 3 terms each, from the same vocab
     val queries = spark.range(100).select(col("id").as("q_id"),
       concat_ws(" ", (0 until 3).map(j => concat(lit("w"),
         pmod(xxhash64(lit("q"), col("id"), lit(j)), lit(9973)))): _*).as("qtext"))
-    val (nHits, tProbe) = timed {
-      Bm25.topKQueriesFromIndex(persisted, queries, "q_id", "qtext", k = 10).count()
-    }
+    def bmProbe(path: String) =
+      measured(spark) {
+        Bm25.topKQueriesFromIndex(Bm25.readIndex(spark, path),
+          queries, "q_id", "qtext", k = 10).count()
+      }
+    val (hitsF, tPf, recF, bytF) = bmProbe("target/scale/bmflat")
+    val (hitsC, tPc, recC, bytC) = bmProbe("target/scale/bmclus")
+    require(hitsF == hitsC, s"layout changed the probe result: $hitsF vs $hitsC")
     println(f"[bm25] inverted index @ $nDocs%,d docs: build+persist ${tBuild}%.1f s " +
-      f"($nPost%,d postings), 100-query batched probe ${tProbe}%.1f s " +
-      f"($nHits rows) off the parquet index, corpus text untouched")
+      f"($nPost%,d postings, 64 files), w-cluster rewrite ${tCluster}%.1f s")
+    println(f"[bm25] 100-query probe, flat layout: ${tPf}%.2f s, " +
+      f"$recF%,d records / ${bytF / 1e6}%.0f MB read")
+    println(f"[bm25] 100-query probe, w-clustered: ${tPc}%.2f s, " +
+      f"$recC%,d records / ${bytC / 1e6}%.0f MB read " +
+      f"(${recF.toDouble / math.max(recC, 1)}%.1fx fewer records — " +
+      "row-group pruning off the pushed term filter)")
+
+    // ── §2 IVF-PQ ────────────────────────────────────────────────
+    // 1M unit-ish vectors in 16d around 64 planted centers; the index
+    // is the (c_id, cell, codes) frame — probes read IT, never the
+    // embeddings (refine=0 isolates that)
+    val dim = 16
+    val vecs = spark.range(nDocs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (pmod(xxhash64(col("id") % 64, j), lit(1000)).cast("double") / 500.0 - 1.0) +
+          (pmod(xxhash64(col("id"), j, lit("n")), lit(100)).cast("double") / 500.0))
+        .cast("array<float>").as("embedding"))
+    vecs.write.mode("overwrite").parquet("target/scale/ivfvecs")
+    val emb = spark.read.parquet("target/scale/ivfvecs")
+    val (artifacts, tFit) = timed {
+      val coarse = KMeans.fitLocal(emb, "vec_id", "embedding", 64, iters = 5)
+      val model = ProductQuantizer.fit(emb, "vec_id", "embedding", m = 4, ks = 16)
+      (coarse.localCheckpoint(true), model)
+    }
+    val (coarse, model) = artifacts
+    val (nIdx, tIdx) = timed {
+      val idx = IvfPq.buildIndex(emb, "vec_id", "embedding",
+        IvfPq.collectCoarse(coarse), model)
+      idx.repartition(64)
+        .write.mode("overwrite").parquet("target/scale/ivfflat")
+      IvfPq.writeIndex(spark.read.parquet("target/scale/ivfflat"),
+        "target/scale/ivfclus", nFiles = 64)
+      spark.read.parquet("target/scale/ivfclus").count()
+    }
+    val qVecs = emb.filter(col("vec_id") % lit(nDocs / 100) === 0)
+      .localCheckpoint(true)
+    def ivfProbe(path: String) =
+      measured(spark) {
+        IvfPq.topK(qVecs, emb, "vec_id", "embedding", k = 10,
+          nProbe = 4, refine = 0,
+          quantizer = Some(coarse), model = Some(model),
+          index = Some(spark.read.parquet(path))).count()
+      }
+    val (nF, tIf, recIf, bytIf) = ivfProbe("target/scale/ivfflat")
+    val (nC, tIc, recIc, bytIc) = ivfProbe("target/scale/ivfclus")
+    require(nF == nC, s"layout changed the probe result: $nF vs $nC")
+    println(f"[ivfpq] codes index @ $nDocs%,d vecs: fit ${tFit}%.1f s, " +
+      f"build+persist both layouts ${tIdx}%.1f s ($nIdx%,d rows, 64 cells)")
+    println(f"[ivfpq] 100-query probe (nProbe 4/64), flat layout: ${tIf}%.2f s, " +
+      f"$recIf%,d records / ${bytIf / 1e6}%.0f MB read")
+    println(f"[ivfpq] 100-query probe, cell-clustered: ${tIc}%.2f s, " +
+      f"$recIc%,d records / ${bytIc / 1e6}%.0f MB read " +
+      f"(${recIf.toDouble / math.max(recIc, 1)}%.1fx fewer records — " +
+      "the probe reads only its inverted lists)")
     spark.stop()
   }
 }

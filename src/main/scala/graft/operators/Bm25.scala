@@ -33,6 +33,13 @@ import graft.ql.spread
   */
 object Bm25 {
 
+  /** Past this many distinct query terms the batched index probe
+    * falls back from the pushdown-able literal `In` filter to the
+    * broadcast semi-join (identical semantics): a term set that wide
+    * reads most posting lists anyway and the literal list would only
+    * bloat the plan. Human-sized query batches sit far below this. */
+  val MaxProbeTermLiterals: Int = 4096
+
   /** The whitespace tokenizer every Bm25 entry point shares (and the
     * oracle mirrors): split on \s+, drop empties. */
   private def tokenize(docs: DataFrame, idCol: String, textCol: String) =
@@ -44,12 +51,33 @@ object Bm25 {
   /** Persistable inverted index — the lexical analogue of the ANN
     * fit/index/query split and `Dedup.winnowIndex`: `postings`
     * (w, doc_id, tf, dl) + `stats` (one row: n_docs, tot). Production
-    * writes postings as parquet partitioned/bucketed by `w` so a probe
-    * reads only its terms' posting lists, and re-derives nothing from
+    * persists postings w-clustered ([[writeIndex]]) so a probe reads
+    * only its terms' posting lists, and re-derives nothing from
     * raw text; `stats` rides along as a 1-row table. Docs with no
     * tokens have no postings and don't count toward n_docs/avgdl —
     * identical to the inline paths' semantics. */
   final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Persist an index CLUSTERED on `w` (`path/postings` +
+    * `path/stats`): postings range-partitioned on (w, doc_id) and
+    * sorted, so every file holds a contiguous term range and parquet
+    * min/max row-group stats prune the non-queried posting lists
+    * under the probes' pushed term filters — the scan reads only its
+    * terms' lists, as the inverted-file contract demands. Incremental
+    * batches union in via [[mergeIndexes]] and land as plain
+    * appends; re-cluster the postings directory on the maintenance
+    * cadence with `Layout.compact(..., clusterCols = Seq("w"))`. */
+  def writeIndex(index: Bm25Index, path: String, nFiles: Int = 32): Unit = {
+    index.postings.repartitionByRange(nFiles, col("w"), col("doc_id"))
+      .sortWithinPartitions("w", "doc_id")
+      .write.mode("overwrite").parquet(path + "/postings")
+    index.stats.coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** Read a [[writeIndex]]-persisted index. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index =
+    Bm25Index(spark.read.parquet(path + "/postings"),
+      spark.read.parquet(path + "/stats"))
 
   /** ONE corpus pass → the persistable index. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
@@ -173,18 +201,32 @@ object Bm25 {
   }
 
   /** Batched probe against a prebuilt index: `topKQueries` semantics
-    * (ppm-integer scores, per-query rank windows) with no tokenize and
-    * no corpus-sized aggregation — the postings scan is pruned to the
-    * union of query terms by a broadcast semi-join. The full
-    * production combo: build the index once, then every query batch
-    * is one pruned-scan + one shortlist shuffle. */
+    * (ppm-integer scores, per-query rank windows) with no tokenize
+    * and no corpus-sized aggregation. The postings scan is pruned to
+    * the union of query terms as a LITERAL `In` filter — the term
+    * union is bounded (queries are human-sized) and known before the
+    * index is touched, and only a scan-level literal filter reaches
+    * parquet row-group stats: against [[writeIndex]]'s w-clustered
+    * layout the probe READS only its terms' posting lists instead of
+    * scanning every list and discarding non-matches at a join. Past
+    * [[MaxProbeTermLiterals]] distinct terms it degrades to the
+    * broadcast semi-join (same rows either way). The full production
+    * combo: build the index once, then every query batch is one
+    * pruned scan + one shortlist shuffle. */
   def topKQueriesFromIndex(index: Bm25Index, queries: DataFrame,
                            qIdCol: String, qTextCol: String,
                            k: Int = 10, k1: Double = 1.2,
                            b: Double = 0.75): DataFrame = {
     val qterms = queryTermSets(queries, qIdCol, qTextCol)
-    val terms = qterms.select("w").distinct()
-    val tf = index.postings.join(broadcast(terms), Seq("w"), "left_semi")
+    val distinctTerms = qterms.select("w").distinct()
+    // limit caps the driver collect at the guard regardless of how
+    // wide a pathological query batch is
+    val termsLocal = distinctTerms.limit(MaxProbeTermLiterals + 1)
+      .collect().map(_.getString(0))
+    val tf =
+      if (termsLocal.length <= MaxProbeTermLiterals)
+        index.postings.filter(col("w").isin(termsLocal.sorted.toSeq: _*))
+      else index.postings.join(broadcast(distinctTerms), Seq("w"), "left_semi")
     scoreRankQueries(tf, qterms, index.stats, k, k1, b)
   }
 

@@ -76,6 +76,49 @@ class IvfPqSpec extends SparkSpec {
     assert(inline == repart, "results must not depend on physical partitioning")
   }
 
+  test("clustered persisted index: probe scan prunes row groups, results identical (r17)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val queries = clustered.filter($"vec_id" % 60 === 0)
+    val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
+    val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
+    val idx = IvfPq.buildIndex(clustered, "vec_id", "embedding", coarse, model)
+    val flat = java.nio.file.Files.createTempDirectory("graft-ivfflat").toString
+    val clus = java.nio.file.Files.createTempDirectory("graft-ivfclus").toString
+    // unclustered: shuffled so every file spans the full cell range
+    idx.repartition(6).write.mode("overwrite").parquet(flat)
+    IvfPq.writeIndex(idx, clus, nFiles = 6)
+
+    def probe(dir: String) =
+      IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
+          nProbe = 2, quantizer = Some(coarse), model = Some(model),
+          index = Some(spark.read.parquet(dir)))
+        .orderBy("q_id", "rk").as[(Long, Long, Double, Long)].collect().toSeq
+    // layout must not change a single bit of the result
+    assert(probe(flat) == probe(clus),
+      "clustered layout must reproduce the unclustered probe bit-for-bit")
+
+    // the scan-level payoff, measured where the probe filter lands:
+    // a 2-of-6-cell In filter against the clustered layout skips the
+    // other cells' row groups; against the flat layout every row
+    // group spans all cells and nothing can prune
+    val total = idx.count()
+    val someCells = Seq(0L, 1L)
+    def scanRows(dir: String): Long = {
+      val df = spark.read.parquet(dir)
+        .filter(col("cell").isin(someCells.map(Long.box): _*))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val flatRows = scanRows(flat)
+    val clusRows = scanRows(clus)
+    assert(flatRows == total,
+      s"flat layout cannot prune: scan read $flatRows of $total")
+    assert(clusRows < total,
+      s"clustered layout must prune row groups: scan read $clusRows of $total")
+  }
+
   test("incremental append ≡ full rebuild, probes included (r11)") {
     val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
     val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)

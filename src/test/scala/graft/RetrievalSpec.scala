@@ -120,6 +120,51 @@ class RetrievalSpec extends SparkSpec {
     assert(fromIdx == direct && fromIdx.nonEmpty)
   }
 
+  test("w-clustered persisted index: probe scan prunes, batched probe identical (r17)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // 800 docs over a 97-word synthetic vocab so posting lists are
+    // wide enough for multi-file clustering to mean something
+    val docs = spark.range(800).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(97)))): _*)
+        .as("text"))
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val flat = java.nio.file.Files.createTempDirectory("bm25flat").toString
+    val clus = java.nio.file.Files.createTempDirectory("bm25clus").toString
+    idx.postings.repartition(8).write.mode("overwrite").parquet(s"$flat/postings")
+    idx.stats.coalesce(1).write.mode("overwrite").parquet(s"$flat/stats")
+    Bm25.writeIndex(idx, clus, nFiles = 8)
+
+    val queries = spark.range(4).select(col("id").as("q_id"),
+      concat(lit("w"), pmod(xxhash64(lit("q"), col("id")), lit(97)),
+        lit(" w"), pmod(xxhash64(lit("r"), col("id")), lit(97))).as("qtext"))
+    def probe(path: String) =
+      Bm25.topKQueriesFromIndex(Bm25.readIndex(spark, path), queries,
+          "q_id", "qtext", k = 5)
+        .select("q_id", "doc_id", "dl", "score_ppm", "rk")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val flatGot = probe(flat)
+    assert(flatGot == probe(clus) && flatGot.nonEmpty,
+      "postings layout must not change the probe result")
+
+    // scan-level payoff: the probed-term In filter skips the other
+    // terms' posting-list row groups only under the clustered layout
+    val total = idx.postings.count()
+    val someTerms = Seq("w1", "w2", "w3")
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(s"$path/postings")
+        .filter(col("w").isin(someTerms: _*))
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value
+      }.sum
+    }
+    val flatRows = scanRows(flat)
+    val clusRows = scanRows(clus)
+    assert(clusRows < flatRows && clusRows < total,
+      s"clustered postings must prune: read $clusRows vs flat $flatRows of $total")
+  }
+
   test("incremental merge of disjoint batches == index of the union corpus") {
     val batch1 = corpus.filter(col("doc_id") <= 2L)
     val batch2 = corpus.filter(col("doc_id") > 2L)
