@@ -425,20 +425,35 @@ object ScaleEvidenceRetrieval {
   }
 
   /** Run `f` and report (result, sec, parquet records read, bytes
-    * read) summed over its tasks. Listener events are async; the
-    * settle wait is evidence-grade, not production code. */
+    * read) summed over ITS OWN jobs' tasks: `f` runs under a unique
+    * job group and the listener counts only stages belonging to that
+    * group, so stray tasks (a previous probe's stragglers,
+    * localCheckpoint cleanup) cannot pollute the evidence numbers
+    * (ADVICE r17). Listener events are async; the settle wait is
+    * evidence-grade, not production code. */
   private def measured[A](spark: SparkSession)(f: => A): (A, Double, Long, Long) = {
+    val group = "graft-evidence-" + java.util.UUID.randomUUID()
     val rec = new java.util.concurrent.atomic.AtomicLong
     val byt = new java.util.concurrent.atomic.AtomicLong
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(stages.add(_))
       override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val im = te.taskMetrics.inputMetrics
-        rec.addAndGet(im.recordsRead); byt.addAndGet(im.bytesRead)
-      }
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (stages.contains(te.stageId)) {
+          val im = te.taskMetrics.inputMetrics
+          rec.addAndGet(im.recordsRead); byt.addAndGet(im.bytesRead)
+        }
     }
     spark.sparkContext.addSparkListener(l)
-    val (a, t) = timed(f)
+    spark.sparkContext.setJobGroup(group, "scale-evidence probe")
+    val (a, t) =
+      try timed(f)
+      finally spark.sparkContext.clearJobGroup()
     Thread.sleep(1500)
     spark.sparkContext.removeSparkListener(l)
     (a, t, rec.get(), byt.get())

@@ -158,7 +158,8 @@ object Bm25 {
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.distinct == terms, "terms must be distinct")
-    val tf = index.postings.filter(col("w").isin(terms: _*))
+    val tf = index.postings.filter(ScanPrune.chunkedIn(col("w"), terms,
+      ScanPrune.inThreshold(index.postings.sparkSession)))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     scoreRank(tf, dfreq, index.stats, terms, k, k1, b)
   }
@@ -208,16 +209,27 @@ object Bm25 {
     * index is touched, and only a scan-level literal filter reaches
     * parquet row-group stats: against [[writeIndex]]'s w-clustered
     * layout the probe READS only its terms' posting lists instead of
-    * scanning every list and discarding non-matches at a join. Past
-    * [[MaxProbeTermLiterals]] distinct terms it degrades to the
-    * broadcast semi-join (same rows either way). The full production
-    * combo: build the index once, then every query batch is one
-    * pruned scan + one shortlist shuffle. */
+    * scanning every list and discarding non-matches at a join. The
+    * filter ships as CHUNKED `In` predicates ([[ScanPrune.chunkedIn]])
+    * because parquet keeps an `In` exact only up to
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) —
+    * one wide `isin` silently degrades to a min/max range past that,
+    * which prunes nothing for a realistic multi-term batch (ADVICE
+    * r17). Past [[MaxProbeTermLiterals]] distinct terms it degrades
+    * to the broadcast semi-join (same rows either way). The full
+    * production combo: build the index once, then every query batch
+    * is one pruned scan + one shortlist shuffle. */
   def topKQueriesFromIndex(index: Bm25Index, queries: DataFrame,
                            qIdCol: String, qTextCol: String,
                            k: Int = 10, k1: Double = 1.2,
                            b: Double = 0.75): DataFrame = {
+    // materialized so the literal list below and the lazy fan-out
+    // join inside scoreRankQueries read ONE snapshot of the query
+    // side — a source that re-evaluates differently between the two
+    // jobs could otherwise carry terms the scan filter excluded,
+    // silently dropping matching postings (ADVICE r17)
     val qterms = queryTermSets(queries, qIdCol, qTextCol)
+      .localCheckpoint(true)
     val distinctTerms = qterms.select("w").distinct()
     // limit caps the driver collect at the guard regardless of how
     // wide a pathological query batch is
@@ -225,7 +237,8 @@ object Bm25 {
       .collect().map(_.getString(0))
     val tf =
       if (termsLocal.length <= MaxProbeTermLiterals)
-        index.postings.filter(col("w").isin(termsLocal.sorted.toSeq: _*))
+        index.postings.filter(ScanPrune.chunkedIn(col("w"),
+          termsLocal.toSeq, ScanPrune.inThreshold(queries.sparkSession)))
       else index.postings.join(broadcast(distinctTerms), Seq("w"), "left_semi")
     scoreRankQueries(tf, qterms, index.stats, k, k1, b)
   }

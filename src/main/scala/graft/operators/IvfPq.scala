@@ -196,11 +196,19 @@ object IvfPq {
         .when(l.getField("cc") < r.getField("cc"), 1)
         .otherwise(when(l.getField("cell") < r.getField("cell"), -1)
           .when(l.getField("cell") > r.getField("cell"), 1).otherwise(0)))
-    val probes = broadcast(
+    val probeFrame =
       qp.withColumn("__lut", ProductQuantizer.lutCol(mdl, col("q_v")))
         .withColumn("cell",
           explode(transform(slice(ranked, 1, nProbe), p => p.getField("cell"))))
-        .select("q_id", "q_v", "__lut", "cell"))
+        .select("q_id", "q_v", "__lut", "cell")
+    // persisted path: materialize the (broadcast-sized) probe frame
+    // so the cell-literal collect below and the ADC join read ONE
+    // snapshot of the query side — a source that re-evaluates
+    // differently between the two jobs could otherwise probe cells
+    // the scan filter excluded (ADVICE r17; Bm25 mirrors this)
+    val probesLocal =
+      if (index.isEmpty) probeFrame else probeFrame.localCheckpoint(true)
+    val probes = broadcast(probesLocal)
 
     // a PERSISTED index gets the probed cell set pushed into its scan
     // as literals (it is known here from the query side alone — one
@@ -215,10 +223,16 @@ object IvfPq {
     val probedIdx =
       if (index.isEmpty) idx
       else {
-        val cells = probes.select(col("cell")).distinct()
-          .collect().map(_.getLong(0)).sorted
+        // limit caps the driver collect at the guard (a high-nCells
+        // index declines BEFORE paying a full distinct collect);
+        // chunked In keeps the parquet pushdown exact past the
+        // 10-literal inFilterThreshold (ADVICE r17; see ScanPrune)
+        val cells = probesLocal.select(col("cell")).distinct()
+          .limit(MaxProbeCellLiterals + 1)
+          .collect().map(_.getLong(0))
         if (cells.length > MaxProbeCellLiterals) idx
-        else idx.filter(col("cell").isin(cells.map(Long.box).toSeq: _*))
+        else idx.filter(ScanPrune.chunkedIn(col("cell"), cells.toSeq,
+          ScanPrune.inThreshold(candidates.sparkSession)))
       }
     // ADC over the probed cells only (a candidate lives in exactly one
     // cell and a query's probe cells are distinct, so pairs match

@@ -119,6 +119,42 @@ class IvfPqSpec extends SparkSpec {
       s"clustered layout must prune row groups: scan read $clusRows of $total")
   }
 
+  test("probe wider than the parquet In threshold still prunes (r18, ADVICE r17)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // 24 coarse cells, nProbe=12 per query: the probed-cell set (>10)
+    // would fall off parquet's exact-In pushdown as one wide isin —
+    // the chunked-In filter must keep skipping unprobed cells
+    assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt == 10)
+    val queries = clustered.filter($"vec_id" === 0L)
+    val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 24, iters = 5)
+    val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)
+    val idx = IvfPq.buildIndex(clustered, "vec_id", "embedding", coarse, model)
+    val clus = java.nio.file.Files.createTempDirectory("graft-ivfwide").toString
+    // ~one cell per file so unprobed cells actually map to skippable
+    // row groups at this fixture size
+    IvfPq.writeIndex(idx, clus, nFiles = 24)
+    val total = idx.count()
+
+    val res = IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
+      nProbe = 12, quantizer = Some(coarse), model = Some(model),
+      index = Some(spark.read.parquet(clus)))
+    val rows = res.collect() // executes THIS plan — metrics below
+    assert(rows.nonEmpty)
+    val codesRows = executedFileScans(res)
+      .filter(_.schema.fieldNames.contains("cell"))
+      .map(_.metrics("numOutputRows").value).sum
+    assert(codesRows > 0 && codesRows < total,
+      s"12-of-24-cell probe must skip unprobed cells: read $codesRows of $total")
+    // identity: the pruned persisted probe == the same probe against
+    // the index frame handed over inline (no layout, nothing pruned)
+    val inline = IvfPq.topK(queries, clustered, "vec_id", "embedding", k = 10,
+        nProbe = 12, quantizer = Some(coarse), model = Some(model),
+        index = Some(idx))
+      .orderBy("q_id", "rk").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getLong(3))).toSeq.sortBy(t => (t._1, t._4)) == inline)
+  }
+
   test("incremental append ≡ full rebuild, probes included (r11)") {
     val coarse = KMeans.fitLocal(clustered, "vec_id", "embedding", 6, iters = 5)
     val model = ProductQuantizer.fit(clustered, "vec_id", "embedding", m = 8, ks = 16)

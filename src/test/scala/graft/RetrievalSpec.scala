@@ -165,6 +165,53 @@ class RetrievalSpec extends SparkSpec {
       s"clustered postings must prune: read $clusRows vs flat $flatRows of $total")
   }
 
+  test("probe wider than the parquet In threshold still prunes (r18, ADVICE r17)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // parquet keeps an In exact only up to inFilterThreshold (10);
+    // a realistic multi-term batch (24 terms spread across the vocab
+    // — the worst case for the min/max range fallback) must still
+    // skip unqueried posting lists via the chunked-In pushdown
+    assert(spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold").toInt == 10)
+    val docs = spark.range(800).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit("w"), pmod(xxhash64(col("id"), lit(j)), lit(97)))): _*)
+        .as("text"))
+    val idx = Bm25.buildIndex(docs, "doc_id", "text")
+    val clus = java.nio.file.Files.createTempDirectory("bm25wide").toString
+    Bm25.writeIndex(idx, clus, nFiles = 8)
+    val total = idx.postings.count()
+
+    // one query carrying 24 distinct terms: 12 from each END of the
+    // clustered (lexicographic) key order. Their min/max RANGE spans
+    // the whole vocab — the shape a wide `isin`'s range fallback
+    // cannot prune at all — while the exact values live only in the
+    // edge files, so this passes ONLY if the >10-literal filter still
+    // reaches parquet as exact values (the chunked-In contract)
+    val vocab = (0 until 97).map(i => s"w$i").sorted
+    val wide = (vocab.take(12) ++ vocab.takeRight(12)).mkString(" ")
+    val queries = Seq((0L, wide)).toDF("q_id", "qtext")
+    val probe = Bm25.topKQueriesFromIndex(Bm25.readIndex(spark, clus),
+      queries, "q_id", "qtext", k = 5)
+    val got = probe.collect().toSeq // executes THIS plan — metrics below
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score_ppm"), r.getAs[Long]("rk"))).sorted
+    val postingsRows = executedFileScans(probe)
+      .filter(_.schema.fieldNames.contains("w"))
+      .map(_.metrics("numOutputRows").value).sum
+    // the plan scans postings twice (df + score); both pruned scans
+    // TOGETHER must read fewer rows than ONE full pass — the range
+    // fallback this term set defeats would read 2·total
+    assert(postingsRows > 0 && postingsRows < total,
+      s"24-term probe must read only its posting lists: $postingsRows of 2x$total")
+    // and the pruned scan is semantically invisible: identical to the
+    // no-index batched scorer over the same corpus
+    val direct = Bm25.topKQueries(docs, "doc_id", "text",
+        queries, "q_id", "qtext", k = 5)
+      .select("q_id", "doc_id", "score_ppm", "rk")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == direct && got.nonEmpty)
+  }
+
   test("incremental merge of disjoint batches == index of the union corpus") {
     val batch1 = corpus.filter(col("doc_id") <= 2L)
     val batch2 = corpus.filter(col("doc_id") > 2L)
