@@ -744,6 +744,76 @@ object ScaleEvidenceSubstr {
     val rawChars = sup.select(sum(length(col("text")))).head().getLong(0)
     println(f"[1d-fix] exactSubstrRemoveFixpoint @ super-minLen hub: " +
       f"$rawChars%,d -> $cleaned%,d chars, ${tFix}%.1f s")
+
+    // ── §2 probe-against-index flatness (r18, VERDICT r17 item 2) ──
+    // exactSubstrPairsAgainst now semi-narrows the persisted anchor
+    // index to the batch's winnow hashes BEFORE its dedup distinct
+    // and df-cap aggregation, so a FIXED probe batch must cost the
+    // same — in seconds AND in shuffled rows — as the corpus index
+    // grows (the pre-r18 shape re-shuffled the full index per probe).
+    def shuffled[A](f: => A): (A, Double, Long) = {
+      val group = "graft-substr-" + java.util.UUID.randomUUID()
+      val recs = new java.util.concurrent.atomic.AtomicLong
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (js.properties != null &&
+              group == js.properties.getProperty("spark.jobGroup.id"))
+            js.stageIds.foreach(stages.add(_))
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (stages.contains(te.stageId))
+            recs.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      spark.sparkContext.setJobGroup(group, "substr probe")
+      val (a, t) = try timed(f)
+      finally spark.sparkContext.clearJobGroup()
+      Thread.sleep(1500)
+      spark.sparkContext.removeSparkListener(l)
+      (a, t, recs.get())
+    }
+    val nProbe = 500
+    // fixed probe batch: 250 twins of corpus docs 0..249 (each shares
+    // its unique 12-word block) + 250 fresh docs
+    val probeBatch = {
+      def twinOf(idc: org.apache.spark.sql.Column) =
+        concat_ws(" ", Seq(lit("GRAFT STANDARD HEADER V2 L27JX"),
+          concat(lit("probe"), idc)) ++
+          words(idc, "u", 0, 6) ++ words(idc, "blk", 0, 12) ++
+          words(idc + 7000000L, "p", 0, 17): _*)
+      spark.range(250).select((col("id") + 9000000L).as("doc_id"),
+          twinOf(col("id")).as("text"))
+        .union(spark.range(250, nProbe.toLong)
+          .select((col("id") + 9000000L).as("doc_id"),
+            concat_ws(" ", lit("GRAFT STANDARD HEADER V2 L27JX") +:
+              concat(lit("probe"), col("id")) +:
+              words(col("id") + 8000000L, "f", 0, 30): _*).as("text")))
+        .localCheckpoint(true)
+    }
+    Seq(nDocs / 4, nDocs / 2, nDocs).foreach { nc =>
+      val corpus = sub.filter(col("doc_id") < nc || col("doc_id") >= nDocs.toLong)
+        .localCheckpoint(true)
+      val idxPath = s"target/scale/substr_idx_$nc"
+      val (_, tIdx) = timed {
+        Dedup.winnowIndex(corpus, "doc_id", "text", minLen = 50, k = 16)
+          .write.mode("overwrite").parquet(idxPath)
+      }
+      val idx = spark.read.parquet(idxPath)
+      val idxRows = idx.count()
+      val ((nPairs, recalled), tProbe, shufRecs) = shuffled {
+        val pairs = Dedup.exactSubstrPairsAgainst(idx, corpus, probeBatch,
+            "doc_id", "text", minLen = 50, k = 16, maxDf = 64)
+          .select("corpus_id", "batch_id").collect()
+        val got = pairs.map(r => r.getLong(0)).toSet
+        (pairs.length, (0L until 250L).count(got.contains))
+      }
+      println(f"[2] substr probe vs $nc%,d-doc index ($idxRows%,d anchor " +
+        f"rows, built ${tIdx}%.1f s): ${tProbe}%.2f s, $shufRecs%,d " +
+        f"shuffled rows, $nPairs pairs (recall $recalled/250) — " +
+        "probe cost must stay flat as the index grows")
+    }
     spark.stop()
   }
 }

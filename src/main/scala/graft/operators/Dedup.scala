@@ -18,6 +18,14 @@ import graft.ql.spread
   */
 object Dedup {
 
+  /** Broadcast cap for the probe KEY tables that narrow a persisted
+    * corpus index to a batch (winnow `h` / LSH (band, bucket) keys,
+    * ~8-24 bytes a row): 2M rows ≈ tens of MB serialized. Past it the
+    * semi-join runs shuffled — the narrowing survives, only its
+    * physical form changes (the CorpusIngest.MaxBroadcastKeyRows
+    * convention). */
+  private[graft] val MaxBroadcastProbeKeys = 2000000L
+
   /** Exact dedup: hash-groupBy, keep the smallest id per content hash. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
@@ -118,9 +126,19 @@ object Dedup {
                              bands: Int = 16,
                              dedupIndex: Boolean = true): DataFrame = {
     val probe = minhashIndex(batch, idCol, textCol, k, numHashes, bands)
-    val corpus = if (dedupIndex)
-      corpusIndex.select("doc", "band", "bucket").distinct()
-    else corpusIndex
+      .localCheckpoint(true) // consumers: size guard, key table, pair join
+    // the corpus index is narrowed to the batch's (band, bucket) keys
+    // BEFORE the replay-dedup distinct (r18): a semi-join keeps every
+    // row of each touched key, so the distinct slice — and therefore
+    // every pair — is unchanged, but the per-probe shuffle is
+    // collision-bounded instead of re-shuffling the full corpus-sized
+    // index every batch. Broadcast under the cap, shuffled past it.
+    val bKeys = probe.select("band", "bucket").distinct()
+    val keys =
+      if (probe.count() <= MaxBroadcastProbeKeys) broadcast(bKeys) else bKeys
+    val narrowed = corpusIndex.select("doc", "band", "bucket")
+      .join(keys, Seq("band", "bucket"), "left_semi")
+    val corpus = if (dedupIndex) narrowed.distinct() else narrowed
     // doc <> doc: a batch whose rows were already appended to the
     // corpus index (replay after a partial failure, overlapping loads)
     // must not report every replayed doc as a 16-band dup of itself
@@ -509,10 +527,26 @@ object Dedup {
                               maxDf: Long = 0L,
                               dedupIndex: Boolean = true): DataFrame = {
     val probe = winnowIndex(batch, idCol, textCol, minLen, k)
+      .localCheckpoint(true) // consumers: size guard, key table, pair join
+    // the anchor index is narrowed to the batch's winnow hashes
+    // BEFORE the dedup distinct AND the df-cap aggregation (VERDICT
+    // r17 item 2 — both previously re-shuffled the full corpus-sized
+    // index on every probe): a semi-join on h keeps EVERY row of each
+    // touched hash, so per-h distinct sets and doc-frequencies — and
+    // therefore every candidate and every df-cap decision — are
+    // unchanged, while the per-batch shuffle is collision-bounded.
+    // Hashes the batch never touches can't produce candidates and
+    // their df never matters. Broadcast under the cap, shuffled past.
+    val hKeys = probe.select("h").distinct()
+    val keys =
+      if (probe.count() <= MaxBroadcastProbeKeys) broadcast(hKeys) else hKeys
     val idx0 = corpusIndex.select(col("doc"), col("pos"), col("h"))
+      .join(keys, Seq("h"), "left_semi")
     val idx = if (dedupIndex) idx0.distinct() else idx0
     // optional hub cap, computed on the index side (the corpus defines
-    // what is boilerplate)
+    // what is boilerplate; per-h df over the narrowed slice == over
+    // the full index — the semi-join drops whole hashes, never rows
+    // within one)
     val kept = if (maxDf > 0) {
       val hot = idx.groupBy("h")
         .agg(count_distinct(col("doc")).as("df"))

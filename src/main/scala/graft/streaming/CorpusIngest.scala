@@ -248,7 +248,7 @@ object CorpusIngest {
       // — normally empty — is collapsed by a payload aggregation
       // scoped to exactly those rows, and the unique bulk passes the
       // join untouched
-      val winners = BloomMembership.definitelyNewAny(
+      val flagged = BloomMembership.flagSeenAny(
           batch.select(
               TextOps.canonicalizeUrl(col("url")).as("canon_url"),
               col("doc_id"))
@@ -258,8 +258,10 @@ object CorpusIngest {
             .agg(min(struct(col("doc_id"), col("__copies"))).as("__w"))
             .select(col("canon_url"), col("__w.doc_id").as("doc_id"),
               col("__w.__copies").as("__copies")),
-          urlPrev.map(_._2), "canon_url")
-        .localCheckpoint(true) // two consumers: the size guard + join
+          urlPrev.map(_._2), "canon_url", "__seen")
+        .localCheckpoint(true) // consumers: size guard, join, drop gauge
+      recordBloomDrops(flagged, urlBloomPath, "canon_url", "url", stageLog)
+      val winners = flagged.filter(!col("__seen")).drop("__seen")
       val wj =
         if (winners.count() <= maxBroadcastUrlRows)
           broadcast(winners.alias("w"))
@@ -317,7 +319,7 @@ object CorpusIngest {
       // the same doc_id under two canonical urls with identical text
       // passes the URL stage as two rows that a key-equality join
       // would BOTH keep (the old groupBy shipped exactly one)
-      val winners = BloomMembership.definitelyNewAny(
+      val flagged = BloomMembership.flagSeenAny(
           hashed.select("text_hash", "doc_id")
             .groupBy("text_hash", "doc_id")
             .agg(count(lit(1)).as("__copies"))
@@ -325,8 +327,10 @@ object CorpusIngest {
             .agg(min(struct(col("doc_id"), col("__copies"))).as("__w"))
             .select(col("text_hash"), col("__w.doc_id").as("doc_id"),
               col("__w.__copies").as("__copies")),
-          textPrev.map(_._2), "text_hash")
-        .localCheckpoint(true) // two consumers: the size guard + join
+          textPrev.map(_._2), "text_hash", "__seen")
+        .localCheckpoint(true) // consumers: size guard, join, drop gauge
+      recordBloomDrops(flagged, textBloomPath, "text_hash", "text", stageLog)
+      val winners = flagged.filter(!col("__seen")).drop("__seen")
       val wj =
         if (winners.count() <= maxBroadcastKeyRows)
           broadcast(winners.alias("w"))
@@ -494,6 +498,74 @@ object CorpusIngest {
     dropIn.unionByName(dropCross).distinct()
   }
 
+  /** Side-store suffix where each batch's bloom-POSITIVE-dropped
+    * frontier keys accumulate (see [[recordBloomDrops]]). */
+  private[graft] val DropsSuffix = "_drops"
+
+  /** Record this batch's bloom-positive-DROPPED frontier keys: the
+    * gauge for the frontier's one-sided error (VERDICT r17 item 3 —
+    * a bloom false positive silently drops a genuinely-NEW doc, and
+    * without a record of what was dropped the loss rate is
+    * unmeasurable). Appends the dropped keys to `<bloom>_drops`
+    * (O(positives) per batch — true cross-batch dups plus ≤ design-fpp
+    * false positives) and gauges the raw positive count as
+    * `bloomdrop:url|text`. [[frontierFpDrops]] later splits the
+    * record into true dups vs false-positive losses against the
+    * shipped store — exact for the text frontier (its bloom learns
+    * only shipped hashes), an upper bound for the url frontier (its
+    * bloom learns every url SEEN, so a quality-dropped recrawl is a
+    * true positive that never shipped). `flagged` is a localCheckpoint,
+    * so the count and the (skipped-when-empty) append are local-block
+    * passes, not plan re-executions. */
+  private def recordBloomDrops(flagged: DataFrame, bloomPath: String,
+      keyCol: String, name: String,
+      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]])
+      : Unit = {
+    val drops = flagged.filter(col("__seen")).select(keyCol)
+    val n = drops.count()
+    stageLog.foreach(_ += s"bloomdrop:$name" -> n.toDouble)
+    if (n > 0)
+      drops.coalesce(1).write.mode("append").parquet(bloomPath + DropsSuffix)
+  }
+
+  /** Split the accumulated frontier-bloom drops ([[recordBloomDrops]])
+    * into losses: keys dropped as bloom-positive that the shipped
+    * store does NOT contain. For the TEXT frontier this is an EXACT
+    * false-positive-drop count (the text bloom folds only shipped
+    * hashes, and the store write precedes the fold in every batch);
+    * for the URL frontier it is an UPPER BOUND (a recrawl of a
+    * quality- or dedup-dropped url is a true positive that never
+    * shipped). Returns ("url" -> n, "text" -> n); `clear` truncates
+    * the drop stores after reading (the rebuild path passes true —
+    * a rebuilt bloom contains exactly the shipped keys, so every
+    * prior fp is healed and the next window starts clean). One
+    * column-pruned store scan per frontier, off the batch path — run
+    * it on the maintenance/evidence cadence, never inline. */
+  def frontierFpDrops(ss: SparkSession, urlBloomPath: String,
+                      textBloomPath: String, shardDir: String,
+                      clear: Boolean = false): Map[String, Long] = {
+    import ss.implicits._
+    val (sfs, sroot) = fsOf(ss, shardDir)
+    def store = ss.read.parquet(shardDir)
+    def gauge(bloomPath: String, storeKeys: => DataFrame,
+              keyCol: String): Long = {
+      val (fs, droot) = fsOf(ss, bloomPath + DropsSuffix)
+      if (!fs.exists(droot)) return 0L
+      val dropped = ss.read.parquet(droot.toString).select(keyCol).distinct()
+      val lost =
+        if (!sfs.exists(sroot)) dropped.count()
+        else dropped.join(storeKeys, Seq(keyCol), "left_anti").count()
+      if (clear) fs.delete(droot, true)
+      lost
+    }
+    Map(
+      "url" -> gauge(urlBloomPath,
+        store.select(col("canon_url")).distinct(), "canon_url"),
+      "text" -> gauge(textBloomPath,
+        store.select(xxhash64(col("text")).as("text_hash")).distinct(),
+        "text_hash"))
+  }
+
   /** The t36 drift card over everything shipped so far — exactly the
     * batch card of the shipped corpus (the counts-monoid contract,
     * differentially pinned in CorpusIngestSpec). */
@@ -617,32 +689,57 @@ object CorpusIngest {
   /** Maintenance for the near-dup band index: the ingest loop APPENDS
     * survivors' band rows every micro-batch (one file per batch), so
     * a long-running stream accumulates small files and the per-batch
-    * probe scan pays file-open/footer cost per file. Rewrites the
-    * index (band, bucket)-clustered — one probe-ordered file per
-    * ~`targetFileBytes` — behind [[graft.sources.DirSwap]]'s
-    * rename-only twin swap (crash at any point leaves a complete
-    * copy; [[narrowedCorpusIndex]] recovers before every read).
-    * Content is
-    * row-identical, so the gate's semantics are untouched — the probe
-    * just reads a compact, clustered store. [[start]] runs this with
-    * the `compactEvery` cadence when the near-dup gate is on; batch
-    * callers compact on their own schedule.
+    * probe scan pays file-open/footer cost per file.
     *
-    * After the swap this also (re)builds the index KEY SUMMARY
-    * sidecar ([[writeIndexSidecar]]) the tiered per-batch probe
-    * ([[narrowedCorpusIndex]]) prunes with — one extra column-pruned
-    * pass over the data just rewritten, on the maintenance cadence,
-    * not the batch path (VERDICT r16 item 1). */
+    * INCREMENTAL by default (VERDICT r17 item 1): once a sidecar
+    * generation exists, a compaction pass touches only the TAIL —
+    * files appended since the last pass — clustering them
+    * (band, bucket) into a new base generation, folding their keys
+    * into the sidecar bloom (OR-mergeable: every generation's bloom
+    * is sized to the sidecar's fixed `capacity`), and appending their
+    * per-file ranges. The pause is bounded by the tail (compactEvery
+    * batches of survivor keys), NOT the store — the r17 full rewrite
+    * was the loop's one remaining corpus-scaling inline pause
+    * (22→39 s measured at a 6→14M-row store; ~45 min at 10⁹ rows).
+    * Cost model: minor generations overlap in key range, so a
+    * suspect probe may read one file per generation accumulated
+    * since the last FULL rewrite — O(corpus growth since then), not
+    * O(corpus). A full rewrite (the pre-r18 path: Layout.compact
+    * behind [[graft.sources.DirSwap]]'s rename-only twin swap +
+    * fresh sidecar) still runs when there is no usable sidecar, or
+    * when folded keys would exceed the bloom's design capacity —
+    * capacity doubles on every full rebuild, so rebuild cost
+    * amortizes geometrically exactly like an LSM major compaction.
+    *
+    * Crash safety: the minor commit writes a manifest before any
+    * rename ([[recoverMinorIndexCompact]] re-runs it from any crash
+    * point); mid-commit a probe can transiently see a tail row twice
+    * — harmless, `nearDupDrops` distinct-collapses the narrowed
+    * slice (the foreachBatch at-least-once replay defense already
+    * required it). [[start]] runs this on the `compactEvery`
+    * cadence when the near-dup gate is on; batch callers compact on
+    * their own schedule. */
   def compactNearDupIndex(ss: SparkSession, indexDir: String,
                           targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     val (fs, target) = fsOf(ss, indexDir)
     graft.sources.DirSwap.recover(fs, target, "__compact")
+    recoverMinorIndexCompact(ss, indexDir)
     if (!fs.exists(target)) return
-    graft.sources.Layout.compact(ss, indexDir, indexDir + "__compact",
-      targetFileBytes, clusterCols = Seq("band", "bucket"))
-    graft.sources.DirSwap.swap(fs, target,
-      new org.apache.hadoop.fs.Path(indexDir + "__compact"))
-    writeIndexSidecar(ss, indexDir)
+    val liveNames = fs.listStatus(target).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSet
+    if (liveNames.isEmpty) return
+    val sc = loadIndexSidecar(ss, indexDir)
+      .filter(s => s.capacity > 0 && s.inserted >= 0 &&
+        s.files.forall(f => liveNames.contains(f._1)))
+    val minorDone = sc.exists(s => minorCompactNearDupIndex(ss, indexDir,
+      s, liveNames.diff(s.files.map(_._1).toSet), targetFileBytes))
+    if (!minorDone) {
+      graft.sources.Layout.compact(ss, indexDir, indexDir + "__compact",
+        targetFileBytes, clusterCols = Seq("band", "bucket"))
+      graft.sources.DirSwap.swap(fs, target,
+        new org.apache.hadoop.fs.Path(indexDir + "__compact"))
+      writeIndexSidecar(ss, indexDir)
+    }
   }
 
   /** False-positive rate of the index key-summary bloom: each false
@@ -662,6 +759,17 @@ object CorpusIngest {
   private[graft] val MaxHotKeysForFilePrune: Long = 1000000L
 
   private def sidecarPath(indexDir: String): String = indexDir + "_keys"
+
+  /** Floor for the sidecar bloom's design capacity: full rebuilds
+    * size to max(2·keys, this), so a young index absorbs many minor
+    * passes before its first capacity-triggered major rewrite. */
+  private[graft] val MinIndexSidecarCapacity: Long = 65536L
+
+  /** Staging-dir suffix and commit-manifest name of the minor
+    * (incremental) index compaction. The staging dir lives BESIDE the
+    * index dir, so probes never list its files as data. */
+  private[graft] val MinorSuffix = "__minor"
+  private val MinorCommitMarker = "_COMMIT"
 
   /** Build the index KEY SUMMARY sidecar from the CURRENT (just
     * compacted) index: one bloom over the index's (band, bucket) keys
@@ -695,13 +803,29 @@ object CorpusIngest {
         r.getStruct(1).getInt(0), r.getStruct(1).getLong(1),
         r.getStruct(2).getInt(0), r.getStruct(2).getLong(1)))
       .sortBy(t => (t._2, t._3))
+    // sized to 2x the live keys (floored) so minor passes can keep
+    // OR-folding same-sized tail blooms in until the next major
+    // rewrite — the capacity-doubling policy the object doc describes
+    val capacity = math.max(2 * n, MinIndexSidecarCapacity)
     val bloom = BloomMembership.sketch(
       idx.select(xxhash64(col("band"), col("bucket")).as("k")),
-      "k", math.max(n, 1L), IndexSidecarFpp)
+      "k", capacity, IndexSidecarFpp)
       .head().getAs[Array[Byte]](0)
+    writeSidecarRow(ss, indexDir, bloom, ranges.toSeq, capacity, n)
+  }
+
+  /** Serialize one sidecar row behind the DirSwap twin protocol and
+    * invalidate the driver cache — shared by the full rebuild
+    * ([[writeIndexSidecar]]) and the minor fold
+    * ([[minorCompactNearDupIndex]]). */
+  private[graft] def writeSidecarRow(ss: SparkSession, indexDir: String,
+      bloom: Array[Byte], files: Seq[(String, Int, Long, Int, Long)],
+      capacity: Long, inserted: Long): Unit = {
+    import ss.implicits._
+    val (fs, scRoot) = fsOf(ss, sidecarPath(indexDir))
     val twin = sidecarPath(indexDir) + "__compact"
-    Seq((Option(bloom), ranges.toSeq))
-      .toDF("bloom", "files")
+    Seq((Option(bloom), files, capacity, inserted))
+      .toDF("bloom", "files", "capacity", "inserted")
       .coalesce(1)
       .write.mode("overwrite").parquet(twin)
     graft.sources.DirSwap.swap(fs, scRoot,
@@ -709,10 +833,143 @@ object CorpusIngest {
     sidecarCache.synchronized(sidecarCache.remove(sidecarPath(indexDir)))
   }
 
+  /** The minor (incremental) compaction pass: cluster ONLY the tail
+    * files into a fresh base generation and fold their keys into the
+    * sidecar. Returns true when this pass fully handled the cadence
+    * (including the empty-tail no-op); false means the caller must
+    * run a major rewrite (bloom capacity exhausted, or a pathological
+    * staged-name collision).
+    *
+    * Commit protocol (all driver-side fs metadata ops, tail-bounded):
+    *   1. write the clustered tail to `<index>__minor` (a crash here
+    *      leaves an uncommitted staging dir — deleted next pass);
+    *   2. write the `_COMMIT` manifest (add/del lines) INTO staging —
+    *      from here [[recoverMinorIndexCompact]] can re-run the
+    *      sequence from any crash point;
+    *   3. rename each staged file into the index dir, delete each
+    *      tail file (each file lives in exactly one place throughout;
+    *      a probe between 3 and 4 sees the new generation as tail —
+    *      valid, just unpruned until 4);
+    *   4. swap in the updated sidecar (merged bloom, appended
+    *      ranges), delete staging.
+    * A crash after 3 but before 4 leaves the committed generation
+    * reading as tail until the next pass re-folds it — correct,
+    * merely unpruned. */
+  private[graft] def minorCompactNearDupIndex(ss: SparkSession,
+      indexDir: String, sc: IndexSidecar, tailNames: Set[String],
+      targetFileBytes: Long): Boolean = {
+    if (tailNames.isEmpty) return true
+    val (fs, target) = fsOf(ss, indexDir)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + MinorSuffix)
+    if (fs.exists(staging)) fs.delete(staging, true) // uncommitted leftover
+    val tailPaths = tailNames.toSeq.sorted
+      .map(n => new org.apache.hadoop.fs.Path(target, n))
+    val tailBytes = tailPaths.map(p => fs.getFileStatus(p).getLen).sum
+    val nFiles = math.max(1,
+      math.ceil(tailBytes.toDouble / targetFileBytes).toInt)
+    ss.read.parquet(tailPaths.map(_.toString): _*)
+      .select("doc", "band", "bucket")
+      .repartitionByRange(nFiles, col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = ss.read.parquet(staging.toString)
+    val stats = staged
+      .select(input_file_name().as("f"),
+        struct(col("band"), col("bucket")).as("k"))
+      .groupBy("f").agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    val tailN = stats.map(_.getLong(3)).sum
+    if (tailN == 0) { // all-empty tail appends: just drop them
+      fs.delete(staging, true)
+      tailPaths.foreach(p => fs.delete(p, false))
+      return true
+    }
+    if (sc.inserted + tailN > sc.capacity) {
+      fs.delete(staging, true) // bloom out of headroom -> major resizes
+      return false
+    }
+    // ranges only for staged files that hold rows; a zero-row part
+    // file never commits (it dies with the staging delete)
+    val newRanges = stats
+      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
+        r.getStruct(1).getInt(0), r.getStruct(1).getLong(1),
+        r.getStruct(2).getInt(0), r.getStruct(2).getLong(1)))
+    if (newRanges.exists(r => sc.files.exists(_._1 == r._1))) {
+      fs.delete(staging, true) // UUID part names make this ~impossible
+      return false
+    }
+    // tail bloom built with the SAME (capacity, fpp) sizing as the
+    // base generation's -> bit-compatible OR-merge
+    val tailBloom = BloomMembership.sketch(
+      staged.select(xxhash64(col("band"), col("bucket")).as("k")),
+      "k", sc.capacity, IndexSidecarFpp).head().getAs[Array[Byte]](0)
+    val merged = BloomMembership.merge(sc.bloom, tailBloom)
+    val manifest = new org.apache.hadoop.fs.Path(staging, MinorCommitMarker)
+    val out = fs.create(manifest, true)
+    try {
+      val body = (newRanges.map(r => s"add ${r._1}") ++
+        tailNames.toSeq.sorted.map(n => s"del $n")).mkString("\n")
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    newRanges.foreach { r =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(staging, r._1),
+        new org.apache.hadoop.fs.Path(target, r._1)),
+        s"minor-compact rename of ${r._1} failed")
+    }
+    tailPaths.foreach(p => fs.delete(p, false))
+    writeSidecarRow(ss, indexDir, merged,
+      (sc.files ++ newRanges).sortBy(t => (t._2, t._3)),
+      sc.capacity, sc.inserted + tailN)
+    fs.delete(staging, true)
+    true
+  }
+
+  /** Finish (or discard) an interrupted minor compaction — idempotent,
+    * run before every index read and every compaction pass. No
+    * manifest = the staging write itself died: discard. Manifest
+    * present = re-run the commit: move staged adds in (skipping ones
+    * already moved), delete listed tails still present, drop staging.
+    * The sidecar is NOT touched here — if the crash predated its
+    * rewrite it still describes only old base files (all live), so
+    * probes stay correct and the committed generation reads as tail
+    * until the next pass. */
+  private[graft] def recoverMinorIndexCompact(ss: SparkSession,
+                                              indexDir: String): Unit = {
+    val (fs, target) = fsOf(ss, indexDir)
+    val staging = new org.apache.hadoop.fs.Path(indexDir + MinorSuffix)
+    if (!fs.exists(staging)) return
+    val manifest = new org.apache.hadoop.fs.Path(staging, MinorCommitMarker)
+    if (!fs.exists(manifest)) { fs.delete(staging, true); return }
+    val in = fs.open(manifest)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val (adds, dels) = body.split("\n").filter(_.nonEmpty)
+      .partition(_.startsWith("add "))
+    adds.map(_.stripPrefix("add ")).foreach { n =>
+      val s = new org.apache.hadoop.fs.Path(staging, n)
+      val t = new org.apache.hadoop.fs.Path(target, n)
+      if (fs.exists(s)) {
+        if (fs.exists(t)) fs.delete(s, false)
+        else require(fs.rename(s, t), s"minor-compact recovery of $n failed")
+      }
+    }
+    dels.map(_.stripPrefix("del ")).foreach { n =>
+      val t = new org.apache.hadoop.fs.Path(target, n)
+      if (fs.exists(t)) fs.delete(t, false)
+    }
+    fs.delete(staging, true)
+    ()
+  }
+
   /** Parsed sidecar: key-summary bloom bytes + per-base-file
-    * (name, loBand, loBucket, hiBand, hiBucket) ranges. */
+    * (name, loBand, loBucket, hiBand, hiBucket) ranges + the bloom's
+    * design capacity and keys folded so far (-1/-1 on a pre-r18
+    * legacy row — still probe-usable; the next compaction majors). */
   private[graft] final case class IndexSidecar(bloom: Array[Byte],
-      files: Seq[(String, Int, Long, Int, Long)])
+      files: Seq[(String, Int, Long, Int, Long)],
+      capacity: Long, inserted: Long)
 
   /** Driver-side sidecar cache keyed by (path, data-file names): the
     * sidecar is immutable between compactions but the loop re-reads
@@ -740,10 +997,15 @@ object CorpusIngest {
     }
     val parsed = scala.util.Try {
       val r = ss.read.parquet(path).head()
-      val files = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+      val files = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("files")
         .map(f => (f.getString(0), f.getInt(1), f.getLong(2),
           f.getInt(3), f.getLong(4))).toSeq
-      IndexSidecar(r.getAs[Array[Byte]](0), files)
+      // pre-r18 rows lack the capacity/inserted columns: still fully
+      // probe-usable (-1 sentinels just force the next compaction to
+      // take the major path, which writes the new schema)
+      val cap = scala.util.Try(r.getAs[Long]("capacity")).getOrElse(-1L)
+      val ins = scala.util.Try(r.getAs[Long]("inserted")).getOrElse(-1L)
+      IndexSidecar(r.getAs[Array[Byte]]("bloom"), files, cap, ins)
     }.toOption
     parsed.foreach(p => sidecarCache.synchronized(
       sidecarCache.put(path, (stamp, p))))
@@ -819,6 +1081,7 @@ object CorpusIngest {
     import ss.implicits._
     val (fs, target) = fsOf(ss, indexDir)
     graft.sources.DirSwap.recover(fs, target, "__compact")
+    recoverMinorIndexCompact(ss, indexDir)
     def emptyIdx = Seq.empty[(Long, Int, Long)].toDF("doc", "band", "bucket")
     if (!fs.exists(target)) return emptyIdx
     val live = fs.listStatus(target).map(_.getPath)
@@ -940,7 +1203,7 @@ object CorpusIngest {
     // frontier per cadence even when no rebuild fires); a legacy
     // pre-epoch store lists no epoch dirs and counts 0 — below any
     // trigger, same outcome as the old byte-loading count of 1
-    def rebuild(path: String, keys: => DataFrame, keyCol: String): Unit =
+    def rebuild(path: String, keys: => DataFrame, keyCol: String): Boolean =
       if (committedEpochs(ss, path).size > 2 && shipped > 0) {
         val expected = math.max(1L, math.ceil(shipped * headroom).toLong)
         val (bfs, broot) = fsOf(ss, path)
@@ -950,10 +1213,23 @@ object CorpusIngest {
           new org.apache.hadoop.fs.Path(s"${path}__compact"))
         log.info(s"bloom $path: chain compacted to one epoch sized " +
           s"$expected (${headroom}x $shipped shipped keys)")
-      }
-    rebuild(urlBloomPath, store.select("canon_url"), "canon_url")
-    rebuild(textBloomPath,
-      store.select(xxhash64(col("text")).as("text_hash")), "text_hash")
+        true
+      } else false
+    val rebuilt =
+      Seq(rebuild(urlBloomPath, store.select("canon_url"), "canon_url"),
+        rebuild(textBloomPath,
+          store.select(xxhash64(col("text")).as("text_hash")), "text_hash"))
+    // the rebuild HEALS every accumulated false-positive drop (the
+    // fresh filter holds exactly the shipped keys), so this is the
+    // moment to price the loss window and reset it (VERDICT r17
+    // item 3): exact for text, upper bound for url — see
+    // [[frontierFpDrops]]
+    if (rebuilt.exists(identity)) {
+      val fp = frontierFpDrops(ss, urlBloomPath, textBloomPath, shardDir,
+        clear = true)
+      log.info(s"frontier fp-drop gauge at rebuild (healed now): " +
+        s"text=${fp("text")} exact, url<=${fp("url")} upper bound")
+    }
   }
 
   /** The persisted frontier's per-epoch sketch bytes, oldest first
