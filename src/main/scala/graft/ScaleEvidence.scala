@@ -1810,6 +1810,16 @@ object ScaleEvidenceRocksDb {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // CHANGELOG checkpointing is the endurance-critical knob: the
+      // default full-snapshot mode re-uploads modified SSTs per
+      // batch, so commit cost grows with STATE size (measured: the
+      // per-batch median doubled 8.9 -> 16.5 s as state grew 0 ->
+      // 4.8M keys). With changelog checkpointing the per-batch
+      // checkpoint is the batch's own updates; snapshots happen on
+      // their own cadence (maintenance, not the batch path) — the
+      // same inline-pause discipline as the ingest loop's stores.
+      .config("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -1818,11 +1828,14 @@ object ScaleEvidenceRocksDb {
     implicit val sqlCtx = spark.sqlContext
 
     // 30-word docs over a hashed vocab; every i % 100 == 7 doc with a
-    // previous batch REPEATS that batch's i-perBatch doc verbatim —
+    // previous batch REPEATS the PREVIOUS batch's i-perBatch+1 doc
+    // verbatim — a NON-planted doc (…%100 == 8, so its text is its
+    // own seed's), which keeps every planted pair a true exact dup in
+    // EVERY adjacent batch pair instead of a seed-shifted chain —
     // the planted cross-batch near-dup class (adjacent-batch window,
     // well inside maxPerBucket)
     def textOf(i: Long): String = {
-      val base = if (i % 100 == 7 && i >= perBatch) i - perBatch else i
+      val base = if (i % 100 == 7 && i >= perBatch) i - perBatch + 1 else i
       (0 until 30).map(j =>
         "w" + ((base * 2654435761L + j * 40503L) & 0xffffffL).toHexString)
         .mkString(" ")
@@ -1850,10 +1863,15 @@ object ScaleEvidenceRocksDb {
           s"updated ${so.map(_.numRowsUpdated).getOrElse(-1L)}")
       }
     } finally q.stop()
-    val firstHalf = batchTimes.take(nBatches / 2).sum / (nBatches / 2)
-    val lastHalf = batchTimes.takeRight(nBatches / 2).sum / (nBatches / 2)
-    println(f"[rocksdb-nd] per-batch mean first half ${firstHalf}%.1f s vs " +
-      f"last half ${lastHalf}%.1f s (flat = no state-size slope) — " +
+    // medians: RocksDB background compaction produces periodic spike
+    // batches — a real provider behavior worth REPORTING, but the
+    // state-size-slope question is about the steady level
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val firstHalf = med(batchTimes.take(nBatches / 2).toSeq)
+    val lastHalf = med(batchTimes.takeRight(nBatches / 2).toSeq)
+    println(f"[rocksdb-nd] per-batch MEDIAN first half ${firstHalf}%.1f s " +
+      f"vs last half ${lastHalf}%.1f s (flat = no state-size slope; " +
+      f"max spike ${batchTimes.max}%.1f s = provider compaction) — " +
       f"state keys grew to ~${16L * nDocs}%,d")
 
     // batch≡stream identity spot-check on the planted class: the
@@ -1866,7 +1884,7 @@ object ScaleEvidenceRocksDb {
       .select(col("id").as("doc_id"))
       .as[Long].map(i => (i, textOf(i))).toDF("doc_id", "text")
     val planted = (perBatch.toLong until nDocs.toLong)
-      .filter(_ % 100 == 7).map(i => (i - perBatch, i)).toSet
+      .filter(_ % 100 == 7).map(i => (i - perBatch + 1, i)).toSet
     val batchPairs = graft.operators.Dedup
       .minhashLshPairs(corpus, "doc_id", "text", k = 5, numHashes = 128,
         bands = 16)

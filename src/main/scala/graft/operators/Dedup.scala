@@ -570,8 +570,17 @@ object Dedup {
     // probe path; the inline fallback computes identical membership
     // for every batch-touched hash.
     val kept = if (maxDf > 0) {
-      val hot = hotHashes.getOrElse(winnowHotHashes(idx0, maxDf))
-      idx0.join(hot, Seq("h"), "left_anti")
+      val hot = hotHashes.getOrElse(
+        winnowHotHashes(idx0, maxDf).localCheckpoint(true))
+      // the drop must be MAP-SIDE: a shuffled anti-join moves every
+      // hub row across the network before discarding it — the exact
+      // cost the cap exists to avoid (measured: shuffle tracked the
+      // index, not the batch, until this broadcast). Hot tables are
+      // boilerplate fingerprints, bounded small; a pathological one
+      // falls back to the shuffled form past the guard.
+      val hotJ =
+        if (hot.count() <= MaxBroadcastProbeKeys) broadcast(hot) else hot
+      idx0.join(hotJ, Seq("h"), "left_anti")
     } else idx0
     val idx = if (dedupIndex) kept.distinct() else kept
     val cand = idx.alias("c")
@@ -580,8 +589,21 @@ object Dedup {
       .select(col("c.doc").as("corpus_id"), col("c.pos").as("pa"),
         col("p.doc").as("batch_id"), col("p.pos").as("pb"))
       .distinct()
+      .localCheckpoint(true) // consumers: the id narrowing + verify join
+    // the verification text fetch must be PHYSICALLY narrowed before
+    // it joins (r18): the scaladoc's "bounded by candidate docs"
+    // claim was only logical — planned as a plain equi-join, the
+    // corpus text table shuffled IN FULL per probe (measured: the
+    // probe's shuffle tracked the corpus, not the candidates). A
+    // broadcast-guarded semi-join on the candidate ids drops
+    // non-candidate docs at the scan, so only collision-bounded text
+    // rows ever move.
+    val cIds = cand.select("corpus_id").distinct()
+    val cj =
+      if (cand.count() <= MaxBroadcastProbeKeys) broadcast(cIds) else cIds
     val at = spread(corpusDocs)
       .select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
+      .join(cj, Seq("corpus_id"), "left_semi")
     val bt = spread(batch)
       .select(col(idCol).as("batch_id"), col(textCol).as("tb"))
     cand.join(at, "corpus_id").join(bt, "batch_id")
