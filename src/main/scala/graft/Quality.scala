@@ -230,6 +230,23 @@ object Quality {
       spark.range(50).select(concat_ws(" ", (0 until 60).map(j =>
         hex(xxhash64(col("id"), lit(j)))): _*).as("text")))
 
+    // the r18 exact-oracle token-dictionary coder that now drives the
+    // t29 CATALOG row: same three-regime band gate as the zlib
+    // expression above (repetition << prose < noise) — both coders
+    // stay band-gated per round
+    def medianDictRatio(df: DataFrame): Double =
+      df.select((graft.functions.TextOps.tokenDictBytes(col("text"))
+          .cast("double") / greatest(octet_length(col("text")), lit(1))
+          .cast("double")).as("r"))
+        .agg(percentile(col("r"), lit(0.5))).head().getDouble(0)
+    metrics("t29_dict_ratio_junk") = medianDictRatio(
+      spark.range(50).select(
+        concat_ws(" ", Seq.fill(200)(lit("spam")): _*).as("text")))
+    metrics("t29_dict_ratio_docs") = medianDictRatio(docs)
+    metrics("t29_dict_ratio_noise") = medianDictRatio(
+      spark.range(50).select(concat_ws(" ", (0 until 60).map(j =>
+        hex(xxhash64(col("id"), lit(j)))): _*).as("text")))
+
     // ---- t37: trained language-ID held-out accuracy --------------
     // The synthetic documents' text is lang-INDEPENDENT (every
     // language draws from the same token pool — majority-class 'en'

@@ -1104,9 +1104,24 @@ class CorpusIngestSpec extends SparkSpec {
       s"precondition: chains past the >2 trigger, got " +
         s"${epochDirs(ub).length}/${epochDirs(tb).length}")
     val shippedBefore = spark.read.parquet(shards).count()
+    // plant an fp-drop window (r18): a never-shipped key in each
+    // drops store — the REBUILD must price and CLEAR it (every fp
+    // heals at rebuild: the fresh filter holds only shipped keys)
+    Seq("https://site.com/lost").toDF("canon_url")
+      .write.mode("overwrite").parquet(ub + "_drops")
+    Seq(123456789L).toDF("text_hash")
+      .write.mode("overwrite").parquet(tb + "_drops")
+    assert(CorpusIngest.frontierFpDrops(spark, ub, tb, shards) ==
+      Map("url" -> 1L, "text" -> 1L))
 
     CorpusIngest.runMaintenance(spark, ub, tb, shards, nearDup = nd)
 
+    // the rebuild consumed + cleared the fp window
+    assert(!new java.io.File(ub + "_drops").exists() &&
+      !new java.io.File(tb + "_drops").exists(),
+      "chain rebuild must clear the fp-drop window it heals")
+    assert(CorpusIngest.frontierFpDrops(spark, ub, tb, shards) ==
+      Map("url" -> 0L, "text" -> 0L))
     // one epoch per frontier, no scratch dirs anywhere
     assert(epochDirs(ub) == Seq("epoch=0"), epochDirs(ub).mkString(","))
     assert(epochDirs(tb) == Seq("epoch=0"), epochDirs(tb).mkString(","))
