@@ -905,13 +905,25 @@ object CorpusIngest {
       staged.select(xxhash64(col("band"), col("bucket")).as("k")),
       "k", sc.capacity, IndexSidecarFpp).head().getAs[Array[Byte]](0)
     val merged = BloomMembership.merge(sc.bloom, tailBloom)
+    // the manifest commits ATOMICALLY (write tmp, rename in): a crash
+    // mid-write must not leave a truncated manifest — recovery of a
+    // partial `del` list would keep unlisted tails live beside the
+    // full new generation, and those rows would re-fold next pass
+    // into PERMANENT index duplicates (harmless to gate decisions —
+    // nearDupDrops distincts — but storage the store never sheds).
+    // With the rename, recovery sees either no manifest (nothing was
+    // moved: discard staging) or a complete one (re-run the commit).
     val manifest = new org.apache.hadoop.fs.Path(staging, MinorCommitMarker)
-    val out = fs.create(manifest, true)
+    val manifestTmp =
+      new org.apache.hadoop.fs.Path(staging, MinorCommitMarker + ".tmp")
+    val out = fs.create(manifestTmp, true)
     try {
       val body = (newRanges.map(r => s"add ${r._1}") ++
         tailNames.toSeq.sorted.map(n => s"del $n")).mkString("\n")
       out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } finally out.close()
+    require(fs.rename(manifestTmp, manifest),
+      "minor-compact manifest rename failed")
     newRanges.foreach { r =>
       require(fs.rename(new org.apache.hadoop.fs.Path(staging, r._1),
         new org.apache.hadoop.fs.Path(target, r._1)),
