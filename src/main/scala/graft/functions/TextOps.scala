@@ -51,8 +51,13 @@ object TextOps {
   def tokenDictBytes(c: Column): Column = {
     val ws = filter(split(trim(c), " +"), w => length(w) > 0)
     val uniq = array_distinct(ws)
+    // octet_length, not length: dictionary entries are stored BYTES
+    // (the doc says "len+1 bytes"), so multibyte tokens must count
+    // their UTF-8 width or the coder under-reports real output size
+    // and shifts the compress-ratio bands on non-ASCII corpora
+    // (ADVICE r18). DuckDB mirrors with octet_length(encode(x)).
     val dict = aggregate(uniq, lit(0L),
-      (acc, w) => acc + length(w).cast("long") + lit(1L))
+      (acc, w) => acc + octet_length(w).cast("long") + lit(1L))
     val bits = length(bin(size(uniq).cast("long"))).cast("long")
     val stream = floor((size(ws).cast("long") * bits + lit(7L)) / lit(8))
       .cast("long")

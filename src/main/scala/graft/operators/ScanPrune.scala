@@ -26,12 +26,15 @@ private[graft] object ScanPrune {
 
   /** `c IN (values)` as an OR of at-most-`chunk`-sized `In`
     * predicates over the sorted values — exact-pushdown-safe at any
-    * width (see object doc). */
+    * width (see object doc). An empty value list yields `lit(false)`,
+    * matching `isin()`-with-no-values semantics (empty result), so
+    * callers with an empty probe batch (zero queries, or every query
+    * tokenizing to nothing) get the pre-r18 empty scan instead of a
+    * throw. */
   def chunkedIn[T](c: Column, values: Seq[T], chunk: Int)(
-      implicit ord: Ordering[T]): Column = {
-    require(values.nonEmpty, "chunkedIn needs at least one value")
-    values.sorted.grouped(math.max(chunk, 1))
+      implicit ord: Ordering[T]): Column =
+    if (values.isEmpty) org.apache.spark.sql.functions.lit(false)
+    else values.sorted.grouped(math.max(chunk, 1))
       .map(g => c.isin(g.map(_.asInstanceOf[Any]): _*))
       .reduce(_ || _)
-  }
 }

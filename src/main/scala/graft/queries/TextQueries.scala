@@ -1371,7 +1371,7 @@ ORDER BY l.doc_id"""
         | s AS (SELECT doc_id, raw_bytes, len(ws) AS wn,
         |   len(list_distinct(ws)) AS u,
         |   coalesce(list_sum(list_transform(list_distinct(ws),
-        |     x -> length(x) + 1)), 0) AS dict
+        |     x -> octet_length(encode(x)) + 1)), 0) AS dict
         |  FROM w),
         | d AS (SELECT doc_id, raw_bytes,
         |   CAST(4 + dict + (wn * length(bin(u)) + 7) // 8 AS BIGINT)

@@ -535,21 +535,28 @@ object CorpusIngest {
     * hashes, and the store write precedes the fold in every batch);
     * for the URL frontier it is an UPPER BOUND (a recrawl of a
     * quality- or dedup-dropped url is a true positive that never
-    * shipped). Returns ("url" -> n, "text" -> n); `clear` truncates
-    * the drop stores after reading (the rebuild path passes true —
-    * a rebuilt bloom contains exactly the shipped keys, so every
-    * prior fp is healed and the next window starts clean). One
-    * column-pruned store scan per frontier, off the batch path — run
-    * it on the maintenance/evidence cadence, never inline. */
+    * shipped). Returns ("url" -> n, "text" -> n); `clearUrl` /
+    * `clearText` truncate THAT frontier's drop store after reading
+    * (the rebuild path sets the flag for the frontier it actually
+    * rebuilt — a rebuilt bloom contains exactly the shipped keys, so
+    * every prior fp is healed and the next window starts clean). The
+    * flags are per-frontier because the two chains roll over at
+    * different rates (ADVICE r18): a url-only rebuild must not
+    * discard the text frontier's fp records while the text bloom is
+    * still unhealed. One column-pruned store scan per frontier, off
+    * the batch path — run it on the maintenance/evidence cadence,
+    * never inline. */
   def frontierFpDrops(ss: SparkSession, urlBloomPath: String,
                       textBloomPath: String, shardDir: String,
-                      clear: Boolean = false): Map[String, Long] = {
+                      clearUrl: Boolean = false,
+                      clearText: Boolean = false): Map[String, Long] = {
     import ss.implicits._
     val (sfs, sroot) = fsOf(ss, shardDir)
     def store = ss.read.parquet(shardDir)
     def gauge(bloomPath: String, storeKeys: => DataFrame,
-              keyCol: String): Long = {
+              keyCol: String, clear: Boolean): Long = {
       val (fs, droot) = fsOf(ss, bloomPath + DropsSuffix)
+      graft.sources.DirSwap.recover(fs, droot, "__compact")
       if (!fs.exists(droot)) return 0L
       val dropped = ss.read.parquet(droot.toString).select(keyCol).distinct()
       val lost =
@@ -560,10 +567,34 @@ object CorpusIngest {
     }
     Map(
       "url" -> gauge(urlBloomPath,
-        store.select(col("canon_url")).distinct(), "canon_url"),
+        store.select(col("canon_url")).distinct(), "canon_url", clearUrl),
       "text" -> gauge(textBloomPath,
         store.select(xxhash64(col("text")).as("text_hash")).distinct(),
-        "text_hash"))
+        "text_hash", clearText))
+  }
+
+  /** Bound the fp-drop side store between rebuilds (ADVICE r18):
+    * [[recordBloomDrops]] appends ONE file per batch with any bloom
+    * positive, and a true cross-batch dup (the common case in
+    * recrawl-heavy workloads) re-records EVERY batch it reappears in
+    * — so rows and file count grow linearly in batches until a chain
+    * rebuild clears the window, and grow forever if the >2-epoch
+    * rebuild trigger never fires. On the bloom-maintenance cadence
+    * this folds the store to its DISTINCT keys in one file behind a
+    * rename-only twin swap: rows become O(distinct dropped keys) —
+    * the information [[frontierFpDrops]] actually consumes (it reads
+    * through `distinct()`) — and the file count resets to 1, so the
+    * gauge's scan stays flat on any cadence regardless of rebuild
+    * frequency. Crash-safe via [[graft.sources.DirSwap]]. */
+  private def compactDropsStore(ss: SparkSession, bloomPath: String,
+                                keyCol: String): Unit = {
+    val (fs, droot) = fsOf(ss, bloomPath + DropsSuffix)
+    graft.sources.DirSwap.recover(fs, droot, "__compact")
+    if (!fs.exists(droot)) return
+    val twin = new org.apache.hadoop.fs.Path(droot.toString + "__compact")
+    ss.read.parquet(droot.toString).select(keyCol).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(twin.toString)
+    graft.sources.DirSwap.swap(fs, droot, twin)
   }
 
   /** The t36 drift card over everything shipped so far — exactly the
@@ -1227,21 +1258,30 @@ object CorpusIngest {
           s"$expected (${headroom}x $shipped shipped keys)")
         true
       } else false
-    val rebuilt =
+    val Seq(urlRebuilt, textRebuilt) =
       Seq(rebuild(urlBloomPath, store.select("canon_url"), "canon_url"),
         rebuild(textBloomPath,
           store.select(xxhash64(col("text")).as("text_hash")), "text_hash"))
     // the rebuild HEALS every accumulated false-positive drop (the
     // fresh filter holds exactly the shipped keys), so this is the
     // moment to price the loss window and reset it (VERDICT r17
-    // item 3): exact for text, upper bound for url — see
-    // [[frontierFpDrops]]
-    if (rebuilt.exists(identity)) {
+    // item 3): exact for text, upper bound for url. The reset is
+    // PER-FRONTIER (ADVICE r18): the chains roll over at different
+    // rates, and a url-only rebuild must not discard the text
+    // frontier's fp records while its bloom is still unhealed —
+    // see [[frontierFpDrops]]
+    if (urlRebuilt || textRebuilt) {
       val fp = frontierFpDrops(ss, urlBloomPath, textBloomPath, shardDir,
-        clear = true)
-      log.info(s"frontier fp-drop gauge at rebuild (healed now): " +
+        clearUrl = urlRebuilt, clearText = textRebuilt)
+      log.info(s"frontier fp-drop gauge at rebuild " +
+        s"(url healed=$urlRebuilt, text healed=$textRebuilt): " +
         s"text=${fp("text")} exact, url<=${fp("url")} upper bound")
     }
+    // whichever window SURVIVES this cadence gets folded to distinct
+    // keys so the drops store stays bounded between rebuilds
+    // (ADVICE r18 — see [[compactDropsStore]])
+    if (!urlRebuilt) compactDropsStore(ss, urlBloomPath, "canon_url")
+    if (!textRebuilt) compactDropsStore(ss, textBloomPath, "text_hash")
   }
 
   /** The persisted frontier's per-epoch sketch bytes, oldest first

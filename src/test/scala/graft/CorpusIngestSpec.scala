@@ -877,13 +877,56 @@ class CorpusIngestSpec extends SparkSpec {
     val fp1 = CorpusIngest.frontierFpDrops(spark, ub, tb, shards)
     assert(fp1 == Map("url" -> 0L, "text" -> 10L), s"got $fp1")
     assert(CorpusIngest.frontierFpDrops(spark, ub, tb, shards) == fp1)
-    // clear=true (the rebuild path) resets the window
+    // a URL-only clear (ADVICE r18: the chains roll over at different
+    // rates) must NOT touch the text frontier's unhealed window
+    val fpU = CorpusIngest.frontierFpDrops(spark, ub, tb, shards,
+      clearUrl = true)
+    assert(fpU == fp1)
+    assert(CorpusIngest.frontierFpDrops(spark, ub, tb, shards) ==
+      Map("url" -> 0L, "text" -> 10L),
+      "url-only clear discarded the text fp window")
+    assert(new java.io.File(tb + "_drops").exists())
+    // clearing the rebuilt frontier (the rebuild path) resets it
     val fp2 = CorpusIngest.frontierFpDrops(spark, ub, tb, shards,
-      clear = true)
+      clearText = true)
     assert(fp2 == Map("url" -> 0L, "text" -> 10L))
     assert(CorpusIngest.frontierFpDrops(spark, ub, tb, shards) ==
       Map("url" -> 0L, "text" -> 0L))
     assert(!new java.io.File(tb + "_drops").exists())
+  }
+
+  test("drops window bounded between rebuilds: the bloom-maintenance " +
+      "pass folds an append-fragmented store to distinct keys in one " +
+      "file, gauge invariant (ADVICE r18)") {
+    val dir = Files.createTempDirectory("ingest_dropsfold").toString
+    val (ub, tb, shards) = (s"$dir/ub", s"$dir/tb", s"$dir/shards")
+    // one shipped batch → chain length 1, BELOW the >2 rebuild trigger
+    assert(CorpusIngest.ingestBatch(
+      (1L to 5L).map(i => (s"https://site.com/p$i", i, good(i)))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, expectedItems = 100) == 5L)
+    // simulate 6 batches each re-recording the same window: one TRUE
+    // dup (a shipped text hash — re-recorded every batch it recrawls,
+    // the unbounded-growth case ADVICE r18 named) + one fp loss
+    val shippedHash = spark.read.parquet(shards)
+      .select(xxhash64(col("text")).as("h")).orderBy("h").head().getLong(0)
+    (1 to 6).foreach { _ =>
+      Seq(shippedHash, 987654321L).toDF("text_hash")
+        .coalesce(1).write.mode("append").parquet(tb + "_drops")
+    }
+    def parts(p: String) = Option(new java.io.File(p).listFiles()).toSeq
+      .flatten.map(_.getName).filter(_.endsWith(".parquet"))
+    assert(parts(tb + "_drops").size >= 6)
+    val before = CorpusIngest.frontierFpDrops(spark, ub, tb, shards)
+    assert(before == Map("url" -> 0L, "text" -> 1L), s"got $before")
+    // no rebuild fires (chain length 1) — the pass must still fold
+    CorpusIngest.compactFrontierBlooms(spark, ub, tb, shards)
+    assert(parts(tb + "_drops").size == 1,
+      s"fold to one file, got ${parts(tb + "_drops")}")
+    assert(spark.read.parquet(tb + "_drops").count() == 2,
+      "fold keeps exactly the distinct keys")
+    assert(CorpusIngest.frontierFpDrops(spark, ub, tb, shards) == before,
+      "gauge must be invariant under the fold")
   }
 
   test("minor-compact crash recovery: manifest-less staging is " +

@@ -88,6 +88,9 @@ class DeflateSpec extends SparkSpec {
     assert(sz("spam") == 10L)
     // empty / whitespace-only: header only
     assert(sz("") == 4L && sz("   ") == 4L)
+    // multibyte: dictionary entries are UTF-8 BYTES, not chars —
+    // "é" is 2 bytes, so dict 3, stream 1, header 4 (ADVICE r18)
+    assert(sz("é") == 8L)
     // band order on the three regimes (the gate's reason to exist)
     val junk = sz(Seq.fill(200)("spam").mkString(" ")).toDouble / 999
     val prose = sz("the quick brown fox jumps over the lazy dog and " +

@@ -212,6 +212,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got == direct && got.nonEmpty)
   }
 
+  test("empty probe batch: zero queries / all-whitespace queries " +
+      "return empty, not throw (ADVICE r18 — chunkedIn on [] is " +
+      "isin()'s empty semantics)") {
+    import graft.operators.ScanPrune
+    // the primitive: [] must behave like isin() with no values
+    assert(corpus.filter(
+      ScanPrune.chunkedIn(col("doc_id"), Seq.empty[Long], 10)).count() == 0)
+    // both index-probe call sites that can reach it with zero literals
+    val idx = Bm25.buildIndex(corpus, "doc_id", "text")
+    val none = Seq.empty[(Long, String)].toDF("q_id", "qtext")
+    assert(Bm25.topKQueriesFromIndex(idx, none, "q_id", "qtext").count() == 0)
+    val blank = Seq((0L, "   "), (1L, "")).toDF("q_id", "qtext")
+    assert(Bm25.topKQueriesFromIndex(idx, blank, "q_id", "qtext").count() == 0)
+  }
+
   test("incremental merge of disjoint batches == index of the union corpus") {
     val batch1 = corpus.filter(col("doc_id") <= 2L)
     val batch2 = corpus.filter(col("doc_id") > 2L)
