@@ -25,6 +25,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded collects scan all local partitions in ONE scheduling
+      // round instead of the 1→4→16→… escalation (see Verify)
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -19,6 +19,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long ns and convert in ql.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bounded collects (Dedup.localSnapshot, executeTake in general)
+      // scan all local partitions in ONE scheduling round instead of
+      // the 1→4→16→… escalation — same rows, fewer driver jobs
+      .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

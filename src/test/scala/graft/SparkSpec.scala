@@ -47,6 +47,7 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.limit.initialNumPartitions", "4")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 }
