@@ -1808,21 +1808,16 @@ object ScaleEvidenceRocksDb {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      // CHANGELOG checkpointing is the endurance-critical knob: the
-      // default full-snapshot mode re-uploads modified SSTs per
-      // batch, so commit cost grows with STATE size (measured: the
-      // per-batch median doubled 8.9 -> 16.5 s as state grew 0 ->
-      // 4.8M keys). With changelog checkpointing the per-batch
-      // checkpoint is the batch's own updates; snapshots happen on
-      // their own cadence (maintenance, not the batch path) — the
-      // same inline-pause discipline as the ingest loop's stores.
-      .config("spark.sql.streaming.stateStore.rocksdb" +
-        ".changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // RocksDB provider + CHANGELOG checkpointing — the endurance-
+    // critical knob pair, now the documented production default
+    // (graft.streaming.StreamConfs, VERDICT r18 item 4): full-snapshot
+    // commit cost grows with STATE size (measured: per-batch median
+    // doubled 8.9 -> 16.5 s as state grew 0 -> 4.8M keys); changelog
+    // ships only the batch's own updates.
+    graft.streaming.StreamConfs.applyRocksDb(spark)
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -18,6 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   *
   * Emits, per shard per touched micro-batch: the shard's current
   * candidate items and its processed-token count.
+  *
+  * Production state backend: apply [[StreamConfs.applyRocksDb]]
+  * before starting the query (RocksDB provider + changelog
+  * checkpointing — per-batch commit cost stays batch-sized; see
+  * StreamConfs).
   */
 object FreqStream {
 

@@ -24,6 +24,13 @@ import graft.operators.Dedup
   * dedup downstream (`dropDuplicatesWithinWatermark` on (a_id, b_id)
   * in streaming, `distinct` in batch — the same contract as the batch
   * `minhashLshPairs` groupBy).
+  *
+  * Production state backend: apply [[StreamConfs.applyRocksDb]]
+  * before starting the query — RocksDB keeps the bucket state off
+  * the heap, and changelog checkpointing keeps the per-batch commit
+  * cost batch-sized instead of state-sized (the full-snapshot
+  * default's cost doubles as state grows to millions of keys —
+  * see StreamConfs).
   */
 object NearDupStream {
 

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Recommended session confs for the streaming operators' production
+  * state backend (VERDICT r18 item 4 — the endurance-critical knob
+  * lived only in the evidence runner, so an operator user on RocksDB
+  * inherited the full-snapshot default whose per-batch commit cost
+  * tracks STATE size, not batch size).
+  *
+  * The streaming operators in this package return transformed frames
+  * (the caller owns `writeStream`), so the state-store choice is
+  * session configuration, not operator code. Apply [[applyRocksDb]]
+  * to the session BEFORE starting a stateful query:
+  *
+  *   - RocksDB provider: keyed state spills to disk instead of
+  *     capping the frontier/bucket state at executor heap — the
+  *     production backend for unbounded state (near-dup buckets,
+  *     dropDuplicates frontiers, MG heavy-hitter shards; endurance:
+  *     7.9M keys / ~2.9 GB state at flat per-batch cost,
+  *     tools/scale_evidence_rocksdb_r18.log).
+  *   - CHANGELOG checkpointing: the default full-snapshot mode
+  *     re-uploads modified SSTs per batch, so commit cost GROWS with
+  *     state (measured: per-batch median doubled 8.9 → 16.5 s as
+  *     state grew 0 → 4.8M keys); with changelog checkpointing each
+  *     batch ships only its own updates and snapshots move to the
+  *     maintenance cadence — the same inline-pause discipline as the
+  *     ingest loop's stores. Restart-safe: recovery replays the
+  *     changelog onto the last snapshot.
+  *
+  * Confs are read when a query STARTS and pinned in its checkpoint;
+  * set them before `.start()` (an already-running query is
+  * unaffected). */
+object StreamConfs {
+
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** The production RocksDB state-backend confs (see object doc). */
+  val rocksDbRecommended: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" -> RocksDbProvider,
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      -> "true")
+
+  /** Set [[rocksDbRecommended]] on the session (idempotent). */
+  def applyRocksDb(ss: SparkSession): Unit =
+    rocksDbRecommended.foreach { case (k, v) => ss.conf.set(k, v) }
+}

@@ -100,10 +100,15 @@ class StreamingFrontierSpec extends SparkSpec {
     * come out exactly once, ever. */
   test("engine-native frontier: streaming dropDuplicates on RocksDB state") {
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the recommended-confs helper is the production entry point
+    // (VERDICT r18 item 4): it must select the RocksDB provider AND
+    // changelog checkpointing — the knob that keeps per-batch commit
+    // cost batch-sized instead of state-sized
+    val keys = graft.streaming.StreamConfs.rocksDbRecommended.keys.toSeq
+    val prevs = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    graft.streaming.StreamConfs.applyRocksDb(spark)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled") == "true")
     try {
       val mem = MemoryStream[String]
       val q = mem.toDF().toDF("url")
@@ -135,9 +140,9 @@ class StreamingFrontierSpec extends SparkSpec {
           s"unexpected frontier output: $emitted")
       } finally q.stop()
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      prevs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }

@@ -44,10 +44,11 @@ class StreamingJoinStateSpec extends SparkSpec {
 
   test("RocksDB state store runs sessionization with identical results") {
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // production entry point: provider + changelog checkpointing in
+    // one helper (VERDICT r18 item 4)
+    val keys = graft.streaming.StreamConfs.rocksDbRecommended.keys.toSeq
+    val prevs = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    graft.streaming.StreamConfs.applyRocksDb(spark)
     try {
       val mem = MemoryStream[(Long, Timestamp, Double)]
       val df = mem.toDF().toDF("user_id", "ts", "value")
@@ -69,9 +70,9 @@ class StreamingJoinStateSpec extends SparkSpec {
           s"RocksDB-backed streaming must close the batch sessions:\n$got\n$batch")
       } finally q.stop()
     } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      prevs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }
