@@ -1684,14 +1684,18 @@ object ScaleEvidenceIngest {
             def idxFiles = Option(new java.io.File(nidx).listFiles())
               .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
             val (eu0, et0, if0) = (epochsOf(ub), epochsOf(tb), idxFiles)
-            // r18: minor/major attribution for the ndindex phase —
-            // a MINOR fold leaves every prior base-generation file in
-            // place by name (the pause is tail-bounded); a MAJOR
-            // rewrites the store (no sidecar yet, or bloom capacity
-            // exhausted -> resize)
-            def baseGen = CorpusIngest.loadIndexSidecar(spark, nidx)
-              .map(_.files.map(_._1).toSet).getOrElse(Set.empty[String])
-            val base0 = if (k == 1) baseGen else Set.empty[String]
+            // r19: pass attribution for the ndindex phase — a TAIL
+            // pass leaves every prior generation intact by id (the
+            // pause is tail-bounded); a TAIL+MERGE pass additionally
+            // replaces the two smallest generations with one (the
+            // pause is bounded by the merged pair's rows, printed so
+            // the log shows every pause's bound); the r18 MAJOR
+            // (store-scaling full rewrite) no longer exists as a
+            // code path
+            def genView = graft.sources.TieredIndex.load(spark, nidx)
+              .getOrElse(Seq.empty)
+            val gens0 = if (k == 1) genView
+              else Seq.empty[graft.sources.TieredIndex.Gen]
             // r18 (VERDICT item 3): the frontier fp-drop gauge rides
             // the bloom-phase cadence, read BEFORE the phase (a chain
             // rebuild heals and resets the window) — losses since the
@@ -1708,10 +1712,17 @@ object ScaleEvidenceIngest {
             }
             val kind =
               if (k != 1) ""
-              else if (base0.nonEmpty && base0.subsetOf(baseGen))
-                " [MINOR: base untouched, tail-bounded]"
-              else " [MAJOR: full rewrite" +
-                (if (base0.nonEmpty) " (capacity resize)" else " (first)") + "]"
+              else {
+                val gens1 = genView
+                val replaced = gens0.filterNot(g => gens1.exists(_.id == g.id))
+                if (gens0.isEmpty)
+                  s" [FIRST: whole tail -> gen 0 (${gens1.map(_.rows).sum} rows)]"
+                else if (replaced.isEmpty)
+                  s" [TAIL: ${gens1.size} gens intact, tail-bounded]"
+                else
+                  s" [TAIL+MERGE: pair of ${replaced.map(_.rows).sum} rows " +
+                    s"merged, ${gens1.size} gens]"
+              }
             println(f"[ingest-maint] after batch $b: phase ${phaseNames(k)} " +
               f"${tM}%.1f s inline pause (staggered cadence); url epochs " +
               f"$eu0->${epochsOf(ub)}, text epochs $et0->${epochsOf(tb)}, " +

@@ -722,386 +722,71 @@ object CorpusIngest {
     * a long-running stream accumulates small files and the per-batch
     * probe scan pays file-open/footer cost per file.
     *
-    * INCREMENTAL by default (VERDICT r17 item 1): once a sidecar
-    * generation exists, a compaction pass touches only the TAIL —
-    * files appended since the last pass — clustering them
-    * (band, bucket) into a new base generation, folding their keys
-    * into the sidecar bloom (OR-mergeable: every generation's bloom
-    * is sized to the sidecar's fixed `capacity`), and appending their
-    * per-file ranges. The pause is bounded by the tail (compactEvery
-    * batches of survivor keys), NOT the store — the r17 full rewrite
-    * was the loop's one remaining corpus-scaling inline pause
-    * (22→39 s measured at a 6→14M-row store; ~45 min at 10⁹ rows).
-    * Cost model: minor generations overlap in key range, so a
-    * suspect probe may read one file per generation accumulated
-    * since the last FULL rewrite — O(corpus growth since then), not
-    * O(corpus). A full rewrite (the pre-r18 path: Layout.compact
-    * behind [[graft.sources.DirSwap]]'s rename-only twin swap +
-    * fresh sidecar) still runs when there is no usable sidecar, or
-    * when folded keys would exceed the bloom's design capacity —
-    * capacity doubles on every full rebuild, so rebuild cost
-    * amortizes geometrically exactly like an LSM major compaction.
-    *
-    * Crash safety: the minor commit writes a manifest before any
-    * rename ([[recoverMinorIndexCompact]] re-runs it from any crash
-    * point); mid-commit a probe can transiently see a tail row twice
-    * — harmless, `nearDupDrops` distinct-collapses the narrowed
-    * slice (the foreachBatch at-least-once replay defense already
-    * required it). [[start]] runs this on the `compactEvery`
-    * cadence when the near-dup gate is on; batch callers compact on
-    * their own schedule. */
+    * GENERATION-TIERED (r19, [[graft.sources.TieredIndex]] — VERDICT
+    * r18 item 1): each pass clusters ONLY the tail — files appended
+    * since the last pass — into a new immutable generation carrying
+    * its own right-sized (band, bucket) key bloom and per-file
+    * clustered ranges, and merges the two SMALLEST generations when
+    * the count passes the cap (size-tiered LSM). Because generations
+    * are immutable there is no shared bloom to exhaust, so the r18
+    * design's capacity-triggered FULL rewrite — the loop's one
+    * remaining store-scaling inline pause (88.2 s measured at a
+    * 22.7M-row store; ~45 min at a 10⁹-row production index) — no
+    * longer exists as a code path: EVERY inline pause is tail- or
+    * merged-pair-bounded, and merge cost amortizes geometrically
+    * (each band row is rewritten O(log n) times over the index's
+    * life). Crash safety (staged files + atomic manifest + the
+    * sidecar swap as commit pivot), the self-healing upgrade path (a
+    * pre-r19 single-bloom sidecar parses as absent → its files
+    * recluster as ordinary tail, byte-capped per pass so even the
+    * migration never full-rewrites inline), and the probe contract
+    * are [[graft.sources.TieredIndex]]'s. [[start]] runs this on the
+    * `compactEvery` cadence when the near-dup gate is on; batch
+    * callers compact on their own schedule. */
   def compactNearDupIndex(ss: SparkSession, indexDir: String,
-                          targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
-    val (fs, target) = fsOf(ss, indexDir)
-    graft.sources.DirSwap.recover(fs, target, "__compact")
-    recoverMinorIndexCompact(ss, indexDir)
-    if (!fs.exists(target)) return
-    val liveNames = fs.listStatus(target).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).toSet
-    if (liveNames.isEmpty) return
-    val sc = loadIndexSidecar(ss, indexDir)
-      .filter(s => s.capacity > 0 && s.inserted >= 0 &&
-        s.files.forall(f => liveNames.contains(f._1)))
-    val minorDone = sc.exists(s => minorCompactNearDupIndex(ss, indexDir,
-      s, liveNames.diff(s.files.map(_._1).toSet), targetFileBytes))
-    if (!minorDone) {
-      graft.sources.Layout.compact(ss, indexDir, indexDir + "__compact",
-        targetFileBytes, clusterCols = Seq("band", "bucket"))
-      graft.sources.DirSwap.swap(fs, target,
-        new org.apache.hadoop.fs.Path(indexDir + "__compact"))
-      writeIndexSidecar(ss, indexDir)
-    }
-  }
+                          targetFileBytes: Long = 128L * 1024 * 1024,
+                          maxGenerations: Int =
+                            graft.sources.TieredIndex.DefaultMaxGenerations): Unit =
+    graft.sources.TieredIndex.compact(ss, indexDir,
+      bandIndexSpec(targetFileBytes, maxGenerations))
 
-  /** False-positive rate of the index key-summary bloom: each false
-    * positive only promotes one batch key into the pruned base scan
-    * (no correctness effect — the exact join still decides), so the
-    * rate trades sidecar SIZE against scan narrowing: at 0.001 a
-    * 640k-key batch leaks ~640 extra hot keys and the filter costs
-    * ~14.4 bits per index key (~1.8 GB at a 10⁹-row index — the same
-    * order as the frontier blooms the loop already carries; raise the
-    * fpp to shrink it at the price of a wider hot set). */
-  val IndexSidecarFpp: Double = 0.001
-
-  /** Past this many hot keys the driver-side per-file range pruning
-    * is skipped (the collect would be the bottleneck) and every base
-    * file is read — the bloom narrowing still applies through the hot
-    * semi-join. ~1M keys ≈ 16 MB collected. */
-  private[graft] val MaxHotKeysForFilePrune: Long = 1000000L
-
-  private def sidecarPath(indexDir: String): String = indexDir + "_keys"
-
-  /** Floor for the sidecar bloom's design capacity: full rebuilds
-    * size to max(2·keys, this), so a young index absorbs many minor
-    * passes before its first capacity-triggered major rewrite. */
-  private[graft] val MinIndexSidecarCapacity: Long = 65536L
-
-  /** Staging-dir suffix and commit-manifest name of the minor
-    * (incremental) index compaction. The staging dir lives BESIDE the
-    * index dir, so probes never list its files as data. */
-  private[graft] val MinorSuffix = "__minor"
-  private val MinorCommitMarker = "_COMMIT"
-
-  /** Build the index KEY SUMMARY sidecar from the CURRENT (just
-    * compacted) index: one bloom over the index's (band, bucket) keys
-    * plus, per data file, the lexicographic (band, bucket) min/max
-    * the clustered rewrite established — everything
-    * [[narrowedCorpusIndex]] needs to prune the per-batch probe scan.
-    * One row, written behind a DirSwap twin; a sidecar whose file set
-    * is not a SUBSET of the live listing is ignored at read time, so
-    * any crash here just means full-scan probes until the next
-    * compaction. */
-  private[graft] def writeIndexSidecar(ss: SparkSession,
-                                       indexDir: String): Unit = {
-    import ss.implicits._
-    val (fs, scRoot) = fsOf(ss, sidecarPath(indexDir))
-    graft.sources.DirSwap.recover(fs, scRoot, "__compact")
-    val idx = ss.read.parquet(indexDir)
-    // per-file lexicographic key ranges off the clustered layout (the
-    // file NAME — unique per write — is the identity the reader
-    // matches against the live dir listing), with per-file row counts
-    // riding the same pass so the bloom sizing needs no extra scan
-    val stats = idx
-      .select(input_file_name().as("f"),
-        struct(col("band"), col("bucket")).as("k"))
-      .groupBy("f").agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
-        count(lit(1)).as("n"))
-      .collect()
-    val n = stats.map(_.getLong(3)).sum
-    if (n == 0) { if (fs.exists(scRoot)) fs.delete(scRoot, true); return }
-    val ranges = stats
-      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
-        r.getStruct(1).getInt(0), r.getStruct(1).getLong(1),
-        r.getStruct(2).getInt(0), r.getStruct(2).getLong(1)))
-      .sortBy(t => (t._2, t._3))
-    // sized to 2x the live keys (floored) so minor passes can keep
-    // OR-folding same-sized tail blooms in until the next major
-    // rewrite — the capacity-doubling policy the object doc describes
-    val capacity = math.max(2 * n, MinIndexSidecarCapacity)
-    val bloom = BloomMembership.sketch(
-      idx.select(xxhash64(col("band"), col("bucket")).as("k")),
-      "k", capacity, IndexSidecarFpp)
-      .head().getAs[Array[Byte]](0)
-    writeSidecarRow(ss, indexDir, bloom, ranges.toSeq, capacity, n)
-  }
-
-  /** Serialize one sidecar row behind the DirSwap twin protocol and
-    * invalidate the driver cache — shared by the full rebuild
-    * ([[writeIndexSidecar]]) and the minor fold
-    * ([[minorCompactNearDupIndex]]). */
-  private[graft] def writeSidecarRow(ss: SparkSession, indexDir: String,
-      bloom: Array[Byte], files: Seq[(String, Int, Long, Int, Long)],
-      capacity: Long, inserted: Long): Unit = {
-    import ss.implicits._
-    val (fs, scRoot) = fsOf(ss, sidecarPath(indexDir))
-    val twin = sidecarPath(indexDir) + "__compact"
-    Seq((Option(bloom), files, capacity, inserted))
-      .toDF("bloom", "files", "capacity", "inserted")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(twin)
-    graft.sources.DirSwap.swap(fs, scRoot,
-      new org.apache.hadoop.fs.Path(twin))
-    sidecarCache.synchronized(sidecarCache.remove(sidecarPath(indexDir)))
-  }
-
-  /** The minor (incremental) compaction pass: cluster ONLY the tail
-    * files into a fresh base generation and fold their keys into the
-    * sidecar. Returns true when this pass fully handled the cadence
-    * (including the empty-tail no-op); false means the caller must
-    * run a major rewrite (bloom capacity exhausted, or a pathological
-    * staged-name collision).
-    *
-    * Commit protocol (all driver-side fs metadata ops, tail-bounded):
-    *   1. write the clustered tail to `<index>__minor` (a crash here
-    *      leaves an uncommitted staging dir — deleted next pass);
-    *   2. write the `_COMMIT` manifest (add/del lines) INTO staging —
-    *      from here [[recoverMinorIndexCompact]] can re-run the
-    *      sequence from any crash point;
-    *   3. rename each staged file into the index dir, delete each
-    *      tail file (each file lives in exactly one place throughout;
-    *      a probe between 3 and 4 sees the new generation as tail —
-    *      valid, just unpruned until 4);
-    *   4. swap in the updated sidecar (merged bloom, appended
-    *      ranges), delete staging.
-    * A crash after 3 but before 4 leaves the committed generation
-    * reading as tail until the next pass re-folds it — correct,
-    * merely unpruned. */
-  private[graft] def minorCompactNearDupIndex(ss: SparkSession,
-      indexDir: String, sc: IndexSidecar, tailNames: Set[String],
-      targetFileBytes: Long): Boolean = {
-    if (tailNames.isEmpty) return true
-    val (fs, target) = fsOf(ss, indexDir)
-    val staging = new org.apache.hadoop.fs.Path(indexDir + MinorSuffix)
-    if (fs.exists(staging)) fs.delete(staging, true) // uncommitted leftover
-    val tailPaths = tailNames.toSeq.sorted
-      .map(n => new org.apache.hadoop.fs.Path(target, n))
-    val tailBytes = tailPaths.map(p => fs.getFileStatus(p).getLen).sum
-    val nFiles = math.max(1,
-      math.ceil(tailBytes.toDouble / targetFileBytes).toInt)
-    ss.read.parquet(tailPaths.map(_.toString): _*)
-      .select("doc", "band", "bucket")
-      .repartitionByRange(nFiles, col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket")
-      .write.mode("overwrite").parquet(staging.toString)
-    val staged = ss.read.parquet(staging.toString)
-    val stats = staged
-      .select(input_file_name().as("f"),
-        struct(col("band"), col("bucket")).as("k"))
-      .groupBy("f").agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
-        count(lit(1)).as("n"))
-      .collect()
-    val tailN = stats.map(_.getLong(3)).sum
-    if (tailN == 0) { // all-empty tail appends: just drop them
-      fs.delete(staging, true)
-      tailPaths.foreach(p => fs.delete(p, false))
-      return true
-    }
-    if (sc.inserted + tailN > sc.capacity) {
-      fs.delete(staging, true) // bloom out of headroom -> major resizes
-      return false
-    }
-    // ranges only for staged files that hold rows; a zero-row part
-    // file never commits (it dies with the staging delete)
-    val newRanges = stats
-      .map(r => (new org.apache.hadoop.fs.Path(r.getString(0)).getName,
-        r.getStruct(1).getInt(0), r.getStruct(1).getLong(1),
-        r.getStruct(2).getInt(0), r.getStruct(2).getLong(1)))
-    if (newRanges.exists(r => sc.files.exists(_._1 == r._1))) {
-      fs.delete(staging, true) // UUID part names make this ~impossible
-      return false
-    }
-    // tail bloom built with the SAME (capacity, fpp) sizing as the
-    // base generation's -> bit-compatible OR-merge
-    val tailBloom = BloomMembership.sketch(
-      staged.select(xxhash64(col("band"), col("bucket")).as("k")),
-      "k", sc.capacity, IndexSidecarFpp).head().getAs[Array[Byte]](0)
-    val merged = BloomMembership.merge(sc.bloom, tailBloom)
-    // the manifest commits ATOMICALLY (write tmp, rename in): a crash
-    // mid-write must not leave a truncated manifest — recovery of a
-    // partial `del` list would keep unlisted tails live beside the
-    // full new generation, and those rows would re-fold next pass
-    // into PERMANENT index duplicates (harmless to gate decisions —
-    // nearDupDrops distincts — but storage the store never sheds).
-    // With the rename, recovery sees either no manifest (nothing was
-    // moved: discard staging) or a complete one (re-run the commit).
-    val manifest = new org.apache.hadoop.fs.Path(staging, MinorCommitMarker)
-    val manifestTmp =
-      new org.apache.hadoop.fs.Path(staging, MinorCommitMarker + ".tmp")
-    val out = fs.create(manifestTmp, true)
-    try {
-      val body = (newRanges.map(r => s"add ${r._1}") ++
-        tailNames.toSeq.sorted.map(n => s"del $n")).mkString("\n")
-      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
-    require(fs.rename(manifestTmp, manifest),
-      "minor-compact manifest rename failed")
-    newRanges.foreach { r =>
-      require(fs.rename(new org.apache.hadoop.fs.Path(staging, r._1),
-        new org.apache.hadoop.fs.Path(target, r._1)),
-        s"minor-compact rename of ${r._1} failed")
-    }
-    tailPaths.foreach(p => fs.delete(p, false))
-    writeSidecarRow(ss, indexDir, merged,
-      (sc.files ++ newRanges).sortBy(t => (t._2, t._3)),
-      sc.capacity, sc.inserted + tailN)
-    fs.delete(staging, true)
-    true
-  }
-
-  /** Finish (or discard) an interrupted minor compaction — idempotent,
-    * run before every index read and every compaction pass. No
-    * manifest = the staging write itself died: discard. Manifest
-    * present = re-run the commit: move staged adds in (skipping ones
-    * already moved), delete listed tails still present, drop staging.
-    * The sidecar is NOT touched here — if the crash predated its
-    * rewrite it still describes only old base files (all live), so
-    * probes stay correct and the committed generation reads as tail
-    * until the next pass. */
-  private[graft] def recoverMinorIndexCompact(ss: SparkSession,
-                                              indexDir: String): Unit = {
-    val (fs, target) = fsOf(ss, indexDir)
-    val staging = new org.apache.hadoop.fs.Path(indexDir + MinorSuffix)
-    if (!fs.exists(staging)) return
-    val manifest = new org.apache.hadoop.fs.Path(staging, MinorCommitMarker)
-    if (!fs.exists(manifest)) { fs.delete(staging, true); return }
-    val in = fs.open(manifest)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val (adds, dels) = body.split("\n").filter(_.nonEmpty)
-      .partition(_.startsWith("add "))
-    adds.map(_.stripPrefix("add ")).foreach { n =>
-      val s = new org.apache.hadoop.fs.Path(staging, n)
-      val t = new org.apache.hadoop.fs.Path(target, n)
-      if (fs.exists(s)) {
-        if (fs.exists(t)) fs.delete(s, false)
-        else require(fs.rename(s, t), s"minor-compact recovery of $n failed")
-      }
-    }
-    dels.map(_.stripPrefix("del ")).foreach { n =>
-      val t = new org.apache.hadoop.fs.Path(target, n)
-      if (fs.exists(t)) fs.delete(t, false)
-    }
-    fs.delete(staging, true)
-    ()
-  }
-
-  /** Parsed sidecar: key-summary bloom bytes + per-base-file
-    * (name, loBand, loBucket, hiBand, hiBucket) ranges + the bloom's
-    * design capacity and keys folded so far (-1/-1 on a pre-r18
-    * legacy row — still probe-usable; the next compaction majors). */
-  private[graft] final case class IndexSidecar(bloom: Array[Byte],
-      files: Seq[(String, Int, Long, Int, Long)],
-      capacity: Long, inserted: Long)
-
-  /** Driver-side sidecar cache keyed by (path, data-file names): the
-    * sidecar is immutable between compactions but the loop re-reads
-    * state every batch — the parse (a ~tens-of-MB bloom at a 10⁷-row
-    * index) should be paid once per compaction, not per batch. The
-    * data-file name is unique per write, so a rewritten sidecar
-    * always misses. */
-  private val sidecarCache =
-    new java.util.HashMap[String, (String, IndexSidecar)]()
-
-  /** Read the sidecar if present and sound (see [[writeIndexSidecar]]
-    * for the layout). Any parse failure degrades to None — the probe
-    * then full-scans exactly as before the sidecar existed. */
-  private[graft] def loadIndexSidecar(ss: SparkSession,
-                                      indexDir: String): Option[IndexSidecar] = {
-    val path = sidecarPath(indexDir)
-    val (fs, root) = fsOf(ss, path)
-    graft.sources.DirSwap.recover(fs, root, "__compact")
-    if (!graft.sources.DirSwap.hasData(fs, root)) return None
-    val stamp = fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).sorted.mkString(",")
-    sidecarCache.synchronized {
-      val hit = sidecarCache.get(path)
-      if (hit != null && hit._1 == stamp) return Some(hit._2)
-    }
-    val parsed = scala.util.Try {
-      val r = ss.read.parquet(path).head()
-      val files = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("files")
-        .map(f => (f.getString(0), f.getInt(1), f.getLong(2),
-          f.getInt(3), f.getLong(4))).toSeq
-      // pre-r18 rows lack the capacity/inserted columns: still fully
-      // probe-usable (-1 sentinels just force the next compaction to
-      // take the major path, which writes the new schema)
-      val cap = scala.util.Try(r.getAs[Long]("capacity")).getOrElse(-1L)
-      val ins = scala.util.Try(r.getAs[Long]("inserted")).getOrElse(-1L)
-      IndexSidecar(r.getAs[Array[Byte]]("bloom"), files, cap, ins)
-    }.toOption
-    parsed.foreach(p => sidecarCache.synchronized(
-      sidecarCache.put(path, (stamp, p))))
-    parsed
-  }
-
-  /** Base files whose clustered (band, bucket) range contains at
-    * least one hot key — pure, driver-side (ranges and hot keys are
-    * both bounded collections). Lexicographic interval test on the
-    * composite key, matching `min/max(struct(band, bucket))`. */
-  private[graft] def pruneBaseFiles(files: Seq[(String, Int, Long, Int, Long)],
-                                    hot: Seq[(Int, Long)]): Seq[String] = {
-    if (hot.isEmpty) return Seq.empty
-    val sortedHot = hot.sorted.toIndexedSeq
-    val ord = implicitly[Ordering[(Int, Long)]]
-    // binary search: first hot key >= lo — O(F log H), not O(F·H)
-    def firstAtLeast(lo: (Int, Long)): Int = {
-      var l = 0; var r = sortedHot.length
-      while (l < r) {
-        val m = (l + r) >>> 1
-        if (ord.lt(sortedHot(m), lo)) l = m + 1 else r = m
-      }
-      l
-    }
-    files.filter { case (_, loB, loK, hiB, hiK) =>
-      val i = firstAtLeast((loB, loK))
-      i < sortedHot.length && ord.lteq(sortedHot(i), (hiB, hiK))
-    }.map(_._1)
-  }
+  /** The band index's tiered-maintenance shape: (doc, band, bucket)
+    * rows clustered and summarized on (band, bucket). */
+  private[graft] def bandIndexSpec(
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxGenerations: Int = graft.sources.TieredIndex.DefaultMaxGenerations)
+      : graft.sources.TieredIndex.Spec =
+    graft.sources.TieredIndex.Spec(
+      rowCols = Seq("doc", "band", "bucket"),
+      keyCols = Seq("band", "bucket"),
+      maxGenerations = maxGenerations,
+      targetFileBytes = targetFileBytes)
 
   /** The tiered per-batch view of the persisted near-dup index
     * (VERDICT r16 item 1): the r15 semi-join moved the per-batch
     * SHUFFLE off the index but still paid one full columnar scan per
     * batch — linear in the corpus (~0.13 s per million index rows in
     * the r16 endurance run; minutes per micro-batch at a 10⁹-row
-    * production index). With the compaction-built sidecar the scan is
-    * bounded by the BATCH instead:
+    * production index). With the compaction-built generation sidecar
+    * the scan is bounded by the BATCH instead:
     *
-    *   - BASE (files the sidecar describes): batch keys are flagged
-    *     map-side against the key-summary bloom, then reduced to
-    *     SUSPECT DOCS — batch docs with ≥ `minBands` hot bands. A doc
-    *     with fewer hot bands cannot reach the drop threshold against
-    *     ANY corpus partner (each counted pair band needs its key in
-    *     the corpus, and the bloom has no false negatives), so its
-    *     keys never need the base. This filter is what makes the tier
-    *     bite on real corpora: shared vocabulary keeps per-KEY hits
-    *     in the thousands per batch (sub-threshold 1–3-band matches —
+    *   - BASE (files some generation describes): batch keys are
+    *     flagged map-side against the generations' key blooms (one
+    *     predicate per generation, same scan — a key is hot if ANY
+    *     generation may hold it), then reduced to SUSPECT DOCS —
+    *     batch docs with ≥ `minBands` hot bands. A doc with fewer hot
+    *     bands cannot reach the drop threshold against ANY corpus
+    *     partner (each counted pair band needs its key in the corpus,
+    *     and blooms have no false negatives), so its keys never need
+    *     the base. This filter is what makes the tier bite on real
+    *     corpora: shared vocabulary keeps per-KEY hits in the
+    *     thousands per batch (sub-threshold 1–3-band matches —
     *     measured live in the r17 endurance run), but per-DOC
     *     threshold crossings are exactly the true cross-batch
     *     near-dups. No suspects → the base is not read at all;
     *     otherwise only base files whose clustered key range contains
-    *     a suspect key are read ([[pruneBaseFiles]]) and immediately
-    *     semi-joined down to those keys.
+    *     a suspect key are read ([[graft.sources.TieredIndex.pruneFiles]])
+    *     and immediately semi-joined down to those keys.
     *   - TAIL (files appended since the last compaction): scanned in
     *     full — bounded by compactEvery batches of survivor keys,
     *     corpus-independent.
@@ -1115,16 +800,17 @@ object CorpusIngest {
     *
     * Gauges (when `stageLog` is on): `ndidx:base_files` /
     * `ndidx:base_files_read` / `ndidx:hot_keys` (suspect docs' keys)
-    * / `ndidx:tail_files` — the bounded-fraction evidence the ingest
-    * log prints. */
+    * / `ndidx:tail_files` / `ndidx:generations` — the bounded-scan
+    * evidence the ingest log prints. */
   private[graft] def narrowedCorpusIndex(ss: SparkSession, indexDir: String,
       batchIdx: DataFrame, minBands: Int,
       stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None,
       maxBroadcastKeys: Long = MaxBroadcastKeyRows): DataFrame = {
     import ss.implicits._
+    import graft.sources.TieredIndex
     val (fs, target) = fsOf(ss, indexDir)
     graft.sources.DirSwap.recover(fs, target, "__compact")
-    recoverMinorIndexCompact(ss, indexDir)
+    TieredIndex.recover(ss, indexDir)
     def emptyIdx = Seq.empty[(Long, Int, Long)].toDF("doc", "band", "bucket")
     if (!fs.exists(target)) return emptyIdx
     val live = fs.listStatus(target).map(_.getPath)
@@ -1133,32 +819,35 @@ object CorpusIngest {
     def gauge(name: String, v: Double): Unit =
       stageLog.foreach(_ += s"ndidx:$name" -> v)
     val liveNames = live.map(_.getName).toSet
-    val sidecar = loadIndexSidecar(ss, indexDir)
-      .filter(_.files.forall(f => liveNames.contains(f._1)))
-    sidecar match {
-      case None =>
+    TieredIndex.load(ss, indexDir, liveNames).getOrElse(Seq.empty) match {
+      case Seq() =>
         // no usable summary: every live file is tail (the pre-r17 scan)
         gauge("base_files", 0); gauge("base_files_read", 0)
+        gauge("generations", 0)
         gauge("tail_files", live.length.toDouble)
         ss.read.parquet(live.map(_.toString).toIndexedSeq: _*)
-      case Some(sc) =>
-        val baseNames = sc.files.map(_._1).toSet
+          .select("doc", "band", "bucket")
+      case gens =>
+        val baseFiles = gens.flatMap(_.files)
+        val baseNames = baseFiles.map(_.name).toSet
         val tail = live.filter(p => !baseNames.contains(p.getName))
-        gauge("base_files", sc.files.length.toDouble)
+        gauge("base_files", baseFiles.length.toDouble)
+        gauge("generations", gens.length.toDouble)
         gauge("tail_files", tail.length.toDouble)
         val tailDf =
           if (tail.isEmpty) emptyIdx
           else ss.read.parquet(tail.map(_.toString).toIndexedSeq: _*)
             .select("doc", "band", "bucket")
-        // hot rows = batch (doc, band, bucket) rows whose key the base
-        // bloom claims to contain (map-side off the batchIdx
-        // checkpoint), reduced to SUSPECT docs — ≥ minBands hot bands
+        // hot rows = batch (doc, band, bucket) rows whose key ANY
+        // generation's bloom claims to contain (map-side off the
+        // batchIdx checkpoint — one predicate per generation in the
+        // same scan), reduced to SUSPECT docs — ≥ minBands hot bands
         // (one row per (doc, band), so the per-doc row count IS the
         // hot band count); only their keys can contribute to a drop
         val hotRows = BloomMembership
-          .flagSeen(batchIdx
+          .flagSeenAny(batchIdx
               .withColumn("__k", xxhash64(col("band"), col("bucket"))),
-            Some(sc.bloom), "__k", "__hot")
+            gens.map(_.bloom), "__k", "__hot")
           .filter(col("__hot"))
         val hot = hotRows
           .join(hotRows.groupBy("doc").agg(count(lit(1)).as("__nb"))
@@ -1170,10 +859,12 @@ object CorpusIngest {
         gauge("hot_keys", nHot.toDouble)
         if (nHot == 0) { gauge("base_files_read", 0); return tailDf }
         val toRead =
-          if (nHot <= MaxHotKeysForFilePrune)
-            pruneBaseFiles(sc.files,
-              hot.as[(Int, Long)].collect().toIndexedSeq)
-          else sc.files.map(_._1)
+          if (nHot <= TieredIndex.MaxHotKeysForFilePrune)
+            TieredIndex.pruneFiles(baseFiles,
+              hot.select(col("band").cast("long"), col("bucket"))
+                .as[(Long, Long)].collect()
+                .map(t => Seq(t._1, t._2)).toIndexedSeq)
+          else baseFiles.map(_.name)
         gauge("base_files_read", toRead.length.toDouble)
         // same size guard as every other key-table broadcast in the
         // loop: a corpus-scale backfill batch's hot set falls back to

@@ -540,16 +540,16 @@ class CorpusIngestSpec extends SparkSpec {
       batches.foreach { rows => mem.addData(rows: _*); q.processAllAvailable() }
     } finally q.stop()
 
-    // two generations after two compactions: the first pass majors
-    // (1 clustered file + sidecar), the second folds ONLY the tail
-    // into one minor-generation file, leaving the base untouched
-    // (r18 — the pause is tail-bounded, not store-bounded)
+    // two generations after two compactions: the first pass clusters
+    // the whole (young) tail into generation 0, the second clusters
+    // ONLY the new tail into generation 1, leaving gen 0 untouched
+    // (r19 — every pause is tail-bounded, not store-bounded)
     val files = new java.io.File(idx).listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(files.length == 2, s"index has ${files.length} files")
     assert(!new java.io.File(dir).listFiles()
       .exists(f => f.getName.contains("__compact") ||
-        f.getName.contains("__old") || f.getName.contains("__minor")))
+        f.getName.contains("__old") || f.getName.contains("__tier")))
     // content invariant: exactly the shipped docs' band rows
     assert(spark.read.parquet(idx).select("doc").as[Long].collect().toSet ==
       Set(1L, 11L, 21L, 31L, 41L))
@@ -605,28 +605,6 @@ class CorpusIngestSpec extends SparkSpec {
     // budget, far under the batch size
     assert(spark.read.parquet(shards).count() <= shipped + 30,
       "replay shipped more than the fp-healing allowance")
-  }
-
-  test("pruneBaseFiles: lexicographic (band, bucket) interval hit " +
-      "test — only files whose clustered range contains a hot key") {
-    val files = Seq(
-      ("f0", 0, 100L, 0, 500L),   // band 0, buckets 100-500
-      ("f1", 0, 501L, 1, 200L),   // spans the band boundary
-      ("f2", 1, 201L, 3, 900L),
-      ("f3", 4, 0L, 7, Long.MaxValue))
-    def prune(hot: (Int, Long)*) =
-      graft.streaming.CorpusIngest.pruneBaseFiles(files, hot)
-    assert(prune() == Seq.empty)
-    assert(prune((0, 100L)) == Seq("f0"))        // exact lo boundary
-    assert(prune((1, 200L)) == Seq("f1"))        // exact hi boundary
-    assert(prune((0, 999L), (2, 5L)) == Seq("f1", "f2"))
-    assert(prune((9, 0L)) == Seq.empty)          // past every range
-    assert(prune((0, 50L)) == Seq.empty)         // before every range
-    assert(prune((0, 300L), (5, 1L), (0, 450L)) == Seq("f0", "f3"))
-    // a key between f0's hi and f1's lo (same band) hits nothing
-    // (impossible from a real clustered rewrite, but the test pins
-    // the interval logic, not the writer)
-    assert(prune((4, 1L), (0, 100L), (1, 500L)) == Seq("f0", "f2", "f3"))
   }
 
   test("tiered index probe: after compaction the per-batch scan is " +
@@ -721,13 +699,14 @@ class CorpusIngestSpec extends SparkSpec {
       "without a sidecar every file is tail (the pre-r17 full scan)")
   }
 
-  test("incremental index compaction: a minor pass folds only the " +
-      "tail, leaves the base generation untouched, keeps the tiered " +
-      "probe + gate decisions, and majors on capacity exhaustion") {
-    val dir = Files.createTempDirectory("ingest_minor").toString
+  test("generation-tiered index compaction: each pass clusters only " +
+      "the tail into an immutable generation, gate decisions hold " +
+      "across generations, and a deleted sidecar self-heals") {
+    val dir = Files.createTempDirectory("ingest_gen").toString
     val (ub, tb, shards, idx) =
       (s"$dir/ub", s"$dir/tb", s"$dir/shards", s"$dir/ndidx")
     val nd = Some(CorpusIngest.NearDupGate(idx))
+    import graft.sources.TieredIndex
     // fresh docs with hash-distinct vocab (see the tiered test), LONG
     // enough (30 words) that a one-word suffix variant keeps most of
     // its shingles and reliably crosses the 8/16-band drop threshold
@@ -738,16 +717,16 @@ class CorpusIngestSpec extends SparkSpec {
       rows.toDF("url", "doc_id", "text")
     def liveNames = new java.io.File(idx).listFiles()
       .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    def gens = TieredIndex.load(spark, idx).get
 
-    // seed -> MAJOR (no sidecar yet): clustered base + sized sidecar
+    // seed -> the whole young tail becomes generation 0
     CorpusIngest.ingestBatch(
       batch((1L to 200L).map(i => (s"https://site.com/p$i", i, good(i)))),
       ub, tb, shards, numShards = 2, nearDup = nd)
     CorpusIngest.compactNearDupIndex(spark, idx, targetFileBytes = 4096)
+    val gens0 = gens
+    assert(gens0.size == 1 && gens0.head.rows > 0)
     val baseNames = liveNames
-    val sc0 = CorpusIngest.loadIndexSidecar(spark, idx).get
-    assert(sc0.inserted > 0 && sc0.capacity >= 2 * sc0.inserted,
-      s"major must size capacity with headroom: ${sc0.capacity}/${sc0.inserted}")
 
     // two tail batches ship, appending two per-batch index files
     CorpusIngest.ingestBatch(
@@ -758,22 +737,20 @@ class CorpusIngestSpec extends SparkSpec {
       ub, tb, shards, numShards = 2, nearDup = nd)
     assert(liveNames.size >= baseNames.size + 2) // ≥1 append file/batch
 
-    // MINOR: folds exactly the two tail files into one new
-    // generation; every base file survives BY NAME (never rewritten)
+    // tail pass: exactly the two tail files become one new
+    // generation; every gen-0 file survives BY NAME (immutable)
     CorpusIngest.compactNearDupIndex(spark, idx, targetFileBytes = 4096)
     val after = liveNames
     assert(baseNames.subsetOf(after),
-      "minor pass must not touch the base generation")
-    val minorGen = after.diff(baseNames)
-    assert(minorGen.nonEmpty && after.size <= baseNames.size + 1,
-      s"tail must fold to one generation: +${minorGen.size} files")
-    val sc1 = CorpusIngest.loadIndexSidecar(spark, idx).get
-    assert(sc1.capacity == sc0.capacity, "minor pass never resizes")
-    assert(sc1.inserted > sc0.inserted)
-    assert(sc1.files.map(_._1).toSet == after,
-      "sidecar must describe both generations")
+      "a tail pass must not touch the prior generation")
+    val gens1 = gens
+    assert(gens1.size == 2, s"want 2 generations, got ${gens1.size}")
+    assert(gens1.head.files == gens0.head.files,
+      "generation 0 must be untouched")
+    assert(gens1.flatMap(_.files.map(_.name)).toSet == after,
+      "the sidecar must describe both generations")
     assert(!new java.io.File(dir).listFiles()
-      .exists(_.getName.contains("__minor")), "staging must be gone")
+      .exists(_.getName.contains("__tier")), "staging must be gone")
 
     // tiering intact across generations: a quiet batch reads ZERO
     // base files and has zero tail
@@ -785,11 +762,12 @@ class CorpusIngestSpec extends SparkSpec {
       ub, tb, shards, numShards = 2, nearDup = nd, stageLog = Some(buf1))
     val g1 = gauges(buf1.toSeq)
     assert(g1("ndidx:base_files") == after.size.toDouble)
+    assert(g1("ndidx:generations") == 2.0)
     assert(g1("ndidx:hot_keys") == 0.0 && g1("ndidx:base_files_read") == 0.0,
       s"quiet batch must not read the base: $g1")
 
-    // gate decisions: near-variants of a BASE-generation doc (5) and
-    // a MINOR-generation doc (900) both drop; a fresh doc ships
+    // gate decisions: near-variants of a GEN-0 doc (5) and a GEN-1
+    // doc (900) both drop; a fresh doc ships
     val buf2 = scala.collection.mutable.Buffer.empty[(String, Double)]
     val n2 = CorpusIngest.ingestBatch(
       batch(Seq(("https://site.com/x", 980L, good(5L) + " tail9"),
@@ -815,26 +793,41 @@ class CorpusIngestSpec extends SparkSpec {
       ub, tb, shards, numShards = 2, nearDup = nd)
     assert(n3 == 1L, s"fallback must gate identically, got $n3")
 
-    // next compaction majors (sidecar was deleted): fresh sidecar
+    // the deleted sidecar self-heals: the next pass reclusters every
+    // (now-unreferenced) file as ordinary tail — the content and the
+    // gate survive, and the store is back to one generation
+    val rowsBefore = spark.read.parquet(idx).count()
     CorpusIngest.compactNearDupIndex(spark, idx, targetFileBytes = 4096)
-    val scM = CorpusIngest.loadIndexSidecar(spark, idx).get
-    assert(scM.capacity >= 2 * scM.inserted)
+    assert(gens.size == 1, "self-heal must recluster to one generation")
+    assert(spark.read.parquet(idx).count() == rowsBefore,
+      "self-heal must preserve the index content")
 
-    // capacity exhaustion: shrink the sidecar's declared headroom to
-    // zero, append one more batch -> the pass must MAJOR (rewrite +
-    // resize) instead of overfolding the bloom past its design fpp
-    CorpusIngest.writeSidecarRow(spark, idx, scM.bloom, scM.files,
-      scM.inserted, scM.inserted)
+    // generation cap: two more tail passes at maxGenerations=2 — the
+    // third generation triggers a smallest-pair merge that never
+    // touches the big generation (the no-store-scaling-pause pin;
+    // TieredIndexSpec owns the exhaustive policy tests)
     CorpusIngest.ingestBatch(
-      batch(Seq(("https://site.com/w", 990L, fresh(990L)))),
+      batch(Seq(("https://site.com/m1", 990L, fresh(990L)))),
       ub, tb, shards, numShards = 2, nearDup = nd)
-    val beforeMajor = liveNames
-    CorpusIngest.compactNearDupIndex(spark, idx, targetFileBytes = 4096)
-    val sc2 = CorpusIngest.loadIndexSidecar(spark, idx).get
-    assert(sc2.capacity >= 2 * sc2.inserted,
-      s"capacity-triggered major must resize: ${sc2.capacity}/${sc2.inserted}")
-    assert(liveNames.intersect(beforeMajor).isEmpty,
-      "a major pass rewrites every generation")
+    CorpusIngest.compactNearDupIndex(spark, idx, targetFileBytes = 4096,
+      maxGenerations = 2)
+    assert(gens.size == 2)
+    val bigFiles = gens.maxBy(_.rows).files
+    CorpusIngest.ingestBatch(
+      batch(Seq(("https://site.com/m2", 991L, fresh(991L)))),
+      ub, tb, shards, numShards = 2, nearDup = nd)
+    CorpusIngest.compactNearDupIndex(spark, idx, targetFileBytes = 4096,
+      maxGenerations = 2)
+    val gensM = gens
+    assert(gensM.size == 2, s"cap must hold, got ${gensM.size}")
+    assert(gensM.exists(_.files == bigFiles),
+      "the merge must not touch the largest generation")
+    // and the gate still drops a variant of a doc that now lives in
+    // the MERGED generation
+    val nM = CorpusIngest.ingestBatch(
+      batch(Seq(("https://site.com/mv", 995L, fresh(990L) + " tail9"))),
+      ub, tb, shards, numShards = 2, nearDup = nd)
+    assert(nM == 0L, "merged-generation docs must still gate")
   }
 
   test("frontier fp-drop gauge: a saturated text bloom drops fresh " +
@@ -927,44 +920,6 @@ class CorpusIngestSpec extends SparkSpec {
       "fold keeps exactly the distinct keys")
     assert(CorpusIngest.frontierFpDrops(spark, ub, tb, shards) == before,
       "gauge must be invariant under the fold")
-  }
-
-  test("minor-compact crash recovery: manifest-less staging is " +
-      "discarded; a manifested commit re-runs to completion") {
-    val base = Files.createTempDirectory("minor_rec").toString
-    val idx = s"$base/ndidx"
-    def onePart(tag: String, dest: String, name: String): Unit = {
-      val tmp = s"$base/tmp_$tag"
-      Seq((1L, 0, 1L)).toDF("doc", "band", "bucket")
-        .coalesce(1).write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      new java.io.File(dest).mkdirs()
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(dest, name))
-      ()
-    }
-    def names = new java.io.File(idx).listFiles()
-      .map(_.getName).filter(_.endsWith(".parquet")).toSet
-    onePart("a", idx, "A.parquet")
-    onePart("b", idx, "B.parquet")
-    // crash mid-commit: staged C moved nothing yet, manifest present
-    val staging = s"$base/ndidx__minor"
-    onePart("c", staging, "C.parquet")
-    val w = new java.io.FileWriter(s"$staging/_COMMIT")
-    w.write("add C.parquet\ndel B.parquet"); w.close()
-    CorpusIngest.recoverMinorIndexCompact(spark, idx)
-    assert(names == Set("A.parquet", "C.parquet"),
-      s"recovery must finish the commit, got $names")
-    assert(!new java.io.File(staging).exists())
-    // idempotent: a second run is a no-op
-    CorpusIngest.recoverMinorIndexCompact(spark, idx)
-    assert(names == Set("A.parquet", "C.parquet"))
-    // crash mid-STAGING (no manifest): the staged write is discarded
-    onePart("d", staging, "D.parquet")
-    CorpusIngest.recoverMinorIndexCompact(spark, idx)
-    assert(!new java.io.File(staging).exists())
-    assert(names == Set("A.parquet", "C.parquet"))
   }
 
   test("staggered maintenance schedule: each phase fires every " +
