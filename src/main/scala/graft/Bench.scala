@@ -69,16 +69,34 @@ object Bench {
     // and a round's top priority was spent on a phantom. THE RULE: a
     // median move only counts as a regression if it sits OUTSIDE the
     // other round's [min, max] band (tools/bench_drift.py applies it).
-    def allTimed(f: () => Unit, keepPersisted: Boolean = false): Seq[Double] =
-      (1 to runs).map { _ =>
+    def medianOf(times: Seq[Double]): Double =
+      if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.size / 2)
+    // sub-second rows re-run to 5 samples (r19, VERDICT r18 item 6):
+    // the r17->r18 drift report band-separated ~20 UNTOUCHED
+    // sub-second plans on a measured 27% same-code day spread —
+    // 3-run [min, max] bands are too tight to absorb ambient noise on
+    // rows at the box's scheduling floor, and a drift gate that cries
+    // wolf 20 times a round will eventually hide a real one. Rows
+    // whose base median lands under 1 s collect 5 samples total, so
+    // the band reflects the spread it is asked to absorb; >= 1 s rows
+    // keep the cheaper 3 (their bands were never the false-flag
+    // source). bench_drift.py additionally gates sub-second rows on
+    // min-vs-band, the statistic least sensitive to ambient load.
+    val subSecondRuns = math.max(runs, 5)
+    def allTimed(f: () => Unit, keepPersisted: Boolean = false): Seq[Double] = {
+      def one(): Double = {
         val t0 = System.nanoTime()
         val ok = try { f(); true } catch { case _: Throwable => false }
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         hygiene(keepPersisted)
         sec
       }
-    def medianOf(times: Seq[Double]): Double =
-      if (times.contains(-1.0)) -1.0 else times.sorted.apply(runs / 2)
+      val base = (1 to runs).map(_ => one())
+      val med = medianOf(base)
+      if (med >= 0 && med < 1.0 && base.size < subSecondRuns)
+        base ++ (base.size until subSecondRuns).map(_ => one())
+      else base
+    }
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the catalog (the
     // driver sets no filter and always times everything)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

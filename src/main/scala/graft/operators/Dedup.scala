@@ -599,6 +599,21 @@ object Dedup {
     // oversize batch falls back to the checkpointed distributed path
     val probePlan = winnowIndex(batch, idCol, textCol, minLen, k)
     val probeOpt = localRows(probePlan, MaxLocalProbeRows)
+    exactSubstrPairsCore(corpusIndex, corpusDocs, batch, probePlan,
+      probeOpt, idCol, textCol, minLen, k, maxDf, dedupIndex, hotHashes)
+  }
+
+  /** [[exactSubstrPairsAgainst]] past the probe snapshot — shared by
+    * the DataFrame entry above and the persisted-index entry
+    * ([[exactSubstrPairsAgainstDir]]), which winnows the batch ONCE
+    * and reuses the same snapshot for index narrowing and the probe
+    * join. */
+  private def exactSubstrPairsCore(corpusIndex: DataFrame,
+      corpusDocs: DataFrame, batch: DataFrame, probePlan: DataFrame,
+      probeOpt: Option[Array[org.apache.spark.sql.Row]],
+      idCol: String, textCol: String, minLen: Int, k: Int,
+      maxDf: Long, dedupIndex: Boolean,
+      hotHashes: Option[DataFrame]): DataFrame = {
     val probe = probeOpt.map(localDf(batch, _, probePlan.schema))
       .getOrElse(probePlan.localCheckpoint(true))
     // the anchor index is narrowed to the batch's winnow hashes
@@ -689,15 +704,31 @@ object Dedup {
     // rows ever move.
     val idSchema = org.apache.spark.sql.types.StructType(
       Seq(candPlan.schema("corpus_id")))
-    val cj = candOpt match {
-      case Some(rows) => broadcast(localDf(batch,
-        rows.map(r => org.apache.spark.sql.Row(r.getAs[Any]("corpus_id")))
-          .distinct.toSeq, idSchema))
+    val candIds = candOpt.map(rows =>
+      rows.map(_.getAs[Any]("corpus_id")).distinct.toSeq)
+    val cj = candIds match {
+      case Some(ids) => broadcast(localDf(batch,
+        ids.map(org.apache.spark.sql.Row(_)), idSchema))
       case None =>
         val cIds = cand.select("corpus_id").distinct()
         if (cand.count() <= MaxBroadcastProbeKeys) broadcast(cIds) else cIds
     }
-    val at = spread(corpusDocs)
+    // literal-sized candidate sets ALSO push into the corpus scan as
+    // a chunked In (r19): the semi-join narrows rows after they are
+    // read, but on a parquet-backed corpus whose files/row-groups
+    // carry id stats the pushed predicate skips the bytes themselves —
+    // the text-fetch I/O then tracks the candidates, not the corpus.
+    // Long ids only (the persisted-table convention); anything else
+    // keeps the semi-join alone, same results.
+    val corpusBase = candIds match {
+      case Some(ids) if ids.nonEmpty && ids.size <= MaxAnchorInLiterals &&
+          ids.forall(_.isInstanceOf[Long]) =>
+        spread(corpusDocs).filter(ScanPrune.chunkedIn(col(idCol),
+          ids.map(_.asInstanceOf[Long]),
+          ScanPrune.inThreshold(batch.sparkSession)))
+      case _ => spread(corpusDocs)
+    }
+    val at = corpusBase
       .select(col(idCol).as("corpus_id"), col(textCol).as("ta"))
       .join(cj, Seq("corpus_id"), "left_semi")
     val bt = spread(batch)
@@ -718,6 +749,221 @@ object Dedup {
       .groupBy("corpus_id", "batch_id")
       .agg(max(col("run")).as("lcs_len"))
       .filter(col("lcs_len") >= minLen)
+  }
+
+  // ----------------------------------------------------------------
+  // persisted anchor-index maintenance (r19, VERDICT r18 item 2: the
+  // winnow anchor index gets the band index's maintenance story)
+
+  /** The anchor index's tiered-maintenance shape
+    * ([[graft.sources.TieredIndex]]): (doc, pos, h) rows clustered and
+    * summarized on the winnow fingerprint h. */
+  private[graft] def anchorIndexSpec(
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      maxGenerations: Int = graft.sources.TieredIndex.DefaultMaxGenerations)
+      : graft.sources.TieredIndex.Spec =
+    graft.sources.TieredIndex.Spec(
+      rowCols = Seq("doc", "pos", "h"), keyCols = Seq("h"),
+      maxGenerations = maxGenerations, targetFileBytes = targetFileBytes)
+
+  private def anchorHotPath(indexDir: String): String = indexDir + "_hot"
+
+  /** Maintenance for a PERSISTED winnow anchor index dir (the
+    * [[winnowIndex]] layout a streaming twin appends per batch —
+    * pre-r19 the index had no maintenance story at all: probes read
+    * the whole append-fragmented base per batch and the hot-hash
+    * table had no rebuild hook). Generation-tiered like the near-dup
+    * band index (every pass tail- or merged-pair-bounded, crash-safe,
+    * self-healing — [[graft.sources.TieredIndex]]), clustering on h
+    * so [[exactSubstrPairsAgainstDir]] prunes FILES, not just rows.
+    * With `maxDf` > 0 the pass also rebuilds [[winnowHotHashes]] as
+    * persisted index metadata at `<dir>_hot` — "the corpus defines
+    * what is boilerplate" is corpus metadata, recomputed once per
+    * compaction (one column-pruned scan riding the pass), not once
+    * per probe. */
+  def compactAnchorIndex(ss: org.apache.spark.sql.SparkSession,
+                         indexDir: String, maxDf: Long = 0L,
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         maxGenerations: Int =
+                           graft.sources.TieredIndex.DefaultMaxGenerations): Unit = {
+    graft.sources.TieredIndex.compact(ss, indexDir,
+      anchorIndexSpec(targetFileBytes, maxGenerations))
+    if (maxDf > 0) writeAnchorHotHashes(ss, indexDir, maxDf)
+  }
+
+  /** Rebuild the persisted boilerplate-fingerprint table (hashes with
+    * df > maxDf over the WHOLE index) behind a DirSwap twin. Runs on
+    * the compaction cadence; between rebuilds the table is STALE by
+    * up to one cadence of appends — staleness only delays a hub's
+    * exclusion (more candidate rows, never a lost pair), and the
+    * differential is pinned in ExactSubstrSpec. */
+  def writeAnchorHotHashes(ss: org.apache.spark.sql.SparkSession,
+                           indexDir: String, maxDf: Long): Unit = {
+    val (fs, root) = graft.sources.DirSwap.fsOf(ss, indexDir)
+    if (!fs.exists(root) ||
+      !fs.listStatus(root).exists(_.getPath.getName.endsWith(".parquet")))
+      return
+    val hotPath = anchorHotPath(indexDir)
+    val (hfs, hroot) = graft.sources.DirSwap.fsOf(ss, hotPath)
+    graft.sources.DirSwap.recover(hfs, hroot, "__compact")
+    val twin = hotPath + "__compact"
+    winnowHotHashes(ss.read.parquet(indexDir).select("doc", "h"), maxDf)
+      .coalesce(1).write.mode("overwrite").parquet(twin)
+    graft.sources.DirSwap.swap(hfs, hroot,
+      new org.apache.hadoop.fs.Path(twin))
+  }
+
+  /** The persisted hot-hash metadata, if a compaction has built it. */
+  def loadAnchorHotHashes(ss: org.apache.spark.sql.SparkSession,
+                          indexDir: String): Option[DataFrame] = {
+    val hotPath = anchorHotPath(indexDir)
+    val (hfs, hroot) = graft.sources.DirSwap.fsOf(ss, hotPath)
+    graft.sources.DirSwap.recover(hfs, hroot, "__compact")
+    if (graft.sources.DirSwap.hasData(hfs, hroot))
+      Some(ss.read.parquet(hotPath))
+    else None
+  }
+
+  /** Literal-width cap for pushing hot fingerprints / candidate ids
+    * into a scan as a chunked `In` filter (exact parquet row-group
+    * and page pruning on a clustered layout — see
+    * [[ScanPrune.chunkedIn]]); a wider set skips the pushdown and
+    * relies on the semi-join alone. 256 keeps the per-row predicate
+    * cost trivial (~26 hash-set probes) — measured at 1024 the
+    * row-eval cost of the OR-of-In dominated a 30-file probe. */
+  private[graft] val MaxAnchorInLiterals = 256
+
+  /** The tiered per-batch view of a persisted anchor index: TAIL
+    * files (appended since the last [[compactAnchorIndex]]) are
+    * scanned in full — bounded by the appends, corpus-independent —
+    * while BASE files are opened only if their clustered h-range
+    * contains a batch fingerprint that some generation's bloom
+    * claims to hold. The bloom tests run DRIVER-SIDE on the already-
+    * collected probe keys (no extra Spark job — the r18-item-3
+    * discipline): winnow fingerprints are uniform hashes, so range
+    * pruning alone would match every file; only the bloom's
+    * "actually in the index" signal (true cross-corpus collisions,
+    * rare by construction) makes the hot set small enough to prune.
+    * A missing or stale sidecar degrades every file to tail — the
+    * pre-r19 full scan, same semantics.
+    *
+    * Gauges (`stageLog`): `anchor:generations` / `anchor:base_files`
+    * / `anchor:base_files_read` / `anchor:hot_keys` /
+    * `anchor:tail_files`. */
+  private[graft] def narrowedAnchorIndex(ss: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchHs: Seq[Long],
+      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None)
+      : DataFrame = {
+    import ss.implicits._
+    import graft.sources.{DirSwap, TieredIndex}
+    val (fs, target) = DirSwap.fsOf(ss, indexDir)
+    DirSwap.recover(fs, target, "__compact")
+    TieredIndex.recover(ss, indexDir)
+    def gauge(name: String, v: Double): Unit =
+      stageLog.foreach(_ += s"anchor:$name" -> v)
+    def emptyIdx = Seq.empty[(Long, Int, Long)].toDF("doc", "pos", "h")
+    if (!fs.exists(target)) return emptyIdx
+    val live = fs.listStatus(target).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    if (live.isEmpty) return emptyIdx
+    val liveNames = live.map(_.getName).toSet
+    TieredIndex.load(ss, indexDir, liveNames).getOrElse(Seq.empty) match {
+      case Seq() =>
+        gauge("generations", 0); gauge("base_files", 0)
+        gauge("base_files_read", 0); gauge("hot_keys", 0)
+        gauge("tail_files", live.length.toDouble)
+        ss.read.parquet(live.map(_.toString).toIndexedSeq: _*)
+          .select("doc", "pos", "h")
+      case gens =>
+        val baseFiles = gens.flatMap(_.files)
+        val baseNames = baseFiles.map(_.name).toSet
+        val tail = live.filter(p => !baseNames.contains(p.getName))
+        gauge("generations", gens.length.toDouble)
+        gauge("base_files", baseFiles.length.toDouble)
+        gauge("tail_files", tail.length.toDouble)
+        val tailDf =
+          if (tail.isEmpty) emptyIdx
+          else ss.read.parquet(tail.map(_.toString).toIndexedSeq: _*)
+            .select("doc", "pos", "h")
+        val hot = batchHs.filter(h =>
+          gens.exists(g => TieredIndex.mightContainKey(g, h)))
+        gauge("hot_keys", hot.length.toDouble)
+        if (hot.isEmpty) { gauge("base_files_read", 0); return tailDf }
+        val toRead =
+          if (hot.length <= TieredIndex.MaxHotKeysForFilePrune)
+            TieredIndex.pruneFiles(baseFiles, hot.map(Seq(_)))
+          else baseFiles.map(_.name)
+        gauge("base_files_read", toRead.length.toDouble)
+        val baseDf =
+          if (toRead.isEmpty) emptyIdx
+          else {
+            val read = ss.read.parquet(toRead.map(n =>
+                new org.apache.hadoop.fs.Path(target, n).toString): _*)
+              .select("doc", "pos", "h")
+            // narrow fingerprints at the SCAN when the hot set is
+            // literal-sized (exact row-group pruning on the clustered
+            // layout); the core's probe-key semi-join still narrows
+            // either way, so this is purely physical
+            if (hot.length <= MaxAnchorInLiterals)
+              read.filter(ScanPrune.chunkedIn(col("h"), hot,
+                ScanPrune.inThreshold(ss)))
+            else read
+          }
+        tailDf.unionByName(baseDf)
+    }
+  }
+
+  /** [[exactSubstrPairsAgainst]] against a PERSISTED anchor-index dir
+    * (the streaming-twin / ingest shape): the batch is winnowed ONCE
+    * and its snapshot drives both the tiered index narrowing
+    * ([[narrowedAnchorIndex]] — file pruning via the compaction-built
+    * generation sidecar) and the probe join; with `maxDf` > 0 the
+    * persisted hot-hash metadata is used when a compaction has built
+    * it (falling back to the inline per-batch aggregation until
+    * then). An oversize batch (past [[MaxLocalProbeRows]]) reads
+    * tail + all base files and relies on the distributed semi-join —
+    * the case the narrowing exists to avoid is exactly the small-
+    * probe case. */
+  def exactSubstrPairsAgainstDir(ss: org.apache.spark.sql.SparkSession,
+      indexDir: String, corpusDocs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      minLen: Int = 50, k: Int = 16, maxDf: Long = 0L,
+      dedupIndex: Boolean = true,
+      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None)
+      : DataFrame = {
+    val probePlan = winnowIndex(batch, idCol, textCol, minLen, k)
+    val probeOpt = localRows(probePlan, MaxLocalProbeRows)
+    val hot = if (maxDf > 0) loadAnchorHotHashes(ss, indexDir) else None
+    val idx = probeOpt match {
+      case Some(rows) =>
+        val hs = rows.map(_.getAs[Long]("h")).distinct.toSeq
+        // boilerplate fingerprints are excluded from candidates by
+        // the df-cap's anti-join anyway, so their index rows are
+        // never worth READING: subtract the persisted hot set from
+        // the keys that drive the bloom tests and file pruning —
+        // results identical (the core drops the same rows), but the
+        // per-batch hot set shrinks to TRUE content collisions, which
+        // is what keeps the file bound tight on boilerplate-heavy
+        // corpora (every real crawl shares headers with every doc)
+        val probeKeys = hot.flatMap(h =>
+          localRows(h.select("h"), MaxLocalProbeRows).map { hubRows =>
+            val hubs = hubRows.map(_.getLong(0)).toSet
+            hs.filterNot(hubs)
+          }).getOrElse(hs)
+        narrowedAnchorIndex(ss, indexDir, probeKeys, stageLog)
+      case None => // oversize probe: read everything (tail + base)
+        graft.sources.TieredIndex.recover(ss, indexDir)
+        val (fs, root) = graft.sources.DirSwap.fsOf(ss, indexDir)
+        if (fs.exists(root) && fs.listStatus(root)
+            .exists(_.getPath.getName.endsWith(".parquet")))
+          ss.read.parquet(indexDir).select("doc", "pos", "h")
+        else {
+          import ss.implicits._
+          Seq.empty[(Long, Int, Long)].toDF("doc", "pos", "h")
+        }
+    }
+    exactSubstrPairsCore(idx, corpusDocs, batch, probePlan, probeOpt,
+      idCol, textCol, minLen, k, maxDf, dedupIndex, hot)
   }
 
   /** The ExactSubstr dedup ACTION (Lee et al. 2021 §4.2): remove every

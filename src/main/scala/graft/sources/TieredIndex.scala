@@ -126,6 +126,21 @@ private[graft] object TieredIndex {
   def keyHash(spec: Spec): org.apache.spark.sql.Column =
     xxhash64(spec.keyCols.map(col): _*)
 
+  /** Driver-side membership test against one generation's bloom for a
+    * SINGLE-Long-key spec (the anchor index's shape) — bounded hot-set
+    * filtering on already-collected probe keys, NO Spark job. Must
+    * mirror the build chain exactly: [[keyHash]] is Spark's `xxhash64`
+    * over the key column (XXH64 seed 42), and
+    * [[graft.operators.BloomMembership.sketch]] hashes that once more
+    * with the same `xxhash64` before inserting the long.
+    * TieredIndexSpec pins the mirror against the distributed
+    * [[graft.operators.BloomMembership.flagSeenAny]] predicate. */
+  def mightContainKey(gen: Gen, key: Long): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    BloomMembership.mightContainHash(gen.bloom,
+      XXH64.hashLong(XXH64.hashLong(key, 42L), 42L))
+  }
+
   // ---------------------------------------------------------------
   // compaction
 

@@ -138,6 +138,25 @@ object CorpusIngest {
                                k: Int = 3, numHashes: Int = 128,
                                bands: Int = 16)
 
+  /** Exact-substring gate config (r19, VERDICT r18 item 7 — the
+    * VERBATIM-overlap twin of [[NearDupGate]]): batch docs sharing a
+    * ≥ `minLen`-char run with the SHIPPED corpus are dropped — the
+    * corpus is touched only through its persisted winnow anchor index
+    * at `indexDir` (generation-tiered like the band index;
+    * [[graft.operators.Dedup.exactSubstrPairsAgainstDir]]) plus a
+    * candidate-narrowed text fetch from the shard store for
+    * verification. In-batch verbatim overlap gates keep-first by
+    * doc_id. Survivors' anchors append, so the index always holds
+    * exactly the shipped corpus's anchors. `maxDf` df-caps
+    * boilerplate fingerprints; the anchor compaction (maintenance
+    * phase 4) persists the hot-hash table so the cap costs the probe
+    * nothing once built. The near-dup gate catches mostly-similar
+    * docs; this one catches a long doc quoting one ≥ minLen block
+    * verbatim — disjoint drop classes (CorpusIngestSpec plants a doc
+    * only THIS gate drops). */
+  final case class SubstrGate(indexDir: String, minLen: Int = 50,
+                              k: Int = 16, maxDf: Long = 0L)
+
   /** Source id for the drift stage: the canonical URL's host — the
     * granularity a crawl monitor acts on (re-balance / quarantine a
     * DOMAIN, not a page). canonicalizeUrl lowercases and strips the
@@ -163,6 +182,7 @@ object CorpusIngest {
                   driftDir: Option[String] = None,
                   repairEncoding: Boolean = false,
                   nearDup: Option[NearDupGate] = None,
+                  substr: Option[SubstrGate] = None,
                   stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None,
                   rolloverAt: Double = BloomMembership.FillWarnAt,
                   maxBroadcastUrlRows: Long = MaxBroadcastUrlRows,
@@ -198,7 +218,7 @@ object CorpusIngest {
     try {
       ingestBatchBody(batch, urlBloomPath, textBloomPath, shardDir,
         numShards, expectedItems, qualityGate, driftDir, repairEncoding,
-        nearDup, stageLog, rolloverAt, maxBroadcastUrlRows,
+        nearDup, substr, stageLog, rolloverAt, maxBroadcastUrlRows,
         maxBroadcastKeyRows, ckptPayload, timed)
     } finally {
       ss.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
@@ -212,6 +232,7 @@ object CorpusIngest {
       expectedItems: Long, qualityGate: Option[QualityGate],
       driftDir: Option[String], repairEncoding: Boolean,
       nearDup: Option[NearDupGate],
+      substr: Option[SubstrGate],
       stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]],
       rolloverAt: Double, maxBroadcastUrlRows: Long,
       maxBroadcastKeyRows: Long,
@@ -378,6 +399,40 @@ object CorpusIngest {
       kept
     }
 
+    // 3c. optional exact-substring gate (r19): drop any doc sharing a
+    //     >= minLen VERBATIM run with (a) the shipped corpus — probed
+    //     through the tiered anchor index, text fetched candidate-
+    //     narrowed from the shard store — or (b) a smaller-id doc in
+    //     this batch (keep-first, like every other gate). Survivors'
+    //     anchors append so the index tracks exactly the shipped
+    //     corpus. Runs AFTER the near-dup gate: its probes then only
+    //     pay for docs every cheaper gate already passed.
+    val shipping = substr.fold(survivors) { sg =>
+      val dropIds = timed("substr_gate") {
+        val (sfs, sroot) = fsOf(ss, shardDir)
+        val cross =
+          if (sfs.exists(sroot))
+            Dedup.exactSubstrPairsAgainstDir(ss, sg.indexDir,
+                ss.read.parquet(shardDir).select("doc_id", "text"),
+                survivors, "doc_id", "text", sg.minLen, sg.k, sg.maxDf,
+                stageLog = stageLog)
+              .select(col("batch_id").as("doc_id"))
+          else survivors.select("doc_id").limit(0)
+        val inBatch = Dedup.exactSubstrPairs(survivors, "doc_id", "text",
+            sg.minLen, sg.k, sg.maxDf)
+          .select(col("b_id").as("doc_id"))
+        cross.unionByName(inBatch).distinct().localCheckpoint(true)
+      }
+      val kept = timed("substr_filter") {
+        ckptPayload(survivors.join(dropIds, Seq("doc_id"), "left_anti"))
+      }
+      timed("substr_append") {
+        Dedup.winnowIndex(kept, "doc_id", "text", sg.minLen, sg.k)
+          .write.mode("append").parquet(sg.indexDir)
+      }
+      kept
+    }
+
     // 4. shard append (per-batch files keep ShardSink's (rank, id)
     //    in-file training order; resume/manifest read the union).
     //    The shipped-row count rides the SAME job as an observed
@@ -385,7 +440,7 @@ object CorpusIngest {
     val obs = org.apache.spark.sql.Observation()
     val n = timed("shard_write") {
       ShardSink.appendShards(
-        survivors.select("doc_id", "canon_url", "text")
+        shipping.select("doc_id", "canon_url", "text")
           .observe(obs, count(lit(1)).as("n")),
         "doc_id", shardDir, numShards)
       // a zero-row batch folds to an empty write whose plan never
@@ -406,7 +461,7 @@ object CorpusIngest {
           urlFresh.select("canon_url"), "canon_url", expectedItems,
           rolloverAt),
         "text_bloom" -> saveBloom(ss, textBloomPath, textPrev,
-          survivors.select("text_hash"), "text_hash", expectedItems,
+          shipping.select("text_hash"), "text_hash", expectedItems,
           rolloverAt))
       stageLog.foreach { buf =>
         gauges.foreach { case (name, g) =>
@@ -425,7 +480,7 @@ object CorpusIngest {
     //    accumulated store is only ever touched by compaction)
     timed("drift_fold") {
       driftDir.foreach { dd =>
-        val src = survivors.select(hostOf(col("canon_url")).as("source"),
+        val src = shipping.select(hostOf(col("canon_url")).as("source"),
           col("text"))
         Drift.foldDocsIntoStore(dd, src, "source", "text")
       }
@@ -646,6 +701,7 @@ object CorpusIngest {
             driftDir: Option[String] = None,
             repairEncoding: Boolean = false,
             nearDup: Option[NearDupGate] = None,
+            substrGate: Option[SubstrGate] = None,
             compactEvery: Int = 0,
             rolloverAt: Double = BloomMembership.FillWarnAt,
             payloadStorage: Option[org.apache.spark.storage.StorageLevel] = None): StreamingQuery = {
@@ -653,18 +709,19 @@ object CorpusIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, urlBloomPath, textBloomPath, shardDir,
           numShards, expectedItems, qualityGate, driftDir, repairEncoding,
-          nearDup, rolloverAt = rolloverAt, payloadStorage = payloadStorage)
+          nearDup, substrGate, rolloverAt = rolloverAt,
+          payloadStorage = payloadStorage)
         if (compactEvery > 0)
           maintenancePhasesDue(batchId, compactEvery).foreach(k =>
             runMaintenancePhase(batch.sparkSession, k, urlBloomPath,
-              textBloomPath, shardDir, nearDup, driftDir))
+              textBloomPath, shardDir, nearDup, driftDir, substrGate))
         ()
       }
       .start()
   }
 
   /** Number of maintenance phases (see [[runMaintenancePhase]]). */
-  val MaintenancePhases = 4
+  val MaintenancePhases = 5
 
   /** The phases due after `batchId` on a `compactEvery` cadence —
     * phase k's first firing is batch `compactEvery + k - 1`
@@ -681,16 +738,20 @@ object CorpusIngest {
     * compaction ([[graft.sources.ShardSink.compactShards]]), 1 =
     * near-dup index compaction ([[compactNearDupIndex]]), 2 =
     * drift-store compaction ([[Drift.compactStore]]), 3 =
-    * frontier-bloom chain compaction ([[compactFrontierBlooms]]).
-    * [[start]] staggers these across consecutive firing batches;
-    * [[runMaintenance]] runs all four for off-peak callers. NEVER
-    * call concurrently with an in-flight [[ingestBatch]] (every store
-    * swap assumes the single-writer loop). */
+    * frontier-bloom chain compaction ([[compactFrontierBlooms]]),
+    * 4 = anchor-index compaction + hot-hash metadata rebuild
+    * ([[graft.operators.Dedup.compactAnchorIndex]], when the
+    * exact-substring gate is on). [[start]] staggers these across
+    * consecutive firing batches; [[runMaintenance]] runs all five for
+    * off-peak callers. NEVER call concurrently with an in-flight
+    * [[ingestBatch]] (every store swap assumes the single-writer
+    * loop). */
   def runMaintenancePhase(ss: SparkSession, phase: Int,
                           urlBloomPath: String, textBloomPath: String,
                           shardDir: String,
                           nearDup: Option[NearDupGate] = None,
-                          driftDir: Option[String] = None): Unit =
+                          driftDir: Option[String] = None,
+                          substr: Option[SubstrGate] = None): Unit =
     phase match {
       case 0 =>
         val (fs, root) = fsOf(ss, shardDir)
@@ -700,6 +761,8 @@ object CorpusIngest {
       case 2 => driftDir.foreach(dd => Drift.compactStore(ss, dd))
       case 3 => compactFrontierBlooms(ss, urlBloomPath, textBloomPath,
         shardDir)
+      case 4 => substr.foreach(sg =>
+        Dedup.compactAnchorIndex(ss, sg.indexDir, sg.maxDf))
       case other => throw new IllegalArgumentException(
         s"maintenance phase must be in [0, $MaintenancePhases), got $other")
     }
@@ -712,10 +775,11 @@ object CorpusIngest {
   def runMaintenance(ss: SparkSession, urlBloomPath: String,
                      textBloomPath: String, shardDir: String,
                      nearDup: Option[NearDupGate] = None,
-                     driftDir: Option[String] = None): Unit =
+                     driftDir: Option[String] = None,
+                     substr: Option[SubstrGate] = None): Unit =
     (0 until MaintenancePhases).foreach(k =>
       runMaintenancePhase(ss, k, urlBloomPath, textBloomPath, shardDir,
-        nearDup, driftDir))
+        nearDup, driftDir, substr))
 
   /** Maintenance for the near-dup band index: the ingest loop APPENDS
     * survivors' band rows every micro-batch (one file per batch), so
@@ -922,37 +986,56 @@ object CorpusIngest {
     val (fs, root) = fsOf(ss, shardDir)
     if (!fs.exists(root)) return
     val store = ss.read.parquet(shardDir)
-    lazy val shipped = store.count() // one job, shared by both rebuilds
     // trigger at chain length > 2, not > 1 (r16 review finding): the
     // fold immediately after a compaction always sizing-rolls the
     // chain back to 2 (compacted epoch + fresh expectedItems-sized
     // increment — that IS the post-compaction steady state), so a > 1
-    // trigger would pay two full-store scans on EVERY subsequent
-    // cadence with no probe-count or fpp benefit. At > 2 the rebuild
-    // runs only once the active increments have themselves rolled —
-    // chain length stays bounded in [1, 3] at any cadence that fires
-    // at least once per rollover period.
+    // trigger would pay a full-store scan on EVERY subsequent cadence
+    // with no probe-count or fpp benefit. At > 2 the rebuild runs
+    // only once the active increments have themselves rolled — chain
+    // length stays bounded in [1, 3] at any cadence that fires at
+    // least once per rollover period.
     // the trigger counts committed epoch DIRS (listing only — ADVICE
     // r16: loading the chain's bytes here paid ~150 MB × length per
     // frontier per cadence even when no rebuild fires); a legacy
     // pre-epoch store lists no epoch dirs and counts 0 — below any
     // trigger, same outcome as the old byte-loading count of 1
-    def rebuild(path: String, keys: => DataFrame, keyCol: String): Boolean =
-      if (committedEpochs(ss, path).size > 2 && shipped > 0) {
-        val expected = math.max(1L, math.ceil(shipped * headroom).toLong)
-        val (bfs, broot) = fsOf(ss, path)
-        BloomMembership.sketch(keys, keyCol, expected)
-          .write.mode("overwrite").parquet(s"${path}__compact/epoch=0")
-        graft.sources.DirSwap.swap(bfs, broot,
-          new org.apache.hadoop.fs.Path(s"${path}__compact"))
-        log.info(s"bloom $path: chain compacted to one epoch sized " +
-          s"$expected (${headroom}x $shipped shipped keys)")
-        true
-      } else false
-    val Seq(urlRebuilt, textRebuilt) =
-      Seq(rebuild(urlBloomPath, store.select("canon_url"), "canon_url"),
-        rebuild(textBloomPath,
-          store.select(xxhash64(col("text")).as("text_hash")), "text_hash"))
+    val urlDue = committedEpochs(ss, urlBloomPath).size > 2
+    val textDue = committedEpochs(ss, textBloomPath).size > 2
+    var urlRebuilt = false
+    var textRebuilt = false
+    if (urlDue || textDue) {
+      // the phase's store I/O is bounded by ONE full scan no matter
+      // how many frontiers rebuild (r19, VERDICT r18 item 5: the
+      // measured b32 rebuild paid TWO full-store scans — count +
+      // text-hash sketch — 11.2 s and growing with the store): one
+      // pass materializes the NARROW key projection (canonical url +
+      // 8-byte text hash — the text payload is read once and reduced
+      // map-side), and the count plus both sketch aggregations run
+      // over the cached keys. MEMORY_AND_DISK: the key projection is
+      // orders of magnitude smaller than the store; spill keeps the
+      // one-scan bound honest at any size.
+      val keys = store
+        .select(col("canon_url"), xxhash64(col("text")).as("text_hash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val shipped = keys.count()
+        def rebuild(path: String, keyCol: String): Boolean =
+          if (shipped > 0) {
+            val expected = math.max(1L, math.ceil(shipped * headroom).toLong)
+            val (bfs, broot) = fsOf(ss, path)
+            BloomMembership.sketch(keys.select(keyCol), keyCol, expected)
+              .write.mode("overwrite").parquet(s"${path}__compact/epoch=0")
+            graft.sources.DirSwap.swap(bfs, broot,
+              new org.apache.hadoop.fs.Path(s"${path}__compact"))
+            log.info(s"bloom $path: chain compacted to one epoch sized " +
+              s"$expected (${headroom}x $shipped shipped keys)")
+            true
+          } else false
+        urlRebuilt = urlDue && rebuild(urlBloomPath, "canon_url")
+        textRebuilt = textDue && rebuild(textBloomPath, "text_hash")
+      } finally { keys.unpersist(); () }
+    }
     // the rebuild HEALS every accumulated false-positive drop (the
     // fresh filter holds exactly the shipped keys), so this is the
     // moment to price the loss window and reset it (VERDICT r17

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
+import graft.operators.Dedup
 import graft.sources.ShardSink
 import graft.streaming.CorpusIngest
 
@@ -924,7 +925,7 @@ class CorpusIngestSpec extends SparkSpec {
 
   test("staggered maintenance schedule: each phase fires every " +
       "compactEvery batches on its own offset; short cadences wrap; " +
-      "compactEvery=1 degenerates to the full quartet per batch") {
+      "compactEvery=1 degenerates to the full quintet per batch") {
     def due(batchId: Long, ce: Int) =
       CorpusIngest.maintenancePhasesDue(batchId, ce)
     // ce=10: shard (0) first at batch 9, then index/drift/bloom on the
@@ -934,7 +935,8 @@ class CorpusIngestSpec extends SparkSpec {
     assert(due(10, 10) == Seq(1))
     assert(due(11, 10) == Seq(2))
     assert(due(12, 10) == Seq(3))
-    assert(due(13, 10).isEmpty)
+    assert(due(13, 10) == Seq(4)) // anchor-index phase (r19)
+    assert(due(14, 10).isEmpty)
     // each phase repeats with period compactEvery
     (0 until CorpusIngest.MaintenancePhases).foreach { k =>
       assert(due(9L + k + 10, 10) == Seq(k), s"phase $k period")
@@ -942,14 +944,123 @@ class CorpusIngestSpec extends SparkSpec {
     }
     // and no batch before the first full cadence fires anything
     (0L until 9L).foreach(b => assert(due(b, 10).isEmpty, s"batch $b"))
-    // ce=2: four offsets wrap onto two slots — phases pair up
+    // ce=2: five offsets wrap onto two slots — phases group up
     assert(due(1, 2) == Seq(0))
     assert(due(2, 2) == Seq(1))
-    assert(due(3, 2) == Seq(0, 2))
+    assert(due(3, 2) == Seq(0, 2)) // anchor phase hasn't started yet
     assert(due(4, 2) == Seq(1, 3))
-    // ce=1: the documented degeneration — whole quartet every batch
+    assert(due(5, 2) == Seq(0, 2, 4))
+    // ce=1: the documented degeneration — whole quintet every batch
     // once each phase's offset has passed
-    assert(due(3, 1) == Seq(0, 1, 2, 3))
+    assert(due(4, 1) == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("exact-substring gate: a cross-batch verbatim block the " +
+      "near-dup gate ships is caught; in-batch verbatim keeps first; " +
+      "the anchor index tracks the shipped corpus; the streaming " +
+      "cadence compacts it (phase 4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("ingest_substr").toString
+    def paths(tag: String) = (s"$dir/$tag/ub", s"$dir/$tag/tb",
+      s"$dir/$tag/shards", s"$dir/$tag/ndidx", s"$dir/$tag/anchors")
+    // stopwords INTERLEAVED with doc-unique hash words: the Gopher
+    // gate's stopword ratio holds (1 in 2) while no two docs share a
+    // run anywhere near minLen — a contiguous stops PREFIX would
+    // itself be a ~255-char verbatim run in every doc and the gate
+    // would (correctly) flag it. maxDf = 2 keeps the planted twin
+    // blocks (df 1-2) while excluding any accidental hub.
+    val sw = Array("the", "be", "to", "of", "and", "that", "have", "with")
+    def words(i: Long, seed: Long) = (0 until 30)
+      .map(j => sw(j % 8) + " s" + ((i * 2654435761L + j * 40503L +
+        seed * 77L) & 0xffffffL).toHexString + "w" + j).mkString(" ")
+    def fresh(i: Long) = words(i, 1L)
+    // ~12 words (~120 chars >= minLen 50) copied VERBATIM into an
+    // otherwise-fresh doc: 12 of 42 content words shared is far below
+    // the 8/16-band near-dup threshold, but well over the 50-char
+    // verbatim threshold — the drop class only this gate catches
+    def blockOf(i: Long, seed: Long) =
+      words(i, seed).split(" ").take(12).mkString(" ")
+    val b1 = (1L to 5L).map(i => (s"https://site.com/p$i", i, fresh(i)))
+    val b2 = Seq(
+      // cross-batch verbatim quote of doc 1 -> only this gate drops it
+      ("https://site.com/q100", 100L,
+        words(100L, 2L) + " " + blockOf(1L, 1L)),
+      ("https://site.com/q101", 101L, fresh(101L)), // fresh -> ships
+      ("https://site.com/q102", 102L, fresh(102L)), // quoted by 103
+      // in-batch verbatim quote of 102's body block, otherwise fresh
+      // (low Jaccard -> the near-dup gate ships BOTH; keep-first by
+      // doc_id means 102 ships and 103 drops)
+      ("https://site.com/q103", 103L,
+        words(103L, 3L) + " " + blockOf(102L, 1L)))
+
+    // (a) batch twin with BOTH gates
+    val (ub, tb, shards, ndidx, sidx) = paths("gated")
+    val nd = Some(CorpusIngest.NearDupGate(ndidx))
+    val sg = Some(CorpusIngest.SubstrGate(sidx, maxDf = 2))
+    val n1 = CorpusIngest.ingestBatch(b1.toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd, substr = sg)
+    assert(n1 == 5L, s"distinct seed batch must ship whole, got $n1")
+    val buf = scala.collection.mutable.Buffer.empty[(String, Double)]
+    val n2 = CorpusIngest.ingestBatch(b2.toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd, substr = sg,
+      stageLog = Some(buf))
+    assert(n2 == 2L, s"expected only 101 and 102 to ship, got $n2")
+    assert(spark.read.parquet(shards).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L, 5L, 101L, 102L))
+    assert(buf.exists(_._1 == "substr_gate"), "stage must be timed")
+    // the anchor index holds EXACTLY the shipped corpus's anchors
+    val expected = Dedup.winnowIndex(
+        spark.read.parquet(shards).select("doc_id", "text"),
+        "doc_id", "text", minLen = 50, k = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(spark.read.parquet(sidx).as[(Long, Int, Long)]
+      .collect().toSet == expected,
+      "anchor index must track the shipped corpus")
+
+    // (b) differential: the near-dup-only twin SHIPS doc 100 — the
+    // planted block is invisible to MinHash at 12/42 words shared
+    val (ub2, tb2, shards2, ndidx2, _) = paths("ndonly")
+    Seq(b1, b2).foreach(b =>
+      CorpusIngest.ingestBatch(b.toDF("url", "doc_id", "text"),
+        ub2, tb2, shards2, numShards = 2,
+        nearDup = Some(CorpusIngest.NearDupGate(ndidx2))))
+    assert(spark.read.parquet(shards2).select("doc_id").as[Long]
+      .collect().toSet.contains(100L),
+      "the verbatim-quote doc must be a substring-gate-only drop")
+
+    // (c) the streaming loop with the gate on: phase 4 compacts the
+    // anchor index on the compactEvery cadence (first firing at
+    // batch compactEvery + 3) and the compacted index still gates.
+    // Seeded with 5 docs so the stops boilerplate is a df > 2 hub
+    // from the first cross-batch probe on.
+    val (ub3, tb3, shards3, ndidx3, sidx3) = paths("stream")
+    val mem = MemoryStream[(String, Long, String)]
+    val q = CorpusIngest.start(mem.toDF().toDF("url", "doc_id", "text"),
+      ub3, tb3, shards3, numShards = 2,
+      nearDup = Some(CorpusIngest.NearDupGate(ndidx3)),
+      substrGate = Some(CorpusIngest.SubstrGate(sidx3, maxDf = 2)),
+      compactEvery = 2)
+    try {
+      mem.addData((210L to 214L)
+        .map(i => (s"https://site.com/s$i", i, fresh(i))): _*)
+      q.processAllAvailable()
+      (215L to 219L).foreach { i =>
+        mem.addData(Seq((s"https://site.com/s$i", i, fresh(i))): _*)
+        q.processAllAvailable()
+      }
+      assert(new java.io.File(sidx3 + "_keys").exists(),
+        "phase 4 must build the anchor generation sidecar mid-stream")
+      assert(spark.read.parquet(shards3).count() == 10L,
+        "all distinct streamed docs must ship")
+      // a verbatim quote of a doc shipped BEFORE the compaction still
+      // drops through the compacted index
+      mem.addData(Seq(("https://site.com/sq", 299L,
+        words(299L, 4L) + " " + blockOf(210L, 1L))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(!spark.read.parquet(shards3).select("doc_id").as[Long]
+      .collect().toSet.contains(299L),
+      "compacted anchor index must still gate verbatim quotes")
   }
 
   test("payloadStorage=DISK_ONLY checkpointing is a pure physical " +

@@ -88,8 +88,10 @@ class PlanShapeSpec extends SparkSpec {
     // r18: probe narrowing re-pinned this DOWN from (7,3,0,4) — the
     // candidate localCheckpoint feeds the verify join from cached
     // blocks (2 fewer exchanges) and the semi-narrowed text fetch
-    // drops 2 corpus re-scans
-    "d17_cross_substr" -> (5, 3, 0, 2),
+    // drops 2 corpus re-scans. r19: DOWN again (5 -> 4 shuffles) —
+    // the chunked-In candidate-id pushdown narrows the corpus text
+    // fetch AT THE SCAN, and the filtered side no longer exchanges
+    "d17_cross_substr" -> (4, 3, 0, 2),
     "d7_dup_clusters" -> (3, 0, 0, 1),
     "d12_pagerank" -> (1, 0, 0, 0),
     "p6_cluster_keep_best" -> (4, 1, 0, 2),

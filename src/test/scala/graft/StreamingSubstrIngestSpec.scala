@@ -32,18 +32,26 @@ class StreamingSubstrIngestSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("doc_id", "text")
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val haveIndex = new java.io.File(idxPath).exists()
         if (haveIndex) {
           val ss = batch.sparkSession
-          Dedup.exactSubstrPairsAgainst(
-              ss.read.parquet(idxPath), ss.read.parquet(docsPath), batch,
+          // the r19 probe shape: the persisted index is touched
+          // through its generation sidecar (tiered file pruning) —
+          // NOT a full read per batch
+          Dedup.exactSubstrPairsAgainstDir(ss, idxPath,
+              ss.read.parquet(docsPath), batch,
               "doc_id", "text", minLen = 50, k = 16)
             .write.mode("append").parquet(hitsPath)
         }
         Dedup.winnowIndex(batch, "doc_id", "text", minLen = 50, k = 16)
           .write.mode("append").parquet(idxPath)
         batch.select("doc_id", "text").write.mode("append").parquet(docsPath)
+        // index maintenance INSIDE the loop (the ingest cadence
+        // shape): every pass is tail-bounded, probes stay correct
+        // across the compaction boundary
+        if (batchId == 1L)
+          Dedup.compactAnchorIndex(batch.sparkSession, idxPath)
         ()
       }
       .start()
@@ -69,6 +77,11 @@ class StreamingSubstrIngestSpec extends SparkSpec {
       assert(hits.contains((3L, 102L)), s"transitive corpus overlap missed: $hits")
       assert(!hits.contains((100L, 100L)), s"replayed self-pair: $hits")
       assert(!hits.exists(h => h._1 == 101L || h._2 == 101L), s"false hit: $hits")
+      // the mid-stream compaction left a generation sidecar, and the
+      // post-compaction batch (3) still probed correctly through it
+      assert(new java.io.File(idxPath + "_keys").exists(),
+        "mid-stream compaction must build the generation sidecar")
+      assert(graft.sources.TieredIndex.load(spark, idxPath).isDefined)
     } finally q.stop()
   }
 }

@@ -11,6 +11,12 @@ evidence and must not drive plan work.
 
 Usage:  python3 tools/bench_drift.py OLD.json NEW.json
             [--thresh 1.15] [--min-delta 0.15]
+
+r19 (VERDICT r18 item 6): rows with a sub-second median on either
+side gate on MIN-vs-band instead of median-vs-band — ambient load
+only adds time, so "every new run slower than every old run" is the
+robust signal at the noise floor; the binding bench also collects 5
+samples (not 3) for those rows so the bands mean something.
 Exits 0 always (report tool, not a gate); prints one line per query
 classified REGRESSION / IMPROVEMENT, and a summary. --thresh adds a
 minimum ratio on top of the band test so sub-noise-floor wiggles on
@@ -65,8 +71,21 @@ def main():
             continue
         oband = (os.get(q, {}).get("min", om), os.get(q, {}).get("max", om))
         nband = (ns.get(q, {}).get("min", nm), ns.get(q, {}).get("max", nm))
-        band_sep_reg = nm > oband[1] and om < nband[0] and nm / om >= thresh
-        band_sep_imp = nm < oband[0] and om > nband[1] and om / nm >= thresh
+        if om < 1.0 or nm < 1.0:
+            # sub-second rows gate on MIN-vs-band (r19, VERDICT r18
+            # item 6): ambient load only ever ADDS time, so the min is
+            # the statistic least sensitive to it — a row is a
+            # regression only when its FASTEST new run is slower than
+            # every old run (and vice versa). Medians on these rows
+            # band-separated ~20 untouched plans per round on the
+            # box's measured 27% same-code spread.
+            band_sep_reg = (nband[0] > oband[1]
+                            and nband[0] / max(oband[0], 1e-9) >= thresh)
+            band_sep_imp = (nband[1] < oband[0]
+                            and oband[0] / max(nband[1], 1e-9) >= thresh)
+        else:
+            band_sep_reg = nm > oband[1] and om < nband[0] and nm / om >= thresh
+            band_sep_imp = nm < oband[0] and om > nband[1] and om / nm >= thresh
         # without real spread data the "bands" above degenerate to the
         # medians themselves and band-separation is vacuous — never
         # print the band-separated label off the pre-r14 fallback
