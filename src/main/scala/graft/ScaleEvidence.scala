@@ -1773,7 +1773,8 @@ object ScaleEvidenceIngest {
           // the STAGGERED schedule start() uses (r17): one phase per
           // firing batch, each timed separately — the per-pause cap is
           // the evidence item 2 asks for
-          val phaseNames = Seq("shard", "ndindex", "drift", "bloom")
+          val phaseNames = Seq("shard", "ndindex", "drift", "bloom",
+            "anchor")
           CorpusIngest.maintenancePhasesDue(b, compactEvery).foreach { k =>
             def epochsOf(p: String) = Option(new java.io.File(p).listFiles())
               .map(_.count(_.getName.matches("epoch=\\d+"))).getOrElse(0)

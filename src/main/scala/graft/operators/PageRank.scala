@@ -64,9 +64,25 @@ object PageRank {
       return deg.select(col("u").as("node"),
         lit(null).cast(RankType).as("rank"))
     }
-    val dampDec = lit(damping).cast("decimal(20,18)")
-    val teleport = (lit(1).cast(RankType) / lit(n))
-      .multiply(lit(1) - dampDec).cast(RankType)
+    // damping is quantized to 6 decimals so every product below stays
+    // EXACT before its one half-up rounding at scale 18 (r19, found
+    // by the sf1 oracle sidecar): with the old decimal(20,18) damping
+    // and decimal(38,18) mass, Spark's precision adjustment silently
+    // rounded the product at scale 16 — a ~1e-16/round drift that the
+    // 12-decimal output hides until a rank lands within it of a
+    // 1e-12 half-boundary (two nodes at sf1; zero at catalog SF). The
+    // factors are narrowed ((7,6) x (20,18) -> exact scale-24
+    // product, precision 28 <= 38), so the only rounding is the final
+    // cast to scale 18 — half-up, exactly the oracle's
+    // (2*(dd*mass) + s) // (2*s) integer form.
+    val dampDec = lit(damping).cast("decimal(7,6)")
+    // teleport stays in the NARROW type: a (38,18) + (28,24) addition
+    // would overflow precision 38 and round the SUM at scale 17 (the
+    // same silent-adjustment trap as the multiply); (20,18) + (28,24)
+    // adds exactly, so the one rounding is the final cast to 18
+    val narrow = "decimal(20,18)"
+    val teleport = ((lit(1).cast("decimal(7,6)") - dampDec) *
+      (lit(1).cast(RankType) / lit(n)).cast(narrow)).cast(narrow)
     // out-edges annotated with the source degree, reused every round
     val out = sym.join(deg, "u")
       .select(col("u"), col("v"), col("deg"))
@@ -81,7 +97,8 @@ object PageRank {
       val next = ranks.select(col("node"))
         .join(contrib, col("node") === col("v"), "left")
         .select(col("node"),
-          (teleport + dampDec * coalesce(col("in_mass"), lit(0).cast(RankType)))
+          (teleport + dampDec *
+              coalesce(col("in_mass"), lit(0).cast(RankType)).cast(narrow))
             .cast(RankType).as("rank"))
       // checkpoint every 3rd round, not every round: materialization
       // is a full job each time, while 3 rounds of lineage (2 joins +

@@ -144,9 +144,17 @@ object DedupQueries {
     "d12_pagerank" -> { (s, d) =>
       val pairs = Dedup.embeddingNearDups(
         t(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+      // the 12-decimal rounding happens in EXACT decimal arithmetic
+      // and only the <= 2^53 integer converts to double (r19, found by
+      // the sf1 heavy-ten oracle sidecar): the old round(cast(double))
+      // let each engine convert the full scale-18 value first — ONE
+      // rounding in Spark (decimal -> nearest double), TWO in DuckDB
+      // (hugeint -> double, then /1e18) — and at sf1 one node's rank
+      // landed on opposite sides of the 1e-12 half-boundary
       PageRank.run(pairs, "a_id", "b_id", iters = 10)
         .select(col("node").as("vec_id"),
-          round(col("rank").cast("double"), 12).as("rank"))
+          (round(col("rank") * lit(1000000000000L), 0).cast("double") /
+            lit(1e12)).as("rank"))
         .orderBy("vec_id")
     },
 
@@ -454,7 +462,8 @@ bands AS MATERIALIZED (
         | r10 AS MATERIALIZED (SELECT d.u AS node,
         |   tp + (2*(dd*COALESCE(m.mass, 0)) + s) // (2*s) AS r
         |   FROM dg d LEFT JOIN m10 m ON d.u = m.node, c3)
-        |SELECT node AS vec_id, ROUND(CAST(r AS DOUBLE)/1e18, 12) AS rank
+        |SELECT node AS vec_id,
+        |  CAST((r + 500000) // 1000000 AS DOUBLE)/1e12 AS rank
         |FROM r10 ORDER BY vec_id""".stripMargin,
 
     // exact replay of d6 (r12): XXH64 of the BIGINT part key (one

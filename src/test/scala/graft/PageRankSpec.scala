@@ -76,4 +76,39 @@ class PageRankSpec extends SparkSpec {
       assert(math.abs(got(v) - ref(v)) < 1e-9, s"node $v: ${got(v)} vs ${ref(v)}")
     }
   }
+
+  test("matches the exact scale-18 half-up fixed-point reference " +
+      "DIGIT FOR DIGIT (r19: the damping multiply used to round at " +
+      "scale 16 through Spark's precision adjustment — invisible at " +
+      "12 output decimals until a rank lands on a half-boundary)") {
+    import java.math.{BigDecimal => JBD, MathContext, RoundingMode}
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 1L), (2L, 6L))
+    val d = 0.85; val iters = 10
+    val adj = (raw ++ raw.map(_.swap)).distinct.groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    def r18(x: JBD): JBD = x.setScale(18, RoundingMode.HALF_UP)
+    val damp = new JBD(d).setScale(6, RoundingMode.HALF_UP)
+    val one = JBD.ONE
+    val invN = r18(one.divide(new JBD(n), 18, RoundingMode.HALF_UP))
+    val teleport = r18(one.subtract(damp).multiply(invN))
+    var ref = nodes.map(_ -> invN).toMap
+    for (_ <- 1 to iters) {
+      val in = nodes.map { v =>
+        v -> adj.filter(_._2.contains(v)).keysIterator
+          .map(u => ref(u).divide(new JBD(adj(u).size), 18,
+            RoundingMode.HALF_UP))
+          .foldLeft(JBD.ZERO)(_.add(_))
+      }.toMap
+      ref = nodes.map(v => v -> r18(teleport.add(damp.multiply(in(v))))).toMap
+    }
+    val got = PageRank.run(raw.toDF("a", "b"), "a", "b", iters, d)
+      .collect().map(x => x.getLong(0) -> x.getDecimal(1)).toMap
+    nodes.foreach { v =>
+      assert(got(v).compareTo(ref(v)) == 0,
+        s"node $v: ${got(v)} vs exact ${ref(v)}")
+    }
+  }
 }

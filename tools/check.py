@@ -28,7 +28,9 @@ def main(sf_dir, out_dir):
     for tbl in ["region","nation","customer","supplier","part","orders",
                 "lineitem","events","documents","embeddings"]:
         p = f"{sf_dir}/{tbl}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # spark-written dir (e.g. the sf1 tables)
+            p = f"{p}/*.parquet"
+        if os.path.isdir(f"{sf_dir}/{tbl}.parquet") or os.path.exists(f"{sf_dir}/{tbl}.parquet"):
             con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
