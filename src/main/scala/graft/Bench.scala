@@ -243,7 +243,11 @@ object Bench {
         .select(col("doc_id"),
           graft.functions.TextOps.wsTokenCount(col("text")).cast("long")
             .as("toks"))
-      val fragDirs = (1 to runs).map { _ =>
+      // one pre-fragmented store per POSSIBLE timed run: the adaptive
+      // sub-second extension can take this row to subSecondRuns
+      // samples, and an exhausted iterator here read as a -1 failure
+      // in the first r19 artifact
+      val fragDirs = (1 to subSecondRuns).map { _ =>
         val d = java.nio.file.Files
           .createTempDirectory("bench_shards_frag").toFile.getAbsolutePath
         (0 until 4).foreach(m => graft.sources.ShardSink.appendShards(
