@@ -1711,6 +1711,13 @@ object ScaleEvidenceIngest {
       s"$dir/drift", s"$dir/ndidx")
     val gate = Some(CorpusIngest.QualityGate(bias, w))
     val nd = Some(CorpusIngest.NearDupGate(nidx, k = 4))
+    // arg 6 != 0 turns the r19 exact-substring gate on (verbatim twin
+    // of the near-dup gate; anchors live beside the band index, the
+    // boilerplate df-cap rides the persisted hot table once the
+    // anchor phase has compacted)
+    val sg = if (args.lift(6).exists(_.toInt != 0))
+      Some(CorpusIngest.SubstrGate(nidx + "_anchors", maxDf = 64))
+    else None
     val perBatch = nDocs / nBatches
     var shipped = 0L
     val stageRows =
@@ -1755,7 +1762,7 @@ object ScaleEvidenceIngest {
           CorpusIngest.ingestBatch(batch, ub, tb, shards, numShards = 16,
             expectedItems = expectedItems, qualityGate = gate,
             driftDir = Some(dd), repairEncoding = true, nearDup = nd,
-            stageLog = Some(stageBuf),
+            substr = sg, stageLog = Some(stageBuf),
             maxBroadcastUrlRows = urlCap, maxBroadcastKeyRows = keyCap,
             payloadStorage = payloadLvl)
         }
@@ -1805,7 +1812,7 @@ object ScaleEvidenceIngest {
             }
             val (_, tM) = timed {
               CorpusIngest.runMaintenancePhase(spark, k, ub, tb, shards,
-                nd, Some(dd))
+                nd, Some(dd), sg)
             }
             val kind =
               if (k != 1) ""
