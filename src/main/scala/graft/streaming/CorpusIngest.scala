@@ -427,7 +427,14 @@ object CorpusIngest {
         ckptPayload(survivors.join(dropIds, Seq("doc_id"), "left_anti"))
       }
       timed("substr_append") {
+        // coalesced: the winnow is map-side off the 32-partition kept
+        // checkpoint, and 32 small files per batch made the tail's
+        // per-probe footer cost 8x what the band index pays (measured
+        // 224 tail files by batch 7 in the gate-on endurance); tail
+        // files are read IN FULL per probe until the anchor phase
+        // folds them, so fewer, bigger appends are strictly better
         Dedup.winnowIndex(kept, "doc_id", "text", sg.minLen, sg.k)
+          .coalesce(4)
           .write.mode("append").parquet(sg.indexDir)
       }
       kept
