@@ -409,9 +409,23 @@ object CorpusIngest {
     //     pay for docs every cheaper gate already passed.
     val shipping = substr.fold(survivors) { sg =>
       val dropIds = timed("substr_gate") {
-        val (sfs, sroot) = fsOf(ss, shardDir)
+        // the cross probe needs BOTH the anchor index (candidates)
+        // and the shipped text (verification), and each store needs
+        // its OWN data check: an all-dropped opening batch appends an
+        // EMPTY anchor frame — whose zero-row part files still carry
+        // a schema — while the shard store's dynamic-partition write
+        // leaves no files at all, so reading it would die in schema
+        // inference. No shipped text ⇒ no cross-batch dup is
+        // possible ⇒ skipping is exact.
+        def shardHasData: Boolean = {
+          val (sfs, sroot) = fsOf(ss, shardDir)
+          sfs.exists(sroot) && sfs.listStatus(sroot).exists(st =>
+            st.isDirectory && sfs.listStatus(st.getPath).exists(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet")))
+        }
         val cross =
-          if (sfs.exists(sroot))
+          if (graft.sources.TieredIndex.liveNames(ss, sg.indexDir).nonEmpty
+              && shardHasData)
             Dedup.exactSubstrPairsAgainstDir(ss, sg.indexDir,
                 ss.read.parquet(shardDir).select("doc_id", "text"),
                 survivors, "doc_id", "text", sg.minLen, sg.k, sg.maxDf,

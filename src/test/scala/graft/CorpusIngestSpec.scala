@@ -1063,6 +1063,30 @@ class CorpusIngestSpec extends SparkSpec {
       "compacted anchor index must still gate verbatim quotes")
   }
 
+  test("substring gate survives an all-dropped opening batch: no " +
+      "anchors means no cross probe, and the shard dir's commit-less " +
+      "debris never reaches schema inference") {
+    val dir = Files.createTempDirectory("ingest_substr0").toString
+    val (ub, tb, shards, ndidx, sidx) = (s"$dir/ub", s"$dir/tb",
+      s"$dir/shards", s"$dir/ndidx", s"$dir/anchors")
+    val sg = Some(CorpusIngest.SubstrGate(sidx, maxDf = 2))
+    val nd = Some(CorpusIngest.NearDupGate(ndidx))
+    // batch 1: all Gopher-fails (too short, no stop words) -> ships 0
+    val n1 = CorpusIngest.ingestBatch(
+      Seq(("https://site.com/j1", 1L, "zz"), ("https://site.com/j2", 2L, "qq"))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd, substr = sg)
+    assert(n1 == 0L)
+    // batch 2 probes across: must not throw on the anchor-less state
+    val n2 = CorpusIngest.ingestBatch(
+      Seq(("https://site.com/g1", 3L, good(3L)))
+        .toDF("url", "doc_id", "text"),
+      ub, tb, shards, numShards = 2, nearDup = nd, substr = sg)
+    assert(n2 == 1L)
+    assert(spark.read.parquet(sidx).select("doc").distinct().count() == 1L,
+      "only the shipped doc's anchors are indexed")
+  }
+
   test("payloadStorage=DISK_ONLY checkpointing is a pure physical " +
       "knob: shards, drift card and gate decisions identical to the " +
       "memory-first default") {
