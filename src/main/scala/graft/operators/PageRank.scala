@@ -39,11 +39,28 @@ object PageRank {
     * (node, rank) with Σ rank = 1 over the edge-incident node set
     * (decimal-exact up to the per-node rounding ulp). Self-loops and
     * null endpoints are dropped; an empty (or all-self-loop) edge
-    * list yields an empty frame, not an error. */
+    * list yields an empty frame, not an error.
+    *
+    * `damping` is QUANTIZED to 6 decimals (half-up) before the
+    * iteration — the narrowing that keeps every per-round product
+    * exact in decimal(38,18) arithmetic (see the dampDec comment
+    * below): 0.85 and any 6-decimal value pass through unchanged;
+    * 0.8512345 runs as 0.851235, and anything under 5e-7 rounds to
+    * the excluded endpoint 0 and is rejected by the range require.
+    * Callers needing finer damping than 1e-6 are outside this
+    * operator's exactness contract. */
   def run(edges: DataFrame, aCol: String, bCol: String,
           iters: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // the range check applies to the QUANTIZED value the iteration
+    // actually uses: without it, damping = 1e-7 would silently run as
+    // 0 (uniform teleport-only ranks) and 0.9999996 as 1 (no teleport)
+    val dampQ = BigDecimal(damping)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    require(dampQ > 0 && dampQ < 1,
+      s"damping quantizes to 6 decimals as $dampQ — out of (0,1); " +
+        "pass a value representable at scale 6 (see run() scaladoc)")
     // symmetrize + dedup; mirroring via explode runs the (possibly
     // expensive) upstream edge pipeline ONCE, not once per union leg
     // (same pattern as Components.connectedComponents), and the

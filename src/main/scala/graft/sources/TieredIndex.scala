@@ -176,18 +176,28 @@ private[graft] object TieredIndex {
     }
   }
 
-  /** Longest prefix of `names` whose byte total stays under `cap`
-    * (always at least one file, so progress is guaranteed). */
+  /** Longest PREFIX of `names` whose byte total stays under `cap`
+    * (always at least one file, so progress is guaranteed — the first
+    * file is taken even when it alone exceeds the cap). A true prefix
+    * matters (ADVICE r19): skipping a too-large file and continuing
+    * with later, smaller ones would return an arbitrary subset, and a
+    * big tail file sorting behind lexicographically-earlier appends
+    * could then be deferred indefinitely while passes keep folding
+    * files written after it. */
   private def takeUpToBytes(ss: SparkSession, dir: String,
                             names: Seq[String], cap: Long): Seq[String] = {
     val (fs, target) = DirSwap.fsOf(ss, dir)
     var total = 0L
     val out = Seq.newBuilder[String]
     var first = true
+    var stop = false
     names.foreach { n =>
-      val len = fs.getFileStatus(new Path(target, n)).getLen
-      if (first || total + len <= cap) { out += n; total += len }
-      first = false
+      if (!stop) {
+        val len = fs.getFileStatus(new Path(target, n)).getLen
+        if (first || total + len <= cap) { out += n; total += len }
+        else stop = true
+        first = false
+      }
     }
     out.result()
   }

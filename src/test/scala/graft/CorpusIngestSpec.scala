@@ -1016,6 +1016,17 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.read.parquet(sidx).as[(Long, Int, Long)]
       .collect().toSet == expected,
       "anchor index must track the shipped corpus")
+    // ...and so must the BAND index (ADVICE r19, medium): docs 100 and
+    // 103 survived the near-dup gate but were dropped by the substring
+    // gate — the r19 shape appended their band rows anyway, leaving
+    // the index gating on content that never shipped
+    val expectedBands = Dedup.minhashIndex(
+        spark.read.parquet(shards).select("doc_id", "text"),
+        "doc_id", "text", k = 3, numHashes = 128, bands = 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(spark.read.parquet(ndidx).as[(Long, Int, Long)]
+      .collect().toSet == expectedBands,
+      "band index must track the SHIPPED corpus, not near-dup survivors")
 
     // (b) differential: the near-dup-only twin SHIPS doc 100 — the
     // planted block is invisible to MinHash at 12/42 words shared

@@ -111,4 +111,24 @@ class PageRankSpec extends SparkSpec {
         s"node $v: ${got(v)} vs exact ${ref(v)}")
     }
   }
+
+  test("damping outside 6-decimal representability is rejected, not " +
+      "silently quantized to an endpoint (ADVICE r19)") {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD}
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    // quantizes to 0 -> teleport-only ranks would run with no warning
+    intercept[IllegalArgumentException] {
+      PageRank.run(edges, "a", "b", iters = 1, damping = 1e-7)
+    }
+    // quantizes to 1 -> no teleport at all
+    intercept[IllegalArgumentException] {
+      PageRank.run(edges, "a", "b", iters = 1, damping = 0.9999999)
+    }
+    // a representable 6-decimal value passes and sums to 1 exactly
+    val s = PageRank.run(edges, "a", "b", iters = 2, damping = 0.851235)
+      .agg(org.apache.spark.sql.functions.sum("rank")).collect()(0)
+      .getDecimal(0)
+    assert(s.compareTo(new JBD(1).setScale(s.scale)) == 0, s"sum $s")
+  }
 }
