@@ -667,6 +667,10 @@ object ScaleEvidenceSubstr {
 
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toInt).getOrElse(1000000)
+    // which sections to run (default all): "3" reruns just the tiered
+    // dir-probe rungs — the shape VERDICT r19 item 6 extends to a
+    // 4M-doc index without paying §1/§2 again at 4x size
+    val sections = args.lift(1).getOrElse("123")
     val nPlant = 500
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -730,20 +734,22 @@ object ScaleEvidenceSubstr {
         f"${tPairs}%.1f s (hub pair set ${n * (n - 1) / 2}%,d never enumerated)")
     }
     val sub = buildCorpus("GRAFT STANDARD HEADER V2 L27JX", "target/scale/hubsub") // 30 chars
-    measure("sub", sub)
-    val sup = buildCorpus(
-      "GRAFT CORPUS STANDARD LICENSE HEADER V2 DO NOT REMOVE LINE", // 59 chars
-      "target/scale/hubsuper")
-    measure("super", sup)
+    if (sections.contains('1')) {
+      measure("sub", sub)
+      val sup = buildCorpus(
+        "GRAFT CORPUS STANDARD LICENSE HEADER V2 DO NOT REMOVE LINE", // 59 chars
+        "target/scale/hubsuper")
+      measure("super", sup)
 
-    val (cleaned, tFix) = timed {
-      val out = Dedup.exactSubstrRemoveFixpoint(sup, "doc_id", "text",
-        minLen = 50, k = 16, maxDf = 64, maxIters = 3)
-      out.select(sum(length(col("text")))).head().getLong(0)
+      val (cleaned, tFix) = timed {
+        val out = Dedup.exactSubstrRemoveFixpoint(sup, "doc_id", "text",
+          minLen = 50, k = 16, maxDf = 64, maxIters = 3)
+        out.select(sum(length(col("text")))).head().getLong(0)
+      }
+      val rawChars = sup.select(sum(length(col("text")))).head().getLong(0)
+      println(f"[1d-fix] exactSubstrRemoveFixpoint @ super-minLen hub: " +
+        f"$rawChars%,d -> $cleaned%,d chars, ${tFix}%.1f s")
     }
-    val rawChars = sup.select(sum(length(col("text")))).head().getLong(0)
-    println(f"[1d-fix] exactSubstrRemoveFixpoint @ super-minLen hub: " +
-      f"$rawChars%,d -> $cleaned%,d chars, ${tFix}%.1f s")
 
     // ── §2 probe-against-index flatness (r18, VERDICT r17 item 2) ──
     // exactSubstrPairsAgainst now semi-narrows the persisted anchor
@@ -805,6 +811,7 @@ object ScaleEvidenceSubstr {
         Dedup.winnowIndex(corpus, "doc_id", "text", minLen = 50, k = 16)
           .write.mode("overwrite").parquet(idxPath)
       }
+      if (!sections.contains('2')) () else {
       val idx = spark.read.parquet(idxPath)
       val idxRows = idx.count()
       def probeOnce(hot: Option[org.apache.spark.sql.DataFrame]) = shuffled {
@@ -835,7 +842,9 @@ object ScaleEvidenceSubstr {
         f"rows; $nPairs pairs (recall $recalled/250, identical both " +
         "paths) — precomputed-cap shuffle must be batch-bounded, flat " +
         "as the index grows")
+      }
     }
+    if (!sections.contains('3')) { spark.stop(); return }
 
     // ── §3 tiered anchor index: files/bytes READ flat as the index
     // grows (r19, VERDICT r18 item 2). §2 made the probe's SHUFFLE
@@ -923,7 +932,7 @@ object ScaleEvidenceSubstr {
           f"(recall $recalled/$twins) — files/bytes read bounded by the " +
           "hot set, flat as the index grows 4x")
       }
-      dirProbe("batch", probeBatch, 250L, Some(flatResults(nc)))
+      dirProbe("batch", probeBatch, 250L, flatResults.get(nc))
       dirProbe("micro", microProbe, 2L, None)
     }
     spark.stop()
@@ -1933,6 +1942,14 @@ object ScaleEvidenceRocksDb {
     // doubled 8.9 -> 16.5 s as state grew 0 -> 4.8M keys); changelog
     // ships only the batch's own updates.
     graft.streaming.StreamConfs.applyRocksDb(spark)
+    // arg 3 (r20, VERDICT r19 item 5): extra comma-separated k=v confs
+    // layered on top — the compaction-spike knob sweep
+    // (e.g. "spark.sql.streaming.stateStore.rocksdb.compactOnCommit=true")
+    args.lift(2).foreach(_.split(",").filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      println(s"[rocksdb-nd] conf override: $k=$v")
+      spark.conf.set(k, v)
+    })
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -26,6 +26,18 @@ object Dedup {
     * convention). */
   private[graft] val MaxBroadcastProbeKeys = 2000000L
 
+  /** Row cap for forcing a locally-snapshotted PROBE (doc, pos, h)
+    * frame onto the broadcast side of the candidate join (r20): the
+    * probe table is ~24 bytes/row, the narrowed index side is
+    * collision-bounded and usually far smaller, so past ~100k probe
+    * rows the forced broadcast builds the join's hash relation from
+    * the WRONG side (the ingest gate's 35k-doc batches winnow to
+    * ~800k anchors ≈ 20 MB). Past the cap the probe joins as its
+    * checkpointed distributed frame and AQE picks the build side from
+    * measured sizes; driver-side key tables still come from the local
+    * snapshot either way. */
+  private[graft] val MaxProbeBroadcastRows = 100000
+
   /** Row cap for pulling a probe-side frame to the DRIVER as a local
     * relation — the cross-corpus probes' fast path (VERDICT r18
     * item 3: the checkpoint + three size-guard `count()` actions were
@@ -651,8 +663,23 @@ object Dedup {
       idCol: String, textCol: String, minLen: Int, k: Int,
       maxDf: Long, dedupIndex: Boolean,
       hotHashes: Option[DataFrame],
-      probeMaterialized: Boolean = false): DataFrame = {
-    val probe = probeOpt.map(localDf(batch, _, probePlan.schema))
+      probeMaterialized: Boolean = false,
+      stageLog: Option[scala.collection.mutable.Buffer[(String, Double)]] = None)
+      : DataFrame = {
+    // The local snapshot serves two roles with DIFFERENT size sweet
+    // spots (r20): driver-side key tables (bloom tests, hot
+    // subtraction, semi-join keys) are worth collecting up to
+    // [[MaxLocalProbeRows]], but FORCING the probe to the broadcast
+    // side of the candidate join inverts past ~100k anchor rows — an
+    // ingest-sized batch (35k docs ≈ 800k anchors) would broadcast a
+    // ~20 MB build side against a collision-bounded (usually KB-sized)
+    // narrowed index. Past [[MaxProbeBroadcastRows]] the probe joins
+    // as the checkpointed distributed frame and the planner/AQE picks
+    // the build side from real sizes; the collected rows still feed
+    // every driver-side key structure, so no extra jobs appear.
+    val probeBig = probeOpt.exists(_.length > MaxProbeBroadcastRows)
+    val probe = probeOpt.filter(_ => !probeBig)
+      .map(localDf(batch, _, probePlan.schema))
       .getOrElse(
         if (probeMaterialized) probePlan else probePlan.localCheckpoint(true))
     // the anchor index is narrowed to the batch's winnow hashes
@@ -715,7 +742,8 @@ object Dedup {
       idx0.join(hotJ, Seq("h"), "left_anti")
     } else idx0
     val idx = if (dedupIndex) kept.distinct() else kept
-    val probeJ = if (probeOpt.isDefined) broadcast(probe) else probe
+    val probeJ =
+      if (probeOpt.isDefined && !probeBig) broadcast(probe) else probe
     val candPlan = idx.alias("c")
       .join(probeJ.alias("p"), col("c.h") === col("p.h") &&
         col("c.doc") =!= col("p.doc"))
@@ -728,9 +756,15 @@ object Dedup {
     // under a local probe: an oversize snapshot would re-execute the
     // candidate generation on the fallback, and a big batch is the
     // case the distributed path exists for.
+    val tCand = System.nanoTime()
     val candOpt =
       if (probeOpt.isDefined) localRows(candPlan, MaxLocalProbeRows)
       else None
+    stageLog.foreach { buf =>
+      buf += "anchor:cand_collect_s" -> ((System.nanoTime() - tCand) / 1e9)
+      buf += "anchor:cand_rows" ->
+        candOpt.map(_.length).getOrElse(-1).toDouble
+    }
     val cand = candOpt.map(localDf(batch, _, candPlan.schema)).getOrElse(
       candPlan.localCheckpoint(true)) // consumers: id narrowing + verify join
     // the verification text fetch must be PHYSICALLY narrowed before
@@ -978,7 +1012,13 @@ object Dedup {
     val probePlan = batchAnchors
       .map(_.select(col("doc"), col("pos"), col("h")))
       .getOrElse(winnowIndex(batch, idCol, textCol, minLen, k))
+    val t0 = System.nanoTime()
     val probeOpt = localRows(probePlan, MaxLocalProbeRows)
+    stageLog.foreach { buf =>
+      buf += "anchor:probe_collect_s" -> ((System.nanoTime() - t0) / 1e9)
+      buf += "anchor:probe_rows" ->
+        probeOpt.map(_.length).getOrElse(-1).toDouble
+    }
     val hot = if (maxDf > 0) loadAnchorHotHashes(ss, indexDir) else None
     val idx = probeOpt match {
       case Some(rows) =>
@@ -991,12 +1031,16 @@ object Dedup {
         // per-batch hot set shrinks to TRUE content collisions, which
         // is what keeps the file bound tight on boilerplate-heavy
         // corpora (every real crawl shares headers with every doc)
+        val tN = System.nanoTime()
         val probeKeys = hot.flatMap(h =>
           localRows(h.select("h"), MaxLocalProbeRows).map { hubRows =>
             val hubs = hubRows.map(_.getLong(0)).toSet
             hs.filterNot(hubs)
           }).getOrElse(hs)
-        narrowedAnchorIndex(ss, indexDir, probeKeys, stageLog)
+        val narrowed = narrowedAnchorIndex(ss, indexDir, probeKeys, stageLog)
+        stageLog.foreach(_ +=
+          "anchor:narrow_s" -> ((System.nanoTime() - tN) / 1e9))
+        narrowed
       case None => // oversize probe: read everything (tail + base)
         graft.sources.TieredIndex.recover(ss, indexDir)
         val (fs, root) = graft.sources.DirSwap.fsOf(ss, indexDir)
@@ -1010,7 +1054,7 @@ object Dedup {
     }
     exactSubstrPairsCore(idx, corpusDocs, batch, probePlan, probeOpt,
       idCol, textCol, minLen, k, maxDf, dedupIndex, hot,
-      probeMaterialized = batchAnchors.isDefined)
+      probeMaterialized = batchAnchors.isDefined, stageLog = stageLog)
   }
 
   /** The ExactSubstr dedup ACTION (Lee et al. 2021 §4.2): remove every

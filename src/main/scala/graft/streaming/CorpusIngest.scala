@@ -438,23 +438,46 @@ object CorpusIngest {
             st.isDirectory && sfs.listStatus(st.getPath).exists(f =>
               f.isFile && f.getPath.getName.endsWith(".parquet")))
         }
-        val cross = timed("substr_cross") {
+        // the cross-corpus probe and the in-batch self-pair check are
+        // INDEPENDENT reads of the same checkpointed anchor table, so
+        // they run as concurrent Spark actions (r20): the self check
+        // rides the probe's scheduling gaps instead of serializing
+        // ~3 s/batch behind it. Each future logs into its OWN buffer,
+        // merged into the caller's after both complete (the shared
+        // buffer is not thread-safe).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.global
+        def privateLog() = stageLog.map(_ =>
+          scala.collection.mutable.Buffer.empty[(String, Double)])
+        def timedInto(log: Option[scala.collection.mutable.Buffer[(String, Double)]],
+                      name: String)(f: => DataFrame): DataFrame = {
+          val t0 = System.nanoTime(); val a = f
+          log.foreach(_ += name -> (System.nanoTime() - t0) / 1e9); a
+        }
+        val crossLog = privateLog(); val selfLog = privateLog()
+        val crossF = Future(timedInto(crossLog, "substr_cross") {
           (if (graft.sources.TieredIndex.liveNames(ss, sg.indexDir).nonEmpty
               && shardHasData)
             Dedup.exactSubstrPairsAgainstDir(ss, sg.indexDir,
                 ss.read.parquet(shardDir).select("doc_id", "text"),
                 survivors, "doc_id", "text", sg.minLen, sg.k, sg.maxDf,
-                stageLog = stageLog, batchAnchors = batchAnchors)
+                stageLog = crossLog, batchAnchors = batchAnchors)
               .select(col("batch_id").as("doc_id"))
           else survivors.select("doc_id").limit(0))
             .localCheckpoint(true)
-        }
-        val inBatch = timed("substr_self") {
+        })
+        val selfF = Future(timedInto(selfLog, "substr_self") {
           Dedup.exactSubstrPairsFromAnchors(survivors,
               batchAnchors.get, "doc_id", "text", sg.minLen, sg.k, sg.maxDf)
             .select(col("b_id").as("doc_id"))
             .localCheckpoint(true)
-        }
+        })
+        val cross = Await.result(crossF, Duration.Inf)
+        val inBatch = Await.result(selfF, Duration.Inf)
+        stageLog.foreach(buf =>
+          Seq(crossLog, selfLog).flatten.foreach(buf ++= _))
         cross.unionByName(inBatch).distinct().localCheckpoint(true)
       }
       timed("substr_filter") {
