@@ -28,6 +28,22 @@ import org.apache.spark.sql.SparkSession
   *     ingest loop's stores. Restart-safe: recovery replays the
   *     changelog onto the last snapshot.
   *
+  * COMPACTION SPIKES on the defaulted path (r20, VERDICT r19 item 5
+  * — measured decision): RocksDB's background compaction produces
+  * periodic spike batches. Measured bound across idle 8-batch
+  * segments at 2.4M keys / ~2 GB state
+  * (tools/scale_evidence_rocksdb_r20.log): max spike ≤ ~1.6× the
+  * per-segment median (13.1 s vs 8.4 s; the r19 segment's worst was
+  * 2.3×, 8.4 s vs 3.7 s — both dominated by the first-batch
+  * JIT/instance warmup once changelog mode removes the state-size
+  * slope). The sweep also measured
+  * `...rocksdb.compactOnCommit=true`: flatter (6.8/6.9 s medians,
+  * 1.5× worst ratio) at THIS state size, but a full compaction per
+  * commit scales with STATE, not batch — exactly the coupling
+  * changelog checkpointing exists to remove — so it is NOT the
+  * default here; consider it only for small bounded state where
+  * latency variance matters more than the asymptote.
+  *
   * Confs are read when a query STARTS and pinned in its checkpoint;
   * set them before `.start()` (an already-running query is
   * unaffected). */
