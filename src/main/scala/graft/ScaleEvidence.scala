@@ -1828,13 +1828,20 @@ object ScaleEvidenceIngest {
               else {
                 val gens1 = genView
                 val replaced = gens0.filterNot(g => gens1.exists(_.id == g.id))
+                val inFlight = gens1.find(_.pending > 0)
                 if (gens0.isEmpty)
                   s" [FIRST: whole tail -> gen 0 (${gens1.map(_.rows).sum} rows)]"
+                else if (inFlight.isDefined)
+                  // r20: a byte-capped merge SLICE ran — sources shrink
+                  // in place, ids intact until fully consumed
+                  s" [TAIL+SLICE: in-flight merge ${inFlight.get.rows} of " +
+                    s"${inFlight.get.rows + inFlight.get.pending} rows " +
+                    s"merged so far, ${gens1.size} gens]"
                 else if (replaced.isEmpty)
                   s" [TAIL: ${gens1.size} gens intact, tail-bounded]"
                 else
                   s" [TAIL+MERGE: pair of ${replaced.map(_.rows).sum} rows " +
-                    s"merged, ${gens1.size} gens]"
+                    s"merged (most-equal adjacent), ${gens1.size} gens]"
               }
             println(f"[ingest-maint] after batch $b: phase ${phaseNames(k)} " +
               f"${tM}%.1f s inline pause (staggered cadence); url epochs " +

@@ -51,7 +51,7 @@ covp = "tools/sf1_covered.json"
 cov = json.load(open(covp)) if os.path.exists(covp) else {}
 for q, r in res.items():
     if r["hash_match"] and q not in cov:
-        cov[q] = int(rnd)
+        cov[q] = int(rnd) if rnd.isdigit() else rnd
 with open(covp, "w") as f:
     json.dump(cov, f, indent=1, sort_keys=True)
 print(f"cumulative sf1-exact coverage: {len(cov)}/144 "
