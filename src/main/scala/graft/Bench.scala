@@ -28,6 +28,25 @@ object Bench {
       // bounded collects scan all local partitions in ONE scheduling
       // round instead of the 1→4→16→… escalation (see Verify)
       .config("spark.sql.limit.initialNumPartitions", cpus)
+      // r21 (guide §2.1/§2.2 — measured, not guessed): with R ≤ 200
+      // reducers Spark picks BypassMergeSortShuffleWriter, which opens
+      // R partition files PER MAP TASK (M×R tiny files); profiled at
+      // local[32] that writer costs ~230 ms CPU + ~100 ms write time
+      // per task on KB-sized exchanges — it dominated every
+      // exchange-bearing query (d5's two 32-task map stages: 12.7 s →
+      // 1.3 s task time with the sort writer). Threshold 2 forces the
+      // one-file-per-map-task SortShuffleWriter. Production note: on a
+      // real cluster R > 200 everywhere, so bypass never fires and
+      // this knob is a no-op — it parameterizes LOCAL behavior only
+      // (override via SPARK_GRAFT_BYPASS_THRESHOLD to restore the
+      // default 200).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+      // optional scratch-dir override for shuffle/spill files (dev
+      // A/B lever; unset = Spark default java.io.tmpdir)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+          System.getProperty("java.io.tmpdir", "/tmp")))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

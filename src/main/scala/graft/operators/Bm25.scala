@@ -48,6 +48,24 @@ object Bm25 {
       explode(filter(split(trim(col(textCol)), "\\s+"),
         w => length(w) > 0)).as("w"))
 
+  /** Per-doc token counts computed MAP-SIDE from the text (r21, guide
+    * §2.3 "aggregate before you shuffle"): `dl` used to be
+    * `tokenize(...).groupBy(doc_id).count()` — a shuffle of EVERY
+    * exploded token row just to count them per doc. `size()` of the
+    * same filtered split array is the same integer, computed on the
+    * scan side, so the aggregation shuffles ONE row per doc instead
+    * of one per token (the corpus-sized exchange in every inline
+    * topK/topKQueries/buildIndex plan). The groupBy(sum) keeps the
+    * exact explode-count semantics under duplicate doc ids, and
+    * zero-token docs drop out exactly as rowless explodes did. */
+  private def docLengths(docs: DataFrame, idCol: String, textCol: String) =
+    spread(docs).select(
+        col(idCol).as("doc_id"),
+        size(filter(split(trim(col(textCol)), "\\s+"),
+          w => length(w) > 0)).cast("long").as("dl0"))
+      .filter(col("dl0") > 0)
+      .groupBy("doc_id").agg(sum(col("dl0")).as("dl"))
+
   /** Persistable inverted index — the lexical analogue of the ANN
     * fit/index/query split and `Dedup.winnowIndex`: `postings`
     * (w, doc_id, tf, dl) + `stats` (one row: n_docs, tot). Production
@@ -82,7 +100,7 @@ object Bm25 {
   /** ONE corpus pass → the persistable index. */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val toks = tokenize(docs, idCol, textCol)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = docLengths(docs, idCol, textCol)
     val postings = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .join(dl, "doc_id")
       .select(col("w"), col("doc_id"), col("tf"), col("dl"))
@@ -140,7 +158,7 @@ object Bm25 {
     require(terms.nonEmpty, "terms must be non-empty")
     require(terms.distinct == terms, "terms must be distinct")
     val toks = tokenize(docs, idCol, textCol)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = docLengths(docs, idCol, textCol)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val tf = toks.filter(col("w").isin(terms: _*))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -192,7 +210,7 @@ object Bm25 {
     val toks = tokenize(docs, idCol, textCol)
     val qterms = queryTermSets(queries, qIdCol, qTextCol)
     val terms = qterms.select("w").distinct()
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = docLengths(docs, idCol, textCol)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     // corpus tokens pruned to the query-term union BEFORE any shuffle
     val tf = toks.join(broadcast(terms), "w")

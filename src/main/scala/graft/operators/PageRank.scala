@@ -107,21 +107,26 @@ object PageRank {
     var ranks = deg.select(col("u").as("node"),
         (lit(1).cast(RankType) / lit(n)).cast(RankType).as("rank"))
       .localCheckpoint(true)
+    // r21 (guide §2.4 — remove shuffles outright): the old per-round
+    // tail was `nodes LEFT JOIN contrib` + coalesce(in_mass, 0), but
+    // on the SYMMETRIZED graph the in-edge set equals the out-edge
+    // set, so every edge-incident node receives mass every round —
+    // contrib's key set IS the node set and the left join was
+    // structurally an inner no-op. Dropping it removes one join (one
+    // whole shuffle at scale, where ranks outgrows the broadcast
+    // threshold) per round, and with `ranks` now referenced ONCE per
+    // round the un-checkpointed lineage grows linearly instead of
+    // doubling — cadence 5 plans fine (values are
+    // checkpoint-invariant: decimal arithmetic).
     for (i <- 1 to iters) {
       val contrib = out.join(ranks, col("u") === col("node"))
         .select(col("v"), (col("rank") / col("deg")).as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
-      val next = ranks.select(col("node"))
-        .join(contrib, col("node") === col("v"), "left")
-        .select(col("node"),
-          (teleport + dampDec *
-              coalesce(col("in_mass"), lit(0).cast(RankType)).cast(narrow))
+      val next = contrib
+        .select(col("v").as("node"),
+          (teleport + dampDec * col("in_mass").cast(narrow))
             .cast(RankType).as("rank"))
-      // checkpoint every 3rd round, not every round: materialization
-      // is a full job each time, while 3 rounds of lineage (2 joins +
-      // an agg each) plan fine — measured ~2× faster at catalog scale;
-      // values are checkpoint-invariant (decimal arithmetic)
-      ranks = if (i % 3 == 0 || i == iters) next.localCheckpoint(true) else next
+      ranks = if (i % 5 == 0 || i == iters) next.localCheckpoint(true) else next
     }
     ranks
   }
