@@ -42,6 +42,18 @@ object Bench {
       // default 200).
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+      // r21 (guide §2.5/§7.2 — measured): AQE's parallelism-first
+      // coalescing still floors at minPartitionSize = 1 MB, which
+      // collapses CPU-DENSE small-byte stages to 1-2 tasks (d15's
+      // lcp-verify join: 2.3 MB input → 2 tasks → 2.1 s single-file
+      // wall; 64 KB floor → full 32-task parallelism → d15 3.7 → 1.9 s,
+      // d16 4.7 → 1.8 s, d5 1.35 → 0.89 s). Bytes are the wrong proxy
+      // when work is CPU per row (lcp extension, cosine grids, codec
+      // kernels). At production scale stages dwarf 32 × 1 MB so the
+      // floor never binds — this parameterizes LOCAL small-stage
+      // behavior only (override via SPARK_GRAFT_MIN_PARTITION_SIZE).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       // optional scratch-dir override for shuffle/spill files (dev
       // A/B lever; unset = Spark default java.io.tmpdir)
       .config("spark.local.dir",

@@ -75,9 +75,12 @@ object Profile {
       .config("spark.sql.limit.initialNumPartitions", cpus)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // keep Profile's session identical to Bench's (same writer choice)
+      // keep Profile's session identical to Bench's (same writer choice
+      // + same AQE coalescing floor)
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
     // ad-hoc A/B knobs for the optimization loop:
     // GRAFT_CONF="k1=v1;k2=v2" lands in the session conf before start
     sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))

@@ -268,8 +268,14 @@ object EventQueries {
     "m5_image_pipeline" -> { (s, d) =>
       import graft.multimodal.{ImageIoCodec, ImageOps}
       val n = lit((8 * 6 * 255).toDouble)
+      // spread BEFORE the codec kernels (r21): the documents scan is
+      // one task (single row group), and synthesize/resize are
+      // per-row javax.imageio encode+decode work — unspread, the whole
+      // pipeline ran on 1 core (profiled: 4 tasks, 1.7 s single-file
+      // task time at local[32])
       val png = ImageOps.synthesize(
-        t(s, d, "documents").select(col("doc_id").as("media_id")), 16, 12)
+        graft.ql.spread(t(s, d, "documents").select(col("doc_id").as("media_id"))),
+        16, 12)
       val feats = Binary.extractFeatures(ImageOps.resize(png, 8, 6), ImageIoCodec)
       def f(i: Int) = element_at(col("features"), i + 1).cast("double")
       feats.select(col("media_id"),
