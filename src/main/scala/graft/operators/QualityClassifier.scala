@@ -89,34 +89,57 @@ object QualityClassifier {
     // bucket −1 is the BIAS pseudo-feature (x = 1 for every doc): the
     // per-bucket gradient aggregation then yields the bias gradient in
     // the same single collect — e·1.0 ≡ e exactly in IEEE, so the
-    // gradient values are identical to a separate global sum, and the
-    // per-epoch action count halves (one job, not two)
-    val featsAug = features(df, idCol, textCol, nBuckets)
+    // gradient values are identical to a separate global sum.
+    // r21 (guide §2.4): features are grouped into ONE array row per
+    // doc up front, so each epoch is a single map-side pass over this
+    // checkpoint — the dot product folds the array, the gradient
+    // explodes it — where it used to run two doc-keyed joins + an
+    // id-keyed aggregation per epoch (3 exchanges → 1). Values are
+    // bit-identical: decimal addition is order-independent, so the
+    // array fold equals the old sum() whatever the collect_list order.
+    val grouped = features(df, idCol, textCol, nBuckets)
       .unionByName(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0).as("x")))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("b"), col("x"))).as("fs"))
       .join(docs, idCol).localCheckpoint(true)
-    val feats = featsAug.filter(col("b") >= 0)
 
     var bias = 0.0
     val w = Array.fill(nBuckets)(0.0)
+    // fold accumulator at decimal(37,16): the per-step add then types
+    // as decimal(38,16) (no precision loss) and the cast back to
+    // (37,16) is scale-preserving — every step stays EXACT, so the
+    // fold equals the old sum(decimal(28,16)) bit-for-bit (|dot| is
+    // bounded far below 1e21 by the feature counts and weight range)
+    val zeroDec = lit(BigDecimal(0)).cast("decimal(37,16)")
     for (_ <- 1 to epochs) {
-      // score each doc: Σ w[b]·x + bias (one combinable agg);
-      // docs with no features score bias alone via the left join
+      // score each doc: Σ w[b]·x + bias as a decimal array fold over
+      // the b ≥ 0 features (empty fold = 0, exactly the old left
+      // join's coalesce); bias rides outside like before
       val wLit = lit(w)
-      val scored = docs.join(
-          feats.groupBy(idCol)
-            .agg(sum((element_at(wLit, col("b").cast("int") + 1) * col("x"))
-                .cast("decimal(28,16)")).cast("double")
-              .as("dot")),
-          Seq(idCol), "left")
-        .select(col(idCol), col("y"),
-          linkCol(coalesce(col("dot"), lit(0.0)) + bias, link).as("p"))
+      val dot = aggregate(
+        filter(col("fs"), f => f.getField("b") >= 0),
+        zeroDec,
+        (acc, f) => (acc + (element_at(wLit, f.getField("b").cast("int") + 1) *
+          f.getField("x")).cast("decimal(28,16)")).cast("decimal(37,16)"))
+        .cast("double")
       // gradient: per-bucket Σ (p−y)·x, decimal-summed (order-
       // independent ⇒ partition-invariant training); bucket −1 IS the
       // bias gradient (its x is the constant 1)
-      val err = scored.select(col(idCol), (col("p") - col("y")).as("e"))
-      val gradRows = featsAug.join(err, idCol)
-        .groupBy("b")
-        .agg(sum((col("e") * col("x")).cast("decimal(28,16)")).as("g"))
+      // e is projected in its OWN select below the explode: the fold
+      // then runs once per doc inside Generate's child and the
+      // exploded rows carry the value (one select would put it above
+      // the Generate — re-folded per feature row, O(|fs|²) per doc)
+      val gradRows = grouped
+        // dot lands in its own named column first: the algebraic link
+        // references s twice, and an inline fold would be duplicated
+        // (CollapseProject keeps multi-referenced non-cheap aliases
+        // apart, so the fold runs once per doc)
+        .select(col("fs"), col("y"), dot.as("__dot"))
+        .select(col("fs"),
+          (linkCol(col("__dot") + bias, link) - col("y")).as("e"))
+        .select(explode(col("fs")).as("f"), col("e"))
+        .groupBy(col("f.b").as("b"))
+        .agg(sum((col("e") * col("f.x")).cast("decimal(28,16)")).as("g"))
         .collect()
       var gBias = 0.0
       val g = Array.fill(nBuckets)(0.0)
@@ -129,7 +152,7 @@ object QualityClassifier {
       while (j < nBuckets) { w(j) -= lr * g(j) / n; j += 1 }
       bias -= lr * gBias / n
     }
-    featsAug.unpersist(); docs.unpersist()
+    grouped.unpersist(); docs.unpersist()
     (bias, w)
   }
 
@@ -155,30 +178,43 @@ object QualityClassifier {
       .localCheckpoint(true)
     val n = docs.count().toDouble
     require(n > 0, "empty training set")
-    val featsAug = features(df, idCol, textCol, nBuckets)
+    // same grouped-array epoch shape as [[train]] (r21): one map-side
+    // pass + one bucket aggregation per epoch for ALL K classes
+    val grouped = features(df, idCol, textCol, nBuckets)
       .unionByName(docs.select(col(idCol), lit(-1L).as("b"), lit(1.0).as("x")))
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("b"), col("x"))).as("fs"))
       .join(docs, idCol).localCheckpoint(true)
-    val feats = featsAug.filter(col("b") >= 0)
 
     val bias = Array.fill(k)(0.0)
     val w = Array.fill(k)(Array.fill(nBuckets)(0.0))
+    // decimal(37,16) accumulator: see train() — exact at every step
+    val zeroDec = lit(BigDecimal(0)).cast("decimal(37,16)")
     for (_ <- 1 to epochs) {
       val dotCols = classes.indices.map { j =>
-        sum((element_at(lit(w(j)), col("b").cast("int") + 1) * col("x"))
-            .cast("decimal(28,16)")).cast("double").as(s"__dot$j")
+        aggregate(
+          filter(col("fs"), f => f.getField("b") >= 0),
+          zeroDec,
+          (acc, f) => (acc + (element_at(lit(w(j)), f.getField("b").cast("int") + 1) *
+            f.getField("x")).cast("decimal(28,16)")).cast("decimal(37,16)"))
+          .cast("double").as(s"__dot$j")
       }
-      val dots = feats.groupBy(idCol).agg(dotCols.head, dotCols.tail: _*)
       val errCols = classes.indices.map { j =>
-        (linkCol(coalesce(col(s"__dot$j"), lit(0.0)) + bias(j), link) -
+        (linkCol(col(s"__dot$j") + bias(j), link) -
           when(col("__cls") === classes(j), 1.0).otherwise(0.0)).as(s"__e$j")
       }
-      val err = docs.join(dots, Seq(idCol), "left")
-        .select(col(idCol) +: errCols: _*)
       val gradCols = classes.indices.map { j =>
-        sum((col(s"__e$j") * col("x")).cast("decimal(28,16)")).as(s"__g$j")
+        sum((col(s"__e$j") * col("f.x")).cast("decimal(28,16)")).as(s"__g$j")
       }
-      val gradRows = featsAug.join(err, idCol)
-        .groupBy("b").agg(gradCols.head, gradCols.tail: _*)
+      // dots, then errors, each in their own select below the explode
+      // (see train: keeps every fold single-evaluation per doc)
+      val gradRows = grouped
+        .select(Seq(col("fs"), col("__cls")) ++ dotCols: _*)
+        .select(col("fs") +: errCols: _*)
+        .select(explode(col("fs")).as("f") +:
+          classes.indices.map(j => col(s"__e$j")): _*)
+        .groupBy(col("f.b").as("b"))
+        .agg(gradCols.head, gradCols.tail: _*)
         .collect()
       gradRows.foreach { r =>
         val b = r.getLong(0).toInt
@@ -189,7 +225,7 @@ object QualityClassifier {
         }
       }
     }
-    featsAug.unpersist(); docs.unpersist()
+    grouped.unpersist(); docs.unpersist()
     classes.zipWithIndex.map { case (c, j) => c -> ((bias(j), w(j))) }
   }
 
