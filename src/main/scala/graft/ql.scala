@@ -11,9 +11,22 @@ import org.apache.spark.sql.functions._
   * bit-identical to the DuckDB oracle (double sums are neither).
   */
 object ql {
+  /** Schema cache for [[t]] (r21): `spark.read.parquet(path)` infers
+    * the schema by reading a parquet footer at PLAN time — a
+    * per-query driver cost paid on every `t()` call (~2-3 calls per
+    * catalog query). The schema of a given path never changes within
+    * a session, so cache it and hand it to the reader explicitly.
+    * Keyed on the full path; results are identical by construction. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Load one driver-generated table from an sf directory. */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** events table with its `ts` surfaced as a proper session-tz
     * timestamp, whatever the file encodes: TIMESTAMP(NANOS) arrives as
